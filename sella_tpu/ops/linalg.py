@@ -1,0 +1,294 @@
+"""Dense linear-algebra substrate (layer-7 equivalent).
+
+TPU-native replacements for the reference's Cython kernels
+(``/root/reference/sella/utilities/math.pyx``) and scipy helpers:
+
+* :func:`modified_gram_schmidt` — iterated MGS with rank detection
+  (semantics of ``math.pyx:74-140``), host-side with column dropping.
+* :func:`mgs_masked` — fixed-shape, jittable/vmappable variant where rank
+  decisions become column masks instead of shape changes.
+* :func:`pseudo_inverse` — SVD Moore-Penrose pinv + nullspace
+  (``math.pyx:162-236``) via ``jnp.linalg.svd``.
+* :func:`eigh_gen` — generalized symmetric eigenproblem via Cholesky
+  reduction (replaces ``scipy.linalg.eigh(A, B)``).
+* :func:`expm` — differentiable matrix exponential (scaling & squaring +
+  Taylor); its jax derivatives replace ``scipy.linalg.expm_frechet`` and
+  the closed-form Daleckii–Krein contraction
+  (``/root/reference/sella/peswrapper.py:105-148``) — no custom closed
+  form needed because jvp/vjp of the series *is* the Fréchet derivative.
+* :func:`logm_psd_3x3` / :func:`logm_host` — matrix logarithm for the cell
+  log-deformation parameterization (``peswrapper.py:85-102``).
+
+All functions are pure; everything except the explicitly host-tagged
+helpers works under ``jit``/``vmap``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Gram-Schmidt
+# ---------------------------------------------------------------------------
+def modified_gram_schmidt(
+    X: np.ndarray,
+    Y: Optional[np.ndarray] = None,
+    eps1: float = 1e-15,
+    eps2: float = 1e-6,
+    maxiter: int = 100,
+) -> np.ndarray:
+    """Orthonormalize columns of X against Y and themselves, dropping
+    linearly-dependent columns (host-side; returns a narrower matrix).
+
+    Mirrors the reference kernel's semantics
+    (``/root/reference/sella/utilities/math.pyx:74-140``): each candidate
+    column is repeatedly orthogonalized until its norm is stable
+    (re-orthogonalization), and dropped when the cumulative norm product
+    falls below ``eps2``.
+    """
+    X = np.array(X, dtype=np.float64, copy=True)
+    if X.ndim != 2:
+        raise ValueError("X must be 2D")
+    if X.shape[1] == 0:
+        return X
+
+    if Y is not None:
+        Y = modified_gram_schmidt(Y, eps1=eps1, eps2=eps2, maxiter=maxiter)
+
+    out = []
+    for i in range(X.shape[1]):
+        v = X[:, i].copy()
+        norm = np.linalg.norm(v)
+        if norm < eps2:
+            continue
+        v /= norm
+        accepted = False
+        for _ in range(maxiter):
+            normtot = 1.0
+            dead = False
+            basis = ([] if Y is None else [Y[:, j] for j in range(Y.shape[1])])
+            basis += out
+            for u in basis:
+                v -= u * (u @ v)
+                norm = np.linalg.norm(v)
+                normtot *= norm
+                if normtot < eps2:
+                    dead = True
+                    break
+                v /= norm
+            if dead:
+                break
+            if 0.0 <= 1.0 - normtot <= eps1:
+                accepted = True
+                break
+        if accepted:
+            out.append(v)
+    if not out:
+        return np.empty((X.shape[0], 0))
+    return np.stack(out, axis=1)
+
+
+def mgs_masked(
+    X: jnp.ndarray,
+    x_mask: Optional[jnp.ndarray] = None,
+    Y: Optional[jnp.ndarray] = None,
+    y_mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-shape masked Gram-Schmidt: jittable rank handling.
+
+    Columns of ``X`` (shape ``(n, k)``) are orthonormalized sequentially
+    against masked columns of ``Y`` and previously accepted columns of
+    ``X``. Instead of dropping columns (data-dependent shapes don't jit),
+    rejected columns are zeroed and flagged in the returned mask. Two
+    orthogonalization passes per column give CGS2-level stability, which
+    matches the reference's re-orthogonalized MGS for the conditioning
+    seen in Davidson subspaces.
+    """
+    n, k = X.shape
+    dtype = X.dtype
+    if x_mask is None:
+        x_mask = jnp.ones((k,), dtype=bool)
+    if Y is None:
+        Y = jnp.zeros((n, 0), dtype=dtype)
+        y_mask = jnp.zeros((0,), dtype=bool)
+    elif y_mask is None:
+        y_mask = jnp.ones((Y.shape[1],), dtype=bool)
+
+    Ym = Y * y_mask[None, :].astype(dtype)
+
+    def body(i, carry):
+        Q, mask = carry
+        v = X[:, i]
+        norm0 = jnp.linalg.norm(v)
+        ok = x_mask[i] & (norm0 > eps)
+        v = jnp.where(ok, v / jnp.where(norm0 > 0, norm0, 1.0), 0.0)
+        for _ in range(2):  # two passes = re-orthogonalization
+            v = v - Ym @ (Ym.T @ v)
+            Qm = Q * mask[None, :].astype(dtype)
+            v = v - Qm @ (Qm.T @ v)
+        norm = jnp.linalg.norm(v)
+        ok = ok & (norm > eps)
+        v = jnp.where(ok, v / jnp.where(norm > 0, norm, 1.0), 0.0)
+        Q = Q.at[:, i].set(v)
+        mask = mask.at[i].set(ok)
+        return Q, mask
+
+    Q0 = jnp.zeros_like(X)
+    m0 = jnp.zeros((k,), dtype=bool)
+    Q, mask = jax.lax.fori_loop(0, k, body, (Q0, m0))
+    return Q, mask
+
+
+# ---------------------------------------------------------------------------
+# SVD pseudo-inverse (math.pyx:162-236 equivalent)
+# ---------------------------------------------------------------------------
+def pseudo_inverse(A: jnp.ndarray, eps: float = 1e-6):
+    """Moore-Penrose pseudo-inverse plus null-space basis.
+
+    Returns ``(U, s, VT, Ainv, nsing)`` like the reference's
+    ``pseudo_inverse`` (``math.pyx:219-236``): ``Ainv`` has the small
+    singular values zeroed, and ``VT[: m - nsing]``'s rows transposed give
+    the null space. ``nsing`` is a traced integer under jit.
+    """
+    U, s, VT = jnp.linalg.svd(A, full_matrices=True)
+    keep = jnp.abs(s) > eps
+    sinv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    m = A.shape[1]
+    n = A.shape[0]
+    k = min(n, m)
+    Ainv = (VT[:k].T * sinv[None, :]) @ U[:, :k].T
+    nsing = jnp.sum(keep)
+    return U, s, VT, Ainv, nsing
+
+
+def nullspace_host(A: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """Orthonormal basis of the null space of A (host, shape-dynamic)."""
+    if A.size == 0:
+        n = A.shape[1] if A.ndim == 2 else 0
+        return np.eye(n)
+    _, s, VT = np.linalg.svd(np.asarray(A), full_matrices=True)
+    nsing = int(np.sum(np.abs(s) > eps))
+    return VT[nsing:].T
+
+
+def split_cons_subspace_host(
+    drdx: np.ndarray, tol_factor: float = 1e-6
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Split R^n into (row-space of drdx, complement) = (Ucons, Ufree).
+
+    Host-side rank-revealing split, functionally identical to the
+    reference's pivoted-QR ``_split_cons_subspace``
+    (``/root/reference/sella/peswrapper.py:51-69``); spans match up to
+    column rotation, which every consumer is invariant to.
+    """
+    import scipy.linalg as sla
+
+    n = drdx.shape[1]
+    if drdx.shape[0] == 0:
+        return np.empty((n, 0)), np.eye(n)
+    Q, R, _ = sla.qr(drdx.T, mode="full", pivoting=True, check_finite=False)
+    diag = np.abs(np.diag(R))
+    if diag.size and diag[0] > 0:
+        ncons = int(np.sum(diag > tol_factor * diag[0]))
+    else:
+        ncons = 0
+    return Q[:, :ncons], Q[:, ncons:]
+
+
+# ---------------------------------------------------------------------------
+# Generalized symmetric eigenproblem
+# ---------------------------------------------------------------------------
+def eigh_gen(A: jnp.ndarray, B: jnp.ndarray):
+    """Solve ``A v = lam B v`` for symmetric A, SPD B via Cholesky.
+
+    Replaces ``scipy.linalg.eigh(A, B)`` used in the Davidson Galerkin
+    solve (``/root/reference/sella/eigensolvers.py:58``) and the
+    BFGS_auto test (``hessian_update.py:85``). Jittable; B must be
+    positive definite (true for overlap matrices of masked-orthonormal
+    bases after regularization).
+    """
+    L = jnp.linalg.cholesky(B)
+    Linv = jax.scipy.linalg.solve_triangular(L, jnp.eye(A.shape[0], dtype=A.dtype), lower=True)
+    C = Linv @ A @ Linv.T
+    C = 0.5 * (C + C.T)
+    lams, W = jnp.linalg.eigh(C)
+    V = Linv.T @ W
+    return lams, V
+
+
+# ---------------------------------------------------------------------------
+# Matrix exponential / logarithm (cell parameterization substrate)
+# ---------------------------------------------------------------------------
+def expm(A: jnp.ndarray, order: int = 12, squarings: int = 8) -> jnp.ndarray:
+    """Differentiable matrix exponential: scaling & squaring + Taylor.
+
+    Fixed iteration counts (jit-friendly). For the 3x3 log-deformation
+    matrices of the cell path (``/root/reference/sella/peswrapper.py:
+    1855-1889``) with ``order=12, squarings=8`` this is accurate to
+    ~1e-15 for ``||A|| <~ 10``. Because it is plain jnp, ``jax.jvp``
+    through it *is* the Fréchet derivative — replacing both
+    ``scipy.linalg.expm_frechet`` and the reference's Daleckii–Krein
+    closed form (``peswrapper.py:105-148``).
+    """
+    n = A.shape[-1]
+    scale = 2.0 ** (-squarings)
+    X = A * scale
+    eye = jnp.eye(n, dtype=A.dtype)
+    term = eye
+    out = eye
+    for k in range(1, order + 1):
+        term = term @ X / k
+        out = out + term
+    for _ in range(squarings):
+        out = out @ out
+    return out
+
+
+def expm_frechet(A: jnp.ndarray, E: jnp.ndarray) -> jnp.ndarray:
+    """Directional (Fréchet) derivative of expm at A along E, via jvp."""
+    return jax.jvp(expm, (A,), (E,))[1]
+
+
+def logm_host(F: np.ndarray) -> np.ndarray:
+    """Real matrix logarithm of a well-conditioned 3x3 (host-side).
+
+    Uses the eigendecomposition closed form like the reference's
+    ``_logm_3x3`` (``/root/reference/sella/peswrapper.py:85-102``) with a
+    scipy fallback for defective inputs. Host-only (nonsymmetric eig is
+    unsupported on TPU); the cell path only needs logm at
+    (re-)initialization events, which are host-side anyway.
+    """
+    import scipy.linalg as sla
+
+    F = np.asarray(F, dtype=np.float64)
+    lam, V = np.linalg.eig(F)
+    if np.linalg.cond(V) > 1e10:
+        return np.real(sla.logm(F))
+    return np.real(V @ np.diag(np.log(lam)) @ np.linalg.inv(V))
+
+
+# ---------------------------------------------------------------------------
+# Misc small helpers
+# ---------------------------------------------------------------------------
+def sym(M: jnp.ndarray) -> jnp.ndarray:
+    """Symmetrize (roundoff cleanup), as in ``hessian_update.py:104-109``."""
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def lstsq(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-12) -> jnp.ndarray:
+    """Minimum-norm least-squares solve via SVD (jittable).
+
+    ``jnp.linalg.lstsq`` equivalent that's robust for rank-deficient A
+    (the Lagrange-multiplier solve ``lstsq(drdx.T, g)`` at
+    ``/root/reference/sella/peswrapper.py:476-481`` needs this).
+    """
+    U, s, VT = jnp.linalg.svd(A, full_matrices=False)
+    cutoff = rcond * jnp.max(s, initial=0.0)
+    keep = s > cutoff
+    sinv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    return VT.T @ (sinv * (U.T @ b).T).T if b.ndim > 1 else VT.T @ (sinv * (U.T @ b))

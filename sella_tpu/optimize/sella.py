@@ -1,0 +1,288 @@
+"""Sella saddle-point / minimum optimizer driver (layer 1).
+
+Sequential-API equivalent of the reference driver
+(``/root/reference/sella/optimize/optimize.py:42-502``): default
+hyperparameter sets per order, per-step predict -> diag-schedule ->
+``pes.kick`` -> trust-radius ratio update, inequality-constraint retry
+loop, and the same convergence/logging surface. PES construction
+dispatch currently covers Cartesian and internal PES classes; cell
+variants land with the cell-optimization stage.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Union
+
+import numpy as np
+
+from ..atoms import Atoms, as_atoms
+from ..coords.constraints import Constraints
+from ..pes.cartesian import PES
+from .driver import Optimizer
+from .restricted_step import get_restricted_step
+
+_default_kwargs = dict(
+    minimum=dict(
+        delta0=1e-1,
+        sigma_inc=1.15,
+        sigma_dec=0.90,
+        rho_inc=1.035,
+        rho_dec=100,
+        method="qn",
+        eig=False,
+    ),
+    saddle=dict(
+        delta0=0.1,
+        sigma_inc=1.15,
+        sigma_dec=0.65,
+        rho_inc=1.035,
+        rho_dec=5.0,
+        method="prfo",
+        eig=True,
+    ),
+)
+
+
+class Sella(Optimizer):
+    def __init__(
+        self,
+        atoms: Atoms,
+        logfile: str = "-",
+        trajectory=None,
+        master: Optional[bool] = None,
+        delta0: Optional[float] = None,
+        sigma_inc: Optional[float] = None,
+        sigma_dec: Optional[float] = None,
+        rho_dec: Optional[float] = None,
+        rho_inc: Optional[float] = None,
+        order: int = 1,
+        eig: Optional[bool] = None,
+        eta: float = 1e-4,
+        method: Optional[str] = None,
+        gamma: float = 0.1,
+        threepoint: bool = False,
+        constraints: Optional[Constraints] = None,
+        constraints_tol: float = 1e-5,
+        v0: Optional[np.ndarray] = None,
+        internal: bool = False,
+        rs: Optional[str] = None,
+        nsteps_per_diag: int = 3,
+        diag_every_n: Optional[int] = None,
+        hessian_function: Optional[Callable] = None,
+        **kwargs,
+    ) -> None:
+        atoms = as_atoms(atoms)
+        default = _default_kwargs["minimum" if order == 0 else "saddle"]
+
+        self.user_internal = internal
+        self.peskwargs = dict(kwargs)
+        self.initialize_pes(
+            atoms, trajectory, order, eta, constraints, v0, internal,
+            hessian_function, **kwargs
+        )
+
+        if rs is None:
+            rs = "mis" if internal else "ras"
+        self.rs = get_restricted_step(rs)
+        Optimizer.__init__(self, atoms, logfile=logfile)
+
+        if delta0 is None:
+            delta0 = default["delta0"]
+        if rs in ("mis", "ras"):
+            self.delta = delta0
+        else:
+            self.delta = delta0 * self.pes.get_Ufree().shape[1]
+
+        self.sigma_inc = sigma_inc if sigma_inc is not None else default["sigma_inc"]
+        self.sigma_dec = sigma_dec if sigma_dec is not None else default["sigma_dec"]
+        self.rho_inc = rho_inc if rho_inc is not None else default["rho_inc"]
+        self.rho_dec = rho_dec if rho_dec is not None else default["rho_dec"]
+        self.method = method if method is not None else default["method"]
+        self.eig = eig if eig is not None else default["eig"]
+
+        self.ord = order
+        self.eta = eta
+        self.delta_min = self.eta
+        self.constraints_tol = constraints_tol
+        self.diagkwargs = dict(gamma=gamma, threepoint=threepoint)
+        self.rho = 1.0
+
+        if self.ord != 0 and not self.eig:
+            import warnings
+
+            warnings.warn(
+                "Saddle point optimizations with eig=False will "
+                "most likely fail!"
+            )
+
+        self.initialized = False
+        self.nsteps_per_diag = nsteps_per_diag
+        self.nsteps_since_diag = 0
+        self.diag_every_n = np.inf if diag_every_n is None else diag_every_n
+        self._last_converged = None
+
+    def initialize_pes(
+        self,
+        atoms,
+        trajectory=None,
+        order: int = 1,
+        eta: float = 1e-4,
+        constraints=None,
+        v0=None,
+        internal: bool = False,
+        hessian_function=None,
+        **kwargs,
+    ) -> None:
+        if internal:
+            from ..pes.internal import InternalPES
+            from ..coords.internals import Internals
+
+            if isinstance(internal, Internals):
+                if constraints is not None:
+                    raise ValueError(
+                        "Pass Constraints to the Internals constructor, "
+                        "not to Sella, when supplying explicit Internals."
+                    )
+                internals = internal
+                auto = False
+            else:
+                internals = Internals(atoms, cons=constraints)
+                auto = True
+            self.internal = internals
+            self.constraints = None
+            self.pes = InternalPES(
+                atoms, internals=internals, trajectory=trajectory, eta=eta,
+                v0=v0, auto_find_internals=auto,
+                hessian_function=hessian_function, **kwargs
+            )
+        else:
+            self.internal = None
+            if constraints is None:
+                constraints = Constraints(atoms)
+            self.constraints = constraints
+            self.pes = PES(
+                atoms, constraints=constraints, trajectory=trajectory,
+                eta=eta, v0=v0, hessian_function=hessian_function, **kwargs
+            )
+
+    # -- stepping -------------------------------------------------------------
+    def _predict_step(self):
+        """(``optimize.py:317-357``)"""
+        if not self.initialized:
+            self.pes.get_g()
+            if self.eig:
+                if self.pes.hessian_function is not None:
+                    self.pes.calculate_hessian()
+                else:
+                    self.pes.diag(**self.diagkwargs)
+                self.nsteps_since_diag = -1
+            self.initialized = True
+
+        self.pes.cons.disable_satisfied_inequalities()
+        self.pes._update_basis()
+        self.pes.save()
+        x0 = self.pes.get_x()
+
+        if self.pes.cons.has_inequalities():
+            all_valid = False
+            while not all_valid:
+                s, smag = self.rs(
+                    self.pes, self.ord, self.delta, method=self.method
+                ).get_s()
+                self.pes.set_x(x0 + s)
+                all_valid = self.pes.cons.validate_inequalities()
+                self.pes._update_basis()
+                self.pes.restore()
+            self.pes._update_basis()
+        else:
+            s, smag = self.rs(
+                self.pes, self.ord, self.delta, method=self.method
+            ).get_s()
+        return s, smag
+
+    def step(self) -> None:
+        """(``optimize.py:359-440``)"""
+        s, smag = self._predict_step()
+
+        # Diagonalization schedule: every diag_every_n, or when the
+        # leftmost projected eigenvalues have the wrong inertia
+        if self.nsteps_since_diag >= self.diag_every_n:
+            ev = True
+        elif self.eig and self.nsteps_since_diag >= self.nsteps_per_diag:
+            if self.pes.H.evals is None:
+                ev = True
+            else:
+                Unred = self.pes.get_Unred()
+                ev = bool(
+                    (self.pes.get_HL_projected(Unred).evals[: self.ord] > 0).any()
+                )
+        else:
+            ev = False
+
+        if ev:
+            self.nsteps_since_diag = 0
+        else:
+            self.nsteps_since_diag += 1
+
+        rho = self.pes.kick(s, ev, **self.diagkwargs)
+
+        # Bad internals: rebuild the PES, skip the trust update
+        if self.internal is not None and self.pes.int is not None:
+            if self.pes.int.check_for_bad_internals():
+                self.initialize_pes(
+                    atoms=self.pes.atoms,
+                    trajectory=self.pes.traj,
+                    order=self.ord,
+                    eta=self.pes.eta,
+                    constraints=self.constraints,
+                    v0=None,
+                    internal=self.user_internal,
+                    hessian_function=self.pes.hessian_function,
+                )
+                self.initialized = False
+                self.rho = 1.0
+                return
+
+        # Trust-radius update from the prediction ratio
+        if rho is not None:
+            if rho < 1.0 / self.rho_dec or rho > self.rho_dec:
+                self.delta = max(smag * self.sigma_dec, self.delta_min)
+            elif 1.0 / self.rho_inc < rho < self.rho_inc:
+                self.delta = max(self.sigma_inc * smag, self.delta)
+            self.rho = rho
+        else:
+            self.rho = 1.0
+
+    def converged(self, forces=None) -> bool:
+        fmax = self.fmax if self.fmax is not None else 0.05
+        result = self.pes.converged(fmax)
+        self._last_converged = result
+        return result[0]
+
+    def log(self, forces=None) -> None:
+        if self.logfile is None:
+            return
+        result = self._last_converged
+        if result is None or len(result) != 3:
+            result = self.pes.converged(self.fmax or 0.05)
+        _, fmax, cmax = result
+        e = self.pes.get_f()
+        T = time.strftime("%H:%M:%S")
+        name = self.__class__.__name__
+        if self.nsteps == 0:
+            self.logfile.write(
+                " " * len(name)
+                + "{:>4s} {:>8s} {:>15s} {:>12s} {:>12s} {:>12s} {:>12s}\n".format(
+                    "Step", "Time", "Energy", "fmax", "cmax", "rtrust", "rho"
+                )
+            )
+        self.logfile.write(
+            "{} {:>3d} {:>8s} {:>15.6f} {:>12.4f} {:>12.4f} {:>12.4f} "
+            "{:>12.4f}\n".format(
+                name, self.nsteps, T, e, fmax, cmax, self.delta, self.rho
+            )
+        )
+        try:
+            self.logfile.flush()
+        except (AttributeError, TypeError):
+            pass

@@ -1,0 +1,47 @@
+"""End-to-end physics regression: Morse Xe4 cluster minimum & saddle.
+
+Mirrors ``/root/reference/tests/integration/test_morse_cluster.py``:
+converge to fmax 1e-3, then assert the converged point has exactly
+``order`` negative eigenvalues of the projected Hessian-of-Lagrangian.
+"""
+import numpy as np
+import pytest
+
+from sella_tpu import Atoms, Constraints, Sella
+from sella_tpu.potentials import MorsePotential
+from sella_tpu.utils.units import kB
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_morse_cluster_cartesian(order):
+    rng = np.random.RandomState(4)
+    nat = 4
+    atoms = Atoms(
+        ["Xe"] * nat,
+        rng.normal(size=(nat, 3), scale=3.0),
+        calculator=MorsePotential(
+            epsilon=226.9 * kB, r0=4.73, rho0=4.73 * 1.099
+        ),
+    )
+
+    cons = Constraints(atoms)
+    cons.fix_translation()
+    cons.fix_rotation()
+
+    opt = Sella(
+        atoms,
+        order=order,
+        internal=False,
+        gamma=1e-3,
+        constraints=cons,
+        logfile=None,
+    )
+    assert opt.run(fmax=1e-3, steps=300)
+
+    Ufree = opt.pes.get_Ufree()
+    np.testing.assert_allclose(opt.pes.get_g() @ Ufree, 0, atol=5e-3)
+    # exact diagonalization at the solution: inertia must match the order
+    opt.pes.diag(gamma=1e-16)
+    H = opt.pes.get_HL()
+    evals = np.linalg.eigvalsh(Ufree.T @ H @ Ufree)
+    assert np.sum(evals < 0) == order, evals

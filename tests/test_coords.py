@@ -1,0 +1,190 @@
+"""FD-vs-AD derivative checks for coordinate primitives
+(cf. /root/reference/tests/internal/test_get_internal.py:26-55 and the
+Coordinate.check_gradient/check_hessian self-checks, internal.py:289-328)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sella_tpu.coords import primitives as prim
+from sella_tpu.coords.constraints import Constraints
+from sella_tpu.atoms import Atoms
+
+
+def _fd_grad(fn, pos, h=1e-5):
+    pos = np.asarray(pos, dtype=float)
+    g = np.zeros_like(pos)
+    for i in range(pos.shape[0]):
+        for j in range(3):
+            pp = pos.copy()
+            pp[i, j] += h
+            pm = pos.copy()
+            pm[i, j] -= h
+            g[i, j] = (float(fn(jnp.asarray(pp))) - float(fn(jnp.asarray(pm)))) / (2 * h)
+    return g
+
+
+@pytest.mark.parametrize("kind,k", [("bond", 2), ("angle", 3), ("dihedral", 4)])
+def test_primitive_gradients(kind, k):
+    rng = np.random.RandomState(0)
+    pos = rng.normal(size=(k, 3)) * 1.5
+    tvec = jnp.zeros((k - 1, 3))
+    val_fn = {"bond": prim.bond_value, "angle": prim.angle_value,
+              "dihedral": prim.dihedral_value}[kind]
+    grad_fn = {"bond": prim.bond_grad, "angle": prim.angle_grad,
+               "dihedral": prim.dihedral_grad}[kind]
+    g = np.asarray(grad_fn(jnp.asarray(pos), tvec))
+    g_fd = _fd_grad(lambda p: val_fn(p, tvec), pos)
+    np.testing.assert_allclose(g, g_fd, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("kind,k", [("bond", 2), ("angle", 3), ("dihedral", 4)])
+def test_primitive_hessians(kind, k):
+    rng = np.random.RandomState(1)
+    pos = rng.normal(size=(k, 3)) * 1.5
+    tvec = jnp.zeros((k - 1, 3))
+    grad_fn = {"bond": prim.bond_grad, "angle": prim.angle_grad,
+               "dihedral": prim.dihedral_grad}[kind]
+    hess_fn = {"bond": prim.bond_hess, "angle": prim.angle_hess,
+               "dihedral": prim.dihedral_hess}[kind]
+    H = np.asarray(hess_fn(jnp.asarray(pos), tvec)).reshape(3 * k, 3 * k)
+    # FD of the gradient
+    h = 1e-5
+    H_fd = np.zeros((3 * k, 3 * k))
+    for i in range(k):
+        for j in range(3):
+            pp = pos.copy()
+            pp[i, j] += h
+            pm = pos.copy()
+            pm[i, j] -= h
+            H_fd[3 * i + j] = (
+                (np.asarray(grad_fn(jnp.asarray(pp), tvec))
+                 - np.asarray(grad_fn(jnp.asarray(pm), tvec))) / (2 * h)
+            ).ravel()
+    np.testing.assert_allclose(H, H_fd, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(H, H.T, atol=1e-10)
+
+
+def test_rotation_value_identity():
+    rng = np.random.RandomState(2)
+    pos = rng.normal(size=(5, 3))
+    v = prim.rotation_value(jnp.asarray(pos), jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-12)
+
+
+def test_rotation_value_known_rotation():
+    """Rotating a fragment about z by theta gives rotation vector ~ theta*ez."""
+    rng = np.random.RandomState(3)
+    ref = rng.normal(size=(6, 3))
+    theta = 0.3
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    com = ref.mean(axis=0)
+    pos = (ref - com) @ R.T + com
+    v = np.asarray(prim.rotation_value(jnp.asarray(pos), jnp.asarray(ref)))
+    np.testing.assert_allclose(v, [0, 0, theta], atol=1e-10)
+
+
+def test_rotation_jacobian_fd():
+    rng = np.random.RandomState(4)
+    ref = rng.normal(size=(5, 3))
+    # evaluate away from identity to test the generic branch
+    pos = ref + 0.1 * rng.normal(size=(5, 3))
+    J = np.asarray(prim.rotation_jac(jnp.asarray(pos), jnp.asarray(ref)))
+    h = 1e-6
+    for axis in range(3):
+        fd = _fd_grad(
+            lambda p: prim.rotation_value(p, jnp.asarray(ref))[axis], pos, h
+        )
+        np.testing.assert_allclose(J[axis], fd, rtol=1e-5, atol=1e-7)
+
+
+def test_rotation_jacobian_at_identity():
+    """At the reference geometry the Jacobian must be finite (the NaN trap
+    the reference works around, internal.py:496-505)."""
+    rng = np.random.RandomState(5)
+    ref = rng.normal(size=(5, 3))
+    J = np.asarray(prim.rotation_jac(jnp.asarray(ref), jnp.asarray(ref)))
+    assert np.all(np.isfinite(J))
+    fd = np.stack([
+        _fd_grad(lambda p: prim.rotation_value(p, jnp.asarray(ref))[a], ref)
+        for a in range(3)
+    ])
+    np.testing.assert_allclose(J, fd, rtol=1e-5, atol=1e-6)
+
+
+def test_rotation_hessian_fd():
+    rng = np.random.RandomState(6)
+    ref = rng.normal(size=(4, 3))
+    pos = ref + 0.05 * rng.normal(size=(4, 3))
+    Hs = np.asarray(prim.rotation_hess(jnp.asarray(pos), jnp.asarray(ref)))
+    assert np.all(np.isfinite(Hs))
+    h = 1e-5
+    for axis in range(3):
+        H_fd = np.zeros((4, 3, 4, 3))
+        for i in range(4):
+            for j in range(3):
+                pp = pos.copy(); pp[i, j] += h
+                pm = pos.copy(); pm[i, j] -= h
+                Jp = np.asarray(prim.rotation_jac(jnp.asarray(pp), jnp.asarray(ref)))[axis]
+                Jm = np.asarray(prim.rotation_jac(jnp.asarray(pm), jnp.asarray(ref)))[axis]
+                H_fd[i, j] = (Jp - Jm) / (2 * h)
+        np.testing.assert_allclose(
+            Hs[axis], H_fd.transpose(0, 1, 2, 3).reshape(4, 3, 4, 3),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_constraints_basic():
+    rng = np.random.RandomState(7)
+    atoms = Atoms("Xe4", positions=rng.normal(size=(4, 3)) * 2)
+    cons = Constraints(atoms)
+    cons.fix_translation()
+    cons.fix_rotation()
+    assert cons.ncons == 6
+    res = cons.residual()
+    np.testing.assert_allclose(res, 0.0, atol=1e-12)
+    drdx = cons.jacobian()
+    assert drdx.shape == (6, 12)
+    # translation rows: uniform 1/n
+    np.testing.assert_allclose(drdx[0].reshape(4, 3)[:, 0], 0.25)
+    # rows are linearly independent for a generic cluster
+    s = np.linalg.svd(drdx, compute_uv=False)
+    assert s.min() > 1e-6
+
+
+def test_constraints_jacobian_fd():
+    rng = np.random.RandomState(8)
+    atoms = Atoms("Xe4", positions=rng.normal(size=(4, 3)) * 2)
+    cons = Constraints(atoms)
+    cons.fix_bond((0, 1))
+    cons.fix_angle((0, 1, 2))
+    cons.fix_dihedral((0, 1, 2, 3))
+    drdx = cons.jacobian()
+    h = 1e-6
+    pos0 = atoms.positions.copy()
+    fd = np.zeros_like(drdx)
+    for d in range(12):
+        atoms.positions = pos0.ravel().copy().reshape(4, 3)
+        atoms.positions.ravel()[d] += h
+        atoms.positions = atoms.positions  # no-op, keep explicit
+        cp = cons.calc()
+        atoms.positions = pos0.copy()
+        atoms.positions.ravel()[d] -= h
+        cm = cons.calc()
+        fd[:, d] = (cp - cm) / (2 * h)
+        atoms.positions = pos0.copy()
+    np.testing.assert_allclose(drdx, fd, rtol=1e-5, atol=1e-7)
+
+
+def test_constraints_inequality():
+    rng = np.random.RandomState(9)
+    atoms = Atoms("Xe2", positions=[[0, 0, 0], [2.0, 0, 0]])
+    cons = Constraints(atoms)
+    cons.fix_bond((0, 1), target=3.0, comparator="lt")
+    assert cons.has_inequalities()
+    cons.disable_satisfied_inequalities()
+    assert cons.ncons == 0  # satisfied: 2.0 < 3.0
+    atoms.positions[1, 0] = 4.0
+    assert not cons.validate_inequalities()
+    assert cons.ncons == 1
