@@ -1,0 +1,607 @@
+"""Internal-coordinate container and batched evaluation engine (C9).
+
+Functional redesign of the reference ``Internals``/``BaseInternals``
+(``/root/reference/sella/internal.py:1209-2745, 3033-3820``):
+
+* topology lives in plain host lists (setup code, see
+  :mod:`sella_tpu.coords.topology`);
+* evaluation is one jitted function per topology signature operating on
+  padded per-kind index arrays — values via ``vmap(fn)``, the B matrix
+  via ``vmap(grad)`` + scatter-add, curvature contractions via
+  ``vmap(jvp(grad))`` HVPs (``internal.py:85-135``) — no per-coordinate
+  Python loops and no materialized per-coordinate Hessians on the hot
+  path;
+* coordinate ordering matches the reference: translations, bonds,
+  angles, dihedrals, other, rotations.
+
+Dummy atoms for 2-coordinate linear centers are not yet implemented
+(topology warns); improper-dihedral replacement covers >=3-coordinate
+linear centers.
+"""
+from __future__ import annotations
+
+import warnings
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..atoms import Atoms
+from ..utils import units
+from ..utils.elements import covalent_radii
+from . import primitives as prim
+from . import topology as topo_mod
+from .constraints import Constraints, DuplicateInternalError
+
+
+def _pad_to(x: np.ndarray, n: int, axis: int = 0):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return np.pad(x, pad)
+
+
+_BLOCK = 16  # pad coordinate counts to multiples of this (jit stability)
+
+
+class Internals:
+    """Redundant internal coordinates of one structure."""
+
+    def __init__(
+        self,
+        atoms: Atoms,
+        cons: Optional[Constraints] = None,
+        allow_fragments: bool = False,
+        atol_deg: float = 15.0,
+    ) -> None:
+        self.atoms = atoms
+        self.cons = cons if cons is not None else Constraints(atoms)
+        self.allow_fragments = allow_fragments
+        self.atol = np.radians(atol_deg)
+
+        # coordinate records
+        self.trans: List[Tuple[np.ndarray]] = []    # (indices,) per axis-triple
+        self.trans_axes: List[int] = []
+        self.bonds: List[Tuple[int, int, np.ndarray]] = []
+        self.angles: List[tuple] = []
+        self.dihedrals: List[tuple] = []
+        self.rotations: List[tuple] = []  # (indices, axis, ref_positions)
+        self.fragment_atom_groups: List[np.ndarray] = []
+
+        self._engine = None
+        self._bond_keys = set()
+
+    # -- counts (reference property names) -----------------------------------
+    @property
+    def ntrans(self):
+        return len(self.trans)
+
+    @property
+    def nbonds(self):
+        return len(self.bonds)
+
+    @property
+    def nangles(self):
+        return len(self.angles)
+
+    @property
+    def ndihedrals(self):
+        return len(self.dihedrals)
+
+    @property
+    def nother(self):
+        return 0
+
+    @property
+    def nrotations(self):
+        return len(self.rotations)
+
+    @property
+    def nint(self):
+        return (self.ntrans + self.nbonds + self.nangles + self.ndihedrals
+                + self.nrotations)
+
+    @property
+    def natoms(self):
+        return len(self.atoms)
+
+    @property
+    def ndummies(self):
+        return 0
+
+    @property
+    def ndof(self):
+        return 3 * self.natoms
+
+    # -- registration ---------------------------------------------------------
+    def add_bond(self, indices, ncvec=(0, 0, 0)) -> None:
+        i, j = int(indices[0]), int(indices[1])
+        key = topo_mod._bond_key(i, j, np.asarray(ncvec))
+        if key in self._bond_keys:
+            raise DuplicateInternalError(f"bond {indices} exists")
+        self._bond_keys.add(key)
+        self.bonds.append((i, j, np.asarray(ncvec, dtype=np.int64)))
+        self._engine = None
+
+    def add_angle(self, indices, ncvecs=None) -> None:
+        i, j, k = map(int, indices)
+        if ncvecs is None:
+            ncvecs = np.zeros((2, 3), dtype=np.int64)
+        self.angles.append((i, j, k, np.asarray(ncvecs, dtype=np.int64)))
+        self._engine = None
+
+    def add_dihedral(self, indices, ncvecs=None) -> None:
+        i, j, k, l = map(int, indices)
+        if ncvecs is None:
+            ncvecs = np.zeros((3, 3), dtype=np.int64)
+        self.dihedrals.append(
+            (i, j, k, l, np.asarray(ncvecs, dtype=np.int64))
+        )
+        self._engine = None
+
+    def add_translation(self, indices, axis=None) -> None:
+        indices = np.atleast_1d(np.asarray(indices, dtype=np.int64))
+        if axis is None:
+            for a in range(3):
+                self.add_translation(indices, a)
+            return
+        self.trans.append(indices)
+        self.trans_axes.append(int(axis))
+        self._engine = None
+
+    def add_rotation(self, indices, axis=None) -> None:
+        indices = np.asarray(indices, dtype=np.int64)
+        if axis is None:
+            for a in range(3):
+                self.add_rotation(indices, a)
+            return
+        self.rotations.append(
+            (indices, int(axis), self.atoms.positions[indices].copy())
+        )
+        self._engine = None
+
+    # -- topology auto-discovery ----------------------------------------------
+    def find_all_bonds(self, scale: float = 1.25) -> None:
+        t = topo_mod.find_bonds(
+            self.atoms.numbers, self.atoms.positions, self.atoms.cell,
+            self.atoms.pbc, scale=scale,
+            allow_fragments=self.allow_fragments,
+            existing=self.bonds,
+        )
+        for i, j, ncvec in t.bonds:
+            try:
+                self.add_bond((i, j), ncvec)
+            except DuplicateInternalError:
+                pass
+        if self.allow_fragments and (t.fragments or t.lone_atoms):
+            for i in t.lone_atoms:
+                self.add_translation([i])
+            for group in t.fragments:
+                self.fragment_atom_groups.append(group)
+                self.add_translation(group)
+                if len(group) >= 2:
+                    self.add_rotation(group)
+
+    def find_all_angles(self) -> None:
+        t = topo_mod.Topology()
+        t.bonds = self.bonds
+        topo_mod.find_angles(
+            t, self.atoms.positions, self.atoms.cell, self.atol
+        )
+        self.angles.extend(t.angles)
+        # linear-angle improper replacements land in t.dihedrals
+        self.dihedrals.extend(t.dihedrals)
+        self._engine = None
+
+    def find_all_dihedrals(self) -> None:
+        t = topo_mod.Topology()
+        t.bonds = self.bonds
+        t.angles = self.angles
+        t.dihedrals = list(self.dihedrals)
+        n_pre = len(t.dihedrals)
+        topo_mod.find_dihedrals(t)
+        self.dihedrals = t.dihedrals
+        self._engine = None
+
+    def validate_basis(self) -> None:
+        """Warn when the coordinate set does not span the expected DOF
+        (``internal.py:3673-3702``)."""
+        jac = self.jacobian()
+        s = np.linalg.svd(np.asarray(jac), compute_uv=False)
+        ndeloc = int(np.sum(s > 1e-8))
+        has_trics = bool(self.trans or self.rotations)
+        n = self.natoms
+        if has_trics:
+            ndof = 3 * n
+        elif any(np.any(b[2] != 0) for b in self.bonds):
+            ndof = 3 * n
+        elif n <= 1:
+            ndof = 0
+        elif n == 2:
+            ndof = 1
+        else:
+            ndof = 3 * n - 6
+        if ndeloc != ndof:
+            warnings.warn(f"{ndeloc} coords found! Expected {ndof}.")
+
+    def check_for_bad_internals(self) -> Optional[dict]:
+        """Angles that left the (atol, pi-atol) window
+        (``internal.py:3704-3736``)."""
+        if not self.angles:
+            return None
+        vals = self.calc()
+        a0 = self.ntrans + self.nbonds
+        angle_vals = vals[a0:a0 + self.nangles]
+        bad_mask = ~(
+            (self.atol < angle_vals) & (angle_vals < np.pi - self.atol)
+        )
+        if np.any(bad_mask):
+            return {"angles": [self.angles[i] for i in np.where(bad_mask)[0]],
+                    "bonds": []}
+        return None
+
+    def copy(self) -> "Internals":
+        new = Internals(self.atoms, self.cons.copy(), self.allow_fragments)
+        new.atol = self.atol
+        new.trans = list(self.trans)
+        new.trans_axes = list(self.trans_axes)
+        new.bonds = list(self.bonds)
+        new.angles = list(self.angles)
+        new.dihedrals = list(self.dihedrals)
+        new.rotations = list(self.rotations)
+        new.fragment_atom_groups = list(self.fragment_atom_groups)
+        new._bond_keys = set(self._bond_keys)
+        return new
+
+    # -- evaluation engine -----------------------------------------------------
+    def _get_engine(self):
+        if self._engine is None:
+            self._engine = _Engine(self)
+        return self._engine
+
+    def calc(self) -> np.ndarray:
+        return np.array(
+            self._get_engine().calc(
+                jnp.asarray(self.atoms.positions), jnp.asarray(self.atoms.cell)
+            )
+        )
+
+    def jacobian(self) -> np.ndarray:
+        """B matrix, (nint, 3 natoms)."""
+        return np.asarray(
+            self._get_engine().jacobian(
+                jnp.asarray(self.atoms.positions), jnp.asarray(self.atoms.cell)
+            )
+        )
+
+    def hessian_rdot(self, v: np.ndarray) -> np.ndarray:
+        """Directional curvature ``(dB/dx · v)``: rows are per-coordinate
+        HVPs, shape (nint, 3 natoms) (``internal.py:2307-2575``)."""
+        return np.asarray(
+            self._get_engine().hessian_rdot(
+                jnp.asarray(self.atoms.positions),
+                jnp.asarray(self.atoms.cell),
+                jnp.asarray(np.asarray(v).reshape(self.natoms, 3)),
+            )
+        )
+
+    def hessian_ldot(self, w: np.ndarray) -> np.ndarray:
+        """``sum_k w_k Hess(q_k)``, shape (3n, 3n) — the curvature
+        correction used in Hc and Hessian conversions
+        (``linalg.py:601-618``)."""
+        return np.asarray(
+            self._get_engine().hessian_ldot(
+                jnp.asarray(self.atoms.positions),
+                jnp.asarray(self.atoms.cell),
+                jnp.asarray(np.asarray(w)),
+            )
+        )
+
+    class _HessLdot:
+        def __init__(self, inner):
+            self.ldot = inner
+
+    def hessian(self):
+        """Adapter matching the reference's ``int.hessian().ldot(w)``."""
+        return Internals._HessLdot(self.hessian_ldot)
+
+    def wrap(self, vec: np.ndarray) -> np.ndarray:
+        """Wrap dihedral components of a coordinate difference to
+        (-pi, pi] (``internal.py:2577-2627``)."""
+        out = np.asarray(vec, dtype=np.float64).copy()
+        d0 = self.ntrans + self.nbonds + self.nangles
+        d1 = d0 + self.ndihedrals
+        out[d0:d1] = (out[d0:d1] + np.pi) % (2 * np.pi) - np.pi
+        return out
+
+    # -- Lindh-style diagonal guess Hessian -------------------------------------
+    def guess_hessian(self, h0cart: float = 70.0) -> np.ndarray:
+        """(``internal.py:3738-3820``)"""
+        Z = self.atoms.numbers
+        pos = self.atoms.positions
+        cell = self.atoms.cell
+        vals = self.calc()
+        h0 = np.zeros(self.nint)
+        h0_tr = 0.05 * units.Hartree
+        nbonds_per_atom = np.zeros(self.natoms, dtype=np.int64)
+        for i, j, _ in self.bonds:
+            nbonds_per_atom[i] += 1
+            nbonds_per_atom[j] += 1
+
+        idx = 0
+        for _ in self.trans:
+            h0[idx] = h0_tr if self.allow_fragments else h0cart
+            idx += 1
+        b0 = idx
+        for n, (i, j, ncvec) in enumerate(self.bonds):
+            rcov = covalent_radii[Z[i]] + covalent_radii[Z[j]]
+            rij = vals[b0 + n]
+            h0[idx] = (
+                0.3601 * np.exp(-1.944 * (rij - rcov) / units.Bohr)
+                * units.Hartree / units.Bohr**2
+            )
+            idx += 1
+        for (a, j, b, ncvs) in self.angles:
+            rcovaj = covalent_radii[Z[a]] + covalent_radii[Z[j]]
+            rcovjb = covalent_radii[Z[j]] + covalent_radii[Z[b]]
+            raj = np.linalg.norm(pos[j] - pos[a] + ncvs[0] @ cell)
+            rjb = np.linalg.norm(pos[b] - pos[j] + ncvs[1] @ cell)
+            h0[idx] = (
+                0.089 + 0.11 * np.exp(
+                    -0.44 * (raj + rjb - rcovaj - rcovjb) / units.Bohr
+                ) / (rcovaj * rcovjb / units.Bohr**2) ** (-0.42)
+            ) * units.Hartree
+            idx += 1
+        for (i, j, k, l, ncvs) in self.dihedrals:
+            rcovjk = covalent_radii[Z[j]] + covalent_radii[Z[k]]
+            rjk = np.linalg.norm(pos[k] - pos[j] + ncvs[1] @ cell)
+            L = nbonds_per_atom[j] + nbonds_per_atom[k] - 2
+            L = max(L, 0)
+            h0[idx] = (
+                0.0015 + 14.0 * max(L, 1) ** 0.57 * np.exp(
+                    -2.85 * (rjk - rcovjk) / units.Bohr
+                ) / (rjk * rcovjk / units.Bohr**2) ** 4.00
+            ) * units.Hartree
+            idx += 1
+        for _ in self.rotations:
+            h0[idx] = h0_tr if self.allow_fragments else h0cart
+            idx += 1
+        return np.diag(np.abs(h0))
+
+
+class _Engine:
+    """Compiled evaluation engine for one topology signature."""
+
+    def __init__(self, ints: Internals) -> None:
+        self.n = ints.natoms
+        # padded index arrays per kind
+        self.nb = len(ints.bonds)
+        self.na = len(ints.angles)
+        self.nd = len(ints.dihedrals)
+
+        def padded(count):
+            return max(_BLOCK, int(np.ceil(count / _BLOCK)) * _BLOCK)
+
+        self.nb_p = padded(self.nb) if self.nb else 0
+        self.na_p = padded(self.na) if self.na else 0
+        self.nd_p = padded(self.nd) if self.nd else 0
+
+        if self.nb:
+            bi = np.zeros((self.nb_p, 2), dtype=np.int32)
+            bv = np.zeros((self.nb_p, 1, 3))
+            for k, (i, j, nc) in enumerate(ints.bonds):
+                bi[k] = (i, j)
+                bv[k, 0] = nc
+            self.bond_idx = jnp.asarray(bi)
+            self.bond_ncv = jnp.asarray(bv)
+        if self.na:
+            ai = np.zeros((self.na_p, 3), dtype=np.int32)
+            av = np.zeros((self.na_p, 2, 3))
+            for k, (a, j, b, nc) in enumerate(ints.angles):
+                ai[k] = (a, j, b)
+                av[k] = nc
+            self.angle_idx = jnp.asarray(ai)
+            self.angle_ncv = jnp.asarray(av)
+        if self.nd:
+            di = np.zeros((self.nd_p, 4), dtype=np.int32)
+            dv = np.zeros((self.nd_p, 3, 3))
+            for k, (i, j, kk, l, nc) in enumerate(ints.dihedrals):
+                di[k] = (i, j, kk, l)
+                dv[k] = nc
+            self.dih_idx = jnp.asarray(di)
+            self.dih_ncv = jnp.asarray(dv)
+
+        # translations / rotations (few; keep as tuples of arrays)
+        self.trans = [
+            (jnp.asarray(idx), ax)
+            for idx, ax in zip(ints.trans, ints.trans_axes)
+        ]
+        self.rots = [
+            (jnp.asarray(idx), ax, jnp.asarray(ref))
+            for idx, ax, ref in ints.rotations
+        ]
+        self.counts = (
+            len(self.trans), self.nb, self.na, self.nd, len(self.rots)
+        )
+
+        self._calc = jax.jit(self._calc_impl)
+        self._jac = jax.jit(self._jac_impl)
+        self._hrdot = jax.jit(self._hrdot_impl)
+        self._hldot = jax.jit(self._hldot_impl)
+
+    # batched per-kind evaluations -------------------------------------------
+    def _kind_vals(self, pos, cell):
+        out = []
+        if self.nb:
+            tv = self.bond_ncv @ cell
+            out.append((
+                "bond",
+                jax.vmap(prim.bond_value)(pos[self.bond_idx], tv),
+                self.nb,
+            ))
+        if self.na:
+            tv = self.angle_ncv @ cell
+            out.append((
+                "angle",
+                jax.vmap(prim.angle_value)(pos[self.angle_idx], tv),
+                self.na,
+            ))
+        if self.nd:
+            tv = self.dih_ncv @ cell
+            out.append((
+                "dihedral",
+                jax.vmap(prim.dihedral_value)(pos[self.dih_idx], tv),
+                self.nd,
+            ))
+        return out
+
+    def _calc_impl(self, pos, cell):
+        parts = []
+        for idx, ax in self.trans:
+            parts.append(jnp.mean(pos[idx, ax])[None])
+        for name, vals, count in self._kind_vals(pos, cell):
+            parts.append(vals[:count])
+        for idx, ax, ref in self.rots:
+            parts.append(prim.rotation_value(pos[idx], ref)[ax][None])
+        if not parts:
+            return jnp.zeros(0, dtype=pos.dtype)
+        return jnp.concatenate(parts)
+
+    def _jac_impl(self, pos, cell):
+        n = self.n
+        rows = []
+        for idx, ax in self.trans:
+            row = jnp.zeros((n, 3), pos.dtype).at[idx, ax].set(
+                1.0 / idx.shape[0]
+            )
+            rows.append(row.reshape(1, 3 * n))
+
+        def scatter_rows(grads, idxs, count, padded):
+            # grads: (padded, arity, 3); scatter into (padded, n, 3)
+            full = jnp.zeros((padded, n, 3), pos.dtype)
+            full = full.at[
+                jnp.arange(padded)[:, None], idxs, :
+            ].add(grads)
+            return full.reshape(padded, 3 * n)[:count]
+
+        if self.nb:
+            g = jax.vmap(jax.grad(prim.bond_value))(
+                pos[self.bond_idx], self.bond_ncv @ cell
+            )
+            rows.append(scatter_rows(g, self.bond_idx, self.nb, self.nb_p))
+        if self.na:
+            g = jax.vmap(jax.grad(prim.angle_value))(
+                pos[self.angle_idx], self.angle_ncv @ cell
+            )
+            rows.append(scatter_rows(g, self.angle_idx, self.na, self.na_p))
+        if self.nd:
+            g = jax.vmap(jax.grad(prim.dihedral_value))(
+                pos[self.dih_idx], self.dih_ncv @ cell
+            )
+            rows.append(scatter_rows(g, self.dih_idx, self.nd, self.nd_p))
+        for idx, ax, ref in self.rots:
+            J = prim.rotation_jac(pos[idx], ref)[ax]  # (len(idx), 3)
+            row = jnp.zeros((n, 3), pos.dtype).at[idx].set(J)
+            rows.append(row.reshape(1, 3 * n))
+        if not rows:
+            return jnp.zeros((0, 3 * n), pos.dtype)
+        return jnp.concatenate(rows, axis=0)
+
+    def _hrdot_impl(self, pos, cell, v):
+        """Rows: jvp of each coordinate's gradient along v."""
+        n = self.n
+        rows = []
+        for idx, ax in self.trans:
+            rows.append(jnp.zeros((1, 3 * n), pos.dtype))
+
+        def hvp_rows(fn, idxs, ncv, count, padded):
+            tv = ncv @ cell
+
+            def one(p, t, vv):
+                gfun = lambda q: jax.grad(fn)(q, t)
+                return jax.jvp(gfun, (p,), (vv,))[1]
+
+            hv = jax.vmap(one)(pos[idxs], tv, v[idxs])
+            full = jnp.zeros((padded, n, 3), pos.dtype)
+            full = full.at[jnp.arange(padded)[:, None], idxs, :].add(hv)
+            return full.reshape(padded, 3 * n)[:count]
+
+        if self.nb:
+            rows.append(hvp_rows(prim.bond_value, self.bond_idx,
+                                 self.bond_ncv, self.nb, self.nb_p))
+        if self.na:
+            rows.append(hvp_rows(prim.angle_value, self.angle_idx,
+                                 self.angle_ncv, self.na, self.na_p))
+        if self.nd:
+            rows.append(hvp_rows(prim.dihedral_value, self.dih_idx,
+                                 self.dih_ncv, self.nd, self.nd_p))
+        for idx, ax, ref in self.rots:
+            jfun = lambda p: prim.rotation_jac(p, ref)[ax]
+            hv = jax.jvp(jfun, (pos[idx],), (v[idx],))[1]
+            row = jnp.zeros((n, 3), pos.dtype).at[idx].set(hv)
+            rows.append(row.reshape(1, 3 * n))
+        if not rows:
+            return jnp.zeros((0, 3 * n), pos.dtype)
+        return jnp.concatenate(rows, axis=0)
+
+    def _hldot_impl(self, pos, cell, w):
+        """sum_k w_k Hess(q_k): assembled via per-kind vmapped dense
+        small Hessians, scattered into (3n, 3n)."""
+        n = self.n
+        H = jnp.zeros((3 * n, 3 * n), pos.dtype)
+        off = len(self.trans)
+
+        # One-hot contraction per kind: O(nint * n^2) einsum, fine for
+        # the sequential tier (nint and n are small per structure).
+        def add_kind2(H, fn, idxs, ncv, count, padded, off):
+            tv = ncv @ cell
+            hess = jax.vmap(jax.jacfwd(jax.grad(fn)))(pos[idxs], tv)
+            wk = jax.lax.dynamic_slice(
+                jnp.pad(w, (0, padded)), (off,), (padded,)
+            )
+            mask = jnp.arange(padded) < count
+            # padded entries evaluate the coordinate at degenerate
+            # (repeated) positions and produce NaN Hessians; `where`
+            # (not multiply-by-zero) keeps them out of the sum
+            hessw = jnp.where(
+                mask[:, None, None, None, None],
+                hess * wk[:, None, None, None, None],
+                0.0,
+            )
+            arity = idxs.shape[1]
+            onehot = jax.nn.one_hot(idxs, n, dtype=pos.dtype)  # (p, arity, n)
+            # contract: H[a,x,b,y] += sum_k onehot[k,i,a] hessw[k,i,x,j,y] onehot[k,j,b]
+            Hk = jnp.einsum("kia,kixjy,kjb->axby", onehot, hessw, onehot)
+            return H + Hk.reshape(3 * n, 3 * n), off + count
+
+        if self.nb:
+            H, off = add_kind2(H, prim.bond_value, self.bond_idx,
+                               self.bond_ncv, self.nb, self.nb_p, off)
+        if self.na:
+            H, off = add_kind2(H, prim.angle_value, self.angle_idx,
+                               self.angle_ncv, self.na, self.na_p, off)
+        if self.nd:
+            H, off = add_kind2(H, prim.dihedral_value, self.dih_idx,
+                               self.dih_ncv, self.nd, self.nd_p, off)
+        for idx, ax, ref in self.rots:
+            Hr = prim.rotation_hess(pos[idx], ref)[ax]  # (m,3,m,3)
+            m = idx.shape[0]
+            onehot = jax.nn.one_hot(idx, n, dtype=pos.dtype)  # (m, n)
+            Hk = jnp.einsum("ia,ixjy,jb->axby", onehot, Hr, onehot)
+            H = H + w[off] * Hk.reshape(3 * n, 3 * n)
+            off += 1
+        return H
+
+    # public jitted entry points
+    def calc(self, pos, cell):
+        return self._calc(pos, cell)
+
+    def jacobian(self, pos, cell):
+        return self._jac(pos, cell)
+
+    def hessian_rdot(self, pos, cell, v):
+        return self._hrdot(pos, cell, v)
+
+    def hessian_ldot(self, pos, cell, w):
+        return self._hldot(pos, cell, w)

@@ -177,14 +177,17 @@ def nullspace_host(A: np.ndarray, eps: float = 1e-6) -> np.ndarray:
 
 
 def split_cons_subspace_host(
-    drdx: np.ndarray, tol_factor: float = 1e-6
+    drdx: np.ndarray, tol_factor: float = 1e-6, tol_abs: float = 1e-10
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Split R^n into (row-space of drdx, complement) = (Ucons, Ufree).
 
-    Host-side rank-revealing split, functionally identical to the
-    reference's pivoted-QR ``_split_cons_subspace``
-    (``/root/reference/sella/peswrapper.py:51-69``); spans match up to
-    column rotation, which every consumer is invariant to.
+    Host-side rank-revealing split matching the reference's pivoted-QR
+    ``_split_cons_subspace`` (``/root/reference/sella/peswrapper.py:
+    51-69``), plus an ABSOLUTE cutoff: rigid-motion constraints mapped
+    into internal-coordinate space have identically-zero rows (internals
+    are rigid-invariant), and a purely relative threshold would promote
+    their 1e-14 roundoff into phantom constrained directions, emptying
+    the free subspace.
     """
     import scipy.linalg as sla
 
@@ -194,7 +197,8 @@ def split_cons_subspace_host(
     Q, R, _ = sla.qr(drdx.T, mode="full", pivoting=True, check_finite=False)
     diag = np.abs(np.diag(R))
     if diag.size and diag[0] > 0:
-        ncons = int(np.sum(diag > tol_factor * diag[0]))
+        thr = max(tol_factor * diag[0], tol_abs)
+        ncons = int(np.sum(diag > thr))
     else:
         ncons = 0
     return Q[:, :ncons], Q[:, ncons:]

@@ -1,0 +1,847 @@
+"""Batched ensemble saddle search — the TPU-native execution tier.
+
+This is what the reference cannot do: thousands of concurrent RS-PRFO
+saddle searches advancing in lockstep inside ONE jitted XLA program,
+sharded over a device mesh. Per-structure matrices are tiny (3N x 3N),
+so the batch axis is the only way to reach MXU utilization
+(``SURVEY.md`` §2, parallelism statement): every dense op here is a
+batched (B, ., .) eigh/QR/solve/matmul, and every force call is a
+batched potential evaluation.
+
+Functional redesign of the reference's stateful step
+(``/root/reference/sella/optimize/optimize.py:359-440`` +
+``peswrapper.py:508-602``):
+
+* state is a :class:`SearchState` pytree (positions, gradient, Hessian,
+  trust radius, schedule counters, convergence mask) advanced by a pure
+  ``step_fn``;
+* the Davidson loop (``eigensolvers.py:31-112``) becomes a fixed-bound
+  ``lax.while_loop`` over a statically-sized subspace with per-search
+  active masks; matvecs are **exact HVPs** (``jax.jvp`` through the
+  potential gradient) rather than finite differences — cheaper, exact,
+  and it removes the need for on-the-fly Y-symmetrization;
+* the trust-radius alpha root-find (``restricted_step.py:78-120``)
+  becomes a masked Newton/bisection ``lax.while_loop`` with per-search
+  alpha;
+* trust-ratio accept/adjust logic (``optimize.py:412-432``) is
+  elementwise ``jnp.where``.
+
+Sharding: state is sharded over the ensemble axis; searches are
+independent, so the only cross-chip traffic is batch-level reductions
+(convergence counts) — XLA inserts them automatically under jit with
+NamedSharding-annotated inputs.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = 1e30
+
+
+class EnsembleConfig(NamedTuple):
+    """Static (trace-time) configuration of a batched search."""
+
+    natoms: int
+    order: int = 1                 # saddle order (0 = minimization)
+    nproj: int = 6                 # projected rigid modes (3 trans + 3 rot)
+    fmax: float = 1e-3
+    gamma: float = 0.1             # Davidson relative residual target
+    delta0: float = 0.1
+    delta_min: float = 1e-4
+    sigma_inc: float = 1.15
+    sigma_dec: float = 0.65
+    rho_inc: float = 1.035
+    rho_dec: float = 5.0
+    nsteps_per_diag: int = 3
+    diag_every_n: int = 0          # 0 -> never (reference default: inf)
+    davidson_max: int = 0          # 0 -> 2*m+1 capped at m
+    rs_maxiter: int = 100          # alpha root-find iterations
+    rs_tol: float = 1e-8
+    method: str = "prfo"           # 'prfo' | 'qn'
+    rs: str = "ras"                # 'ras' | 'tr'
+    eig: bool = True               # run Davidson (saddle default)
+
+    @property
+    def dim(self) -> int:
+        return 3 * self.natoms
+
+    @property
+    def nfree(self) -> int:
+        return self.dim - self.nproj
+
+    @property
+    def subspace_max(self) -> int:
+        m = self.nfree
+        k = self.davidson_max if self.davidson_max > 0 else 2 * m + 1
+        return min(m, k)
+
+
+class SearchState(NamedTuple):
+    """Per-search optimizer state; every leaf has a leading batch axis."""
+
+    x: jnp.ndarray            # (B, d) flat positions
+    f: jnp.ndarray            # (B,) energy
+    g: jnp.ndarray            # (B, d) gradient
+    B: jnp.ndarray            # (B, d, d) quasi-Newton Hessian
+    B_init: jnp.ndarray       # (B,) bool — Hessian bootstrapped?
+    delta: jnp.ndarray        # (B,) trust radius
+    rho: jnp.ndarray          # (B,) last prediction ratio
+    nsteps_since_diag: jnp.ndarray  # (B,) int32
+    converged: jnp.ndarray    # (B,) bool
+    nsteps: jnp.ndarray       # (B,) int32
+    neval: jnp.ndarray        # (B,) int32 gradient evaluations
+    nmatvec: jnp.ndarray      # (B,) int32 Davidson matvecs (HVPs)
+
+
+# ---------------------------------------------------------------------------
+# Rigid-mode projection basis
+# ---------------------------------------------------------------------------
+def free_basis(x: jnp.ndarray, nproj: int) -> jnp.ndarray:
+    """Orthonormal basis of the non-rigid subspace, shape (d, d - nproj).
+
+    Rows projected out: 3 uniform translations and (nproj == 6) the 3
+    instantaneous rigid rotations about the centroid — the same spans the
+    reference builds from its Translation/Rotation constraint Jacobians
+    (``internal.py:466-493, 601-648``) at the reference geometry. A full
+    QR (static shapes) replaces the rank-revealing pivoted QR
+    (``peswrapper.py:51-69``): rigid modes of a non-linear cluster are
+    always independent, so the rank decision is static.
+    """
+    d = x.shape[0]
+    n = d // 3
+    pos = x.reshape(n, 3)
+    dtype = x.dtype
+    cols = []
+    for ax in range(3):
+        t = jnp.zeros((n, 3), dtype).at[:, ax].set(1.0 / np.sqrt(n))
+        cols.append(t.ravel())
+    if nproj == 6:
+        com = jnp.mean(pos, axis=0)
+        rel = pos - com
+        for ax in range(3):
+            e = jnp.zeros(3, dtype).at[ax].set(1.0)
+            r = jnp.cross(jnp.broadcast_to(e, rel.shape), rel)
+            cols.append(r.ravel())
+    A = jnp.stack(cols, axis=1)  # (d, nproj)
+    Q, _ = jnp.linalg.qr(A, mode="complete")
+    return Q[:, A.shape[1]:]
+
+
+# ---------------------------------------------------------------------------
+# Batched masked Davidson (exact-HVP matvecs)
+# ---------------------------------------------------------------------------
+def _masked_ritz(V, AV, k, K):
+    """Galerkin eigenproblem on the masked subspace.
+
+    Padded columns are exactly zero, so ``V^T AV`` is block structured;
+    adding BIG to the padded diagonal pushes phantom Ritz values to the
+    top of the spectrum, keeping the leftmost (physical) pairs in the
+    first k slots after the ascending-order eigh.
+    """
+    Atilde = jnp.einsum("bik,bil->bkl", V, AV)
+    Atilde = 0.5 * (Atilde + jnp.swapaxes(Atilde, -1, -2))
+    colmask = jnp.arange(K)[None, :] < k[:, None]          # (B, K)
+    pad = jnp.where(colmask, 0.0, BIG)
+    Atilde = Atilde + jnp.eye(K, dtype=V.dtype)[None] * pad[:, None, :]
+    lams, W = jnp.linalg.eigh(Atilde)
+    return lams, W, colmask
+
+
+# ---------------------------------------------------------------------------
+# Batched TS-BFGS update (multi-secant, masked columns)
+# ---------------------------------------------------------------------------
+def sym_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-14):
+    """Batched symmetric-indefinite solve via eigendecomposition.
+
+    TPU XLA implements LU decomposition only for f32 (probe: f64
+    ``jnp.linalg.solve`` fails to compile on v5e), but f64 eigh works —
+    and the jd0 augmented system is symmetric, so the eigh route is both
+    portable and as stable as LDL^T for these tiny matrices.
+    """
+    lams, V = jnp.linalg.eigh(A)
+    amax = jnp.max(jnp.abs(lams), axis=-1, keepdims=True)
+    keep = jnp.abs(lams) > rcond * jnp.maximum(amax, 1e-300)
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)
+    return jnp.einsum("bij,bj,bkj,bk->bi", V, inv, V, b)
+
+
+def _blstsq(A: jnp.ndarray, Bv: jnp.ndarray, rcond: float = 1e-10):
+    """Batched minimum-norm least squares via SVD (handles masked-zero
+    columns as rank deficiency)."""
+    U, s, VT = jnp.linalg.svd(A, full_matrices=False)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    keep = s > rcond * jnp.maximum(smax, 1e-300)
+    sinv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    return jnp.einsum(
+        "bij,bj,bkj,bkl->bil", jnp.swapaxes(VT, -1, -2), sinv, U, Bv
+    )
+
+
+def ts_bfgs_update_batched(
+    B: jnp.ndarray, S: jnp.ndarray, Y: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Batched multi-secant TS-BFGS (``hessian_update.py:118-125``).
+
+    ``S, Y``: (B, d, K) secant pairs with inactive columns zeroed via
+    ``mask`` (B, K). Zero columns fall out of every term (the SVD lstsq
+    treats them as rank deficiency).
+    """
+    mask_f = mask.astype(B.dtype)
+    S = S * mask_f[:, None, :]
+    Y = Y * mask_f[:, None, :]
+    J = Y - jnp.einsum("bij,bjk->bik", B, S)
+    STY = jnp.einsum("bli,blj->bij", S, Y)                 # (B, K, K)
+    X1 = jnp.einsum("bij,bkj->bik", STY, Y)                # X1 = S^T Y Y^T : (B, K, d)
+    absB = _abs_psd(B)
+    absBS = jnp.einsum("bij,bjk->bik", absB, S)            # (B, d, K)
+    X2 = jnp.einsum("bli,blj->bij", S, absBS)              # (B, K, K)
+    X2 = jnp.einsum("bij,bkj->bik", X2, absBS)             # (B, K, d)
+    XS = X1 + X2                                           # (B, K, d)
+    XS_S = jnp.einsum("bid,bdk->bik", XS, S)               # (B, K, K)
+    U = jnp.swapaxes(_blstsq(XS_S, XS), -1, -2)            # (B, d, K)
+    UJT = jnp.einsum("bik,bjk->bij", U, J)
+    JTS = jnp.einsum("bdi,bdj->bij", J, S)                 # (B, K, K)
+    delta = UJT + jnp.swapaxes(UJT, -1, -2) - jnp.einsum(
+        "bik,bkl,bjl->bij", U, JTS, U
+    )
+    Bp = B + delta
+    return 0.5 * (Bp + jnp.swapaxes(Bp, -1, -2))
+
+
+def _abs_psd(B: jnp.ndarray) -> jnp.ndarray:
+    """|B| through the eigendecomposition (batched)."""
+    lams, V = jnp.linalg.eigh(B)
+    return jnp.einsum("bik,bk,bjk->bij", V, jnp.abs(lams), V)
+
+
+def bootstrap_B_batched(S, Y, mask, dim):
+    """Scaled-identity bootstrap from the geometric-mean |Ritz| value
+    (``hessian_update.py:59-67``), batched with masked columns."""
+    STY = jnp.einsum("bli,blj->bij", S, Y)
+    STY = 0.5 * (STY + jnp.swapaxes(STY, -1, -2))
+    K = STY.shape[-1]
+    colmask = mask
+    pad = jnp.where(colmask, 0.0, 1.0)
+    STY = STY + jnp.eye(K)[None] * pad[:, None, :] * jnp.eye(K)[None]
+    thetas = jnp.linalg.eigvalsh(STY)
+    logs = jnp.log(jnp.maximum(jnp.abs(thetas), 1e-12))
+    # average only over the active columns: padded eigenvalues are 1 -> log 0,
+    # so sum(logs)/k is exactly the masked mean
+    k = jnp.maximum(jnp.sum(colmask, axis=1), 1)
+    lam0 = jnp.exp(jnp.sum(logs, axis=1) / k)
+    return lam0[:, None, None] * jnp.eye(dim)[None]
+
+
+# ---------------------------------------------------------------------------
+# Batched P-RFO / QN trust-region step
+# ---------------------------------------------------------------------------
+def _rfo_sub(gsub, Hsub, alpha, which: int):
+    """Batched RFO on a (B, q) / (B, q, q) subproblem at per-search alpha.
+
+    which: eigenvector index of the alpha-scaled augmented matrix
+    (q for the uphill subproblem maximizing along all q modes, 0 for the
+    downhill one), mirroring ``stepper.py:114-157``.
+    """
+    Bsz, q = gsub.shape
+    dtype = gsub.dtype
+    A = jnp.zeros((Bsz, q + 1, q + 1), dtype)
+    A = A.at[:, :q, :q].set(Hsub * alpha[:, None, None] ** 2)
+    A = A.at[:, :q, q].set(gsub * alpha[:, None])
+    A = A.at[:, q, :q].set(gsub * alpha[:, None])
+    L, V = jnp.linalg.eigh(A)
+    vk = V[:, :, which]
+    denom = vk[:, -1]
+    denom = jnp.where(
+        jnp.abs(denom) < 1e-12,
+        jnp.where(denom != 0, jnp.sign(denom) * 1e-12, 1e-12),
+        denom,
+    )
+    s = vk[:, :q] * (alpha / denom)[:, None]
+
+    # d/dalpha via eigenvector perturbation (correct-sign variant of
+    # ``stepper.py:139-157``)
+    dA = jnp.zeros_like(A)
+    dA = dA.at[:, :q, :q].set(Hsub * 2 * alpha[:, None, None])
+    dA = dA.at[:, :q, q].set(gsub)
+    dA = dA.at[:, q, :q].set(gsub)
+    Ldiff = L[:, which][:, None] - L
+    Ldiff = jnp.where(
+        Ldiff >= 0, jnp.maximum(Ldiff, 1e-12), jnp.minimum(Ldiff, -1e-12)
+    )
+    coef = jnp.einsum("bij,bi->bj", V, jnp.einsum("bij,bj->bi", dA, vk))
+    coef = coef / Ldiff
+    coef = coef.at[:, which].set(0.0)
+    dV = jnp.einsum("bij,bj->bi", V, coef)
+    ds = (
+        vk[:, :q] / denom[:, None]
+        + dV[:, :q] * (alpha / denom)[:, None]
+        - vk[:, :q] * (alpha / denom**2 * dV[:, -1])[:, None]
+    )
+    return s, ds
+
+
+def prfo_step_batched(g, Hproj, order: int, alpha):
+    """Batched P-RFO step in the free subspace at per-search alpha
+    (``stepper.py:160-185``)."""
+    lams, V = jnp.linalg.eigh(Hproj)
+    gV = jnp.einsum("bij,bi->bj", V, g)
+    if order > 0:
+        smax, dsmax = _rfo_sub(
+            gV[:, :order],
+            _diag_embed(lams[:, :order]),
+            alpha,
+            order,
+        )
+    else:
+        smax = dsmax = None
+    smin, dsmin = _rfo_sub(
+        gV[:, order:], _diag_embed(lams[:, order:]), alpha, 0
+    )
+    if order > 0:
+        s = jnp.einsum("bij,bj->bi", V[:, :, :order], smax) + jnp.einsum(
+            "bij,bj->bi", V[:, :, order:], smin
+        )
+        ds = jnp.einsum("bij,bj->bi", V[:, :, :order], dsmax) + jnp.einsum(
+            "bij,bj->bi", V[:, :, order:], dsmin
+        )
+    else:
+        s = jnp.einsum("bij,bj->bi", V, smin)
+        ds = jnp.einsum("bij,bj->bi", V, dsmin)
+    return s, ds
+
+
+def qn_step_batched(g, Hproj, order: int, alpha):
+    """Batched shifted quasi-Newton/MMF step (``stepper.py:58-96``)."""
+    lams, V = jnp.linalg.eigh(Hproj)
+    q = lams.shape[-1]
+    sign = jnp.where(jnp.arange(q)[None, :] < order, -1.0, 1.0)
+    L = jnp.abs(lams) * sign
+    gV = jnp.einsum("bij,bi->bj", V, g)
+    denom = L + alpha[:, None] * sign
+    sproj = gV / denom
+    s = -jnp.einsum("bij,bj->bi", V, sproj)
+    ds = jnp.einsum("bij,bj->bi", V, sproj * sign / denom)
+    return s, ds
+
+
+def _diag_embed(v):
+    return v[:, :, None] * jnp.eye(v.shape[-1], dtype=v.dtype)[None]
+
+
+class _RSState(NamedTuple):
+    alpha: jnp.ndarray
+    lower: jnp.ndarray
+    upper: jnp.ndarray
+    s: jnp.ndarray
+    done: jnp.ndarray
+    it: jnp.ndarray
+
+
+def _step_norm(s_full, ds_full, rs: str, natoms: int):
+    """'ras' (max per-atom displacement) or 'tr' (2-norm) with analytic
+    alpha-derivative (``restricted_step.py:127-183``)."""
+    if rs == "tr":
+        val = jnp.linalg.norm(s_full, axis=1)
+        dval = jnp.einsum("bi,bi->b", ds_full, s_full) / jnp.maximum(
+            val, 1e-12
+        )
+        return val, dval
+    s3 = s_full.reshape(-1, natoms, 3)
+    ds3 = ds_full.reshape(-1, natoms, 3)
+    norms = jnp.linalg.norm(s3, axis=2)
+    idx = jnp.argmax(norms, axis=1)
+    b = jnp.arange(s3.shape[0])
+    val = norms[b, idx]
+    dval = jnp.einsum("bi,bi->b", ds3[b, idx], s3[b, idx]) / jnp.maximum(
+        val, 1e-12
+    )
+    return val, dval
+
+
+def restricted_step_batched(
+    g_free, Hproj, Ufree, delta, cfg: EnsembleConfig
+):
+    """Map per-search trust radii to steps: masked Newton/bisection on
+    ||s(alpha)|| = delta (``restricted_step.py:78-120``), all searches
+    advancing one alpha-evaluation (one batched small-eigh) per loop
+    iteration."""
+    stepper = prfo_step_batched if cfg.method == "prfo" else qn_step_batched
+    Bsz = g_free.shape[0]
+    dtype = g_free.dtype
+
+    if cfg.method == "prfo":
+        alpha0, amin, amax, slope = 1.0, 0.0, 1.0, 1.0
+        newton_safe = False
+    else:
+        alpha0, amin, amax, slope = 0.0, 0.0, jnp.inf, -1.0
+        newton_safe = True
+
+    def eval_at(alpha):
+        s_free, ds_free = stepper(g_free, Hproj, cfg.order, alpha)
+        s_full = jnp.einsum("bij,bj->bi", Ufree, s_free)
+        ds_full = jnp.einsum("bij,bj->bi", Ufree, ds_free)
+        val, dval = _step_norm(s_full, ds_full, cfg.rs, cfg.natoms)
+        return s_full, val, dval
+
+    alpha = jnp.full((Bsz,), alpha0, dtype)
+    s, val, dval = eval_at(alpha)
+    # interior step: accept immediately
+    done0 = val < delta
+    smag0 = val
+
+    st = _RSState(
+        alpha,
+        jnp.full((Bsz,), amin, dtype),
+        jnp.full((Bsz,), amax, dtype),
+        s,
+        done0,
+        jnp.int32(0),
+    )
+
+    def cond(st: _RSState):
+        return jnp.any(~st.done) & (st.it < cfg.rs_maxiter)
+
+    def body(st: _RSState):
+        s, val, dval = eval_at(st.alpha)
+        err = val - delta
+        newly_done = jnp.abs(err) <= cfg.rs_tol
+        done = st.done | newly_done
+
+        shrink_up = err * slope > 0
+        upper = jnp.where(shrink_up, st.alpha, st.upper)
+        lower = jnp.where(shrink_up, st.lower, st.alpha)
+
+        a1 = st.alpha - err / jnp.where(dval != 0, dval, 1.0)
+        newton_bad = (
+            jnp.isnan(a1)
+            | (a1 <= lower)
+            | (a1 >= upper)
+            | ((st.it > 4) & (not newton_safe))
+            | (dval == 0)
+        )
+        a2 = 0.5 * (lower + upper)
+        # unbounded upper (qn): grow alpha geometrically
+        a2 = jnp.where(
+            jnp.isinf(a2),
+            st.alpha + jnp.maximum(1.0, 0.5 * st.alpha),
+            a2,
+        )
+        alpha_new = jnp.where(newton_bad, a2, a1)
+        alpha_new = jnp.where(done, st.alpha, alpha_new)
+        return _RSState(alpha_new, lower, upper,
+                        jnp.where(done[:, None], st.s, s),
+                        done, st.it + 1)
+
+    st = jax.lax.while_loop(cond, body, st)
+    # final evaluation at the converged alpha for not-yet-copied steps
+    s_fin, val_fin, _ = eval_at(st.alpha)
+    s_out = jnp.where(done0[:, None], s, s_fin)
+    smag = jnp.where(done0, smag0, jnp.minimum(val_fin, delta))
+    return s_out, smag
+
+
+# ---------------------------------------------------------------------------
+# Full batched optimizer step
+# ---------------------------------------------------------------------------
+def _batched_eval(potential, cell):
+    def one(x):
+        return jax.value_and_grad(potential.energy)(x, cell)
+
+    return jax.vmap(one)
+
+
+def _batched_hvp_full(potential, cell):
+    """Full-space exact HVP of the potential at x along v (batched)."""
+
+    def one(x, v):
+        gfun = lambda y: jax.grad(potential.energy)(y, cell)
+        return jax.jvp(gfun, (x,), (v,))[1]
+
+    return jax.vmap(one)
+
+
+def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
+                         B_init, Ufree, active, key):
+    """Run batched Davidson at x and absorb every HVP probe into B
+    (the reference's diag + full-probe TS-BFGS absorption,
+    ``peswrapper.py:508-556``)."""
+    K = cfg.subspace_max
+    hvp_full = _batched_hvp_full(potential, cell)
+
+    def hvp_free(v_free):
+        v_full = jnp.einsum("bij,bj->bi", Ufree, v_free)
+        Av_full = hvp_full(x, v_full)
+        return jnp.einsum("bij,bi->bj", Ufree, Av_full), Av_full
+
+    # Davidson runs on the projected operator; we also keep the
+    # full-space actions for absorption (``linalg.py:89-90``).
+    yfull_store = [jnp.zeros((x.shape[0], cfg.dim, K), x.dtype)]
+
+    # preconditioner: projected quasi-Newton B (identity when fresh)
+    P = jnp.einsum("bij,bjk,bkl->bil", jnp.swapaxes(Ufree, 1, 2), B, Ufree)
+    eye = jnp.eye(cfg.nfree, dtype=x.dtype)[None]
+    P = jnp.where(B_init[:, None, None], P, eye)
+
+    v0 = jnp.einsum("bij,bi->bj", Ufree, g)
+
+    V, AVp, YF, k = _davidson_loop(
+        hvp_free, P, v0, cfg.gamma, K, active, key
+    )
+
+    # Rotate probes A-diagonal before the update (``peswrapper.py:546-553``)
+    lams, W, colmask = _masked_ritz(V, AVp, k, K)
+    Vr = jnp.einsum("bik,bkl->bil", V, W)
+    YFr = jnp.einsum("bik,bkl->bil", YF, W)
+    S_full = jnp.einsum("bij,bjk->bik", Ufree, Vr)
+    mask = colmask
+
+    B_boot = bootstrap_B_batched(S_full, YFr, mask, cfg.dim)
+    B_base = jnp.where(B_init[:, None, None], B, B_boot)
+    B_new = ts_bfgs_update_batched(B_base, S_full, YFr, mask)
+    B_out = jnp.where(active[:, None, None], B_new, B)
+    return B_out, B_init | active, k
+
+
+def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key):
+    """davidson_batched variant whose hvp returns (projected, full)
+    actions; stores the full actions alongside for secant absorption."""
+    Bsz, m = v0.shape
+    dtype = v0.dtype
+    d_full = None
+
+    nrm = jnp.linalg.norm(v0, axis=1, keepdims=True)
+    e0 = jnp.zeros((Bsz, m), dtype).at[:, 0].set(1.0)
+    v0 = jnp.where(nrm > 1e-12, v0 / jnp.where(nrm > 0, nrm, 1.0), e0)
+
+    Av0p, Av0f = hvp_free2(v0)
+    d_full = Av0f.shape[1]
+
+    V = jnp.zeros((Bsz, m, K), dtype).at[:, :, 0].set(v0)
+    AVp = jnp.zeros((Bsz, m, K), dtype).at[:, :, 0].set(Av0p)
+    YF = jnp.zeros((Bsz, d_full, K), dtype).at[:, :, 0].set(Av0f)
+
+    class _St(NamedTuple):
+        V: jnp.ndarray
+        AVp: jnp.ndarray
+        YF: jnp.ndarray
+        k: jnp.ndarray
+        running: jnp.ndarray
+        it: jnp.ndarray
+
+    def ritz(V, AVp, k):
+        lams, W, colmask = _masked_ritz(V, AVp, k, K)
+        Vr = jnp.einsum("bik,bkl->bil", V, W)
+        AVr = jnp.einsum("bik,bkl->bil", AVp, W)
+        neg = jnp.sum((lams < 0) & colmask, axis=1)
+        nneg = jnp.maximum(1, neg)
+        R = AVr - Vr * lams[:, None, :]
+        Rnorm = jnp.linalg.norm(R, axis=1)
+        conv = (Rnorm < gamma * jnp.abs(lams)) & (k[:, None] > 1)
+        idx = jnp.arange(K)[None, :]
+        of_interest = (idx < nneg[:, None]) & colmask
+        unconv = of_interest & ~conv
+        seeking = jnp.argmax(unconv, axis=1)
+        any_unconv = jnp.any(unconv, axis=1)
+        return lams, Vr, AVr, R, seeking, any_unconv, W
+
+    def cond(st):
+        return jnp.any(st.running) & (st.it < K - 1)
+
+    def body(st):
+        lams, Vr, AVr, R, seeking, any_unconv, W = ritz(st.V, st.AVp, st.k)
+        YFr = jnp.einsum("bik,bkl->bil", st.YF, W)
+        run = st.running & any_unconv & (st.k < K)
+
+        bidx = jnp.arange(Bsz)
+        theta = lams[bidx, seeking]
+        r = R[bidx, :, seeking]
+        vi = Vr[bidx, :, seeking]
+
+        eye = jnp.eye(m, dtype=dtype)[None]
+        Pshift = P - theta[:, None, None] * eye
+        Aaug = jnp.zeros((Bsz, m + 1, m + 1), dtype)
+        Aaug = Aaug.at[:, :m, :m].set(Pshift)
+        Aaug = Aaug.at[:, :m, m].set(vi)
+        Aaug = Aaug.at[:, m, :m].set(vi)
+        raug = jnp.zeros((Bsz, m + 1), dtype).at[:, :m].set(r)
+        z = sym_solve(Aaug, -raug)
+        t = z[:, :m]
+
+        tnorm = jnp.linalg.norm(t, axis=1, keepdims=True)
+        bad = (~jnp.all(jnp.isfinite(t), axis=1, keepdims=True)) | (
+            tnorm < 1e-300
+        )
+        rnorm = jnp.linalg.norm(r, axis=1, keepdims=True)
+        rhat = r / jnp.where(rnorm > 0, rnorm, 1.0)
+        t = jnp.where(bad, rhat, t / jnp.where(tnorm > 0, tnorm, 1.0))
+        VVt = jnp.einsum("bik,bk->bi", Vr, jnp.einsum("bik,bi->bk", Vr, t))
+        t = jnp.where(
+            jnp.linalg.norm(t - VVt, axis=1, keepdims=True) < 1e-2, rhat, t
+        )
+        for _ in range(2):
+            t = t - jnp.einsum(
+                "bik,bk->bi", Vr, jnp.einsum("bik,bi->bk", Vr, t)
+            )
+        tnorm = jnp.linalg.norm(t, axis=1, keepdims=True)
+        dead = tnorm[:, 0] < 1e-8
+        rand = jax.random.normal(
+            jax.random.fold_in(key, st.it), (Bsz, m), dtype
+        )
+        rand = rand - jnp.einsum(
+            "bik,bk->bi", Vr, jnp.einsum("bik,bi->bk", Vr, rand)
+        )
+        rand = rand / jnp.maximum(
+            jnp.linalg.norm(rand, axis=1, keepdims=True), 1e-12
+        )
+        t = jnp.where(dead[:, None], rand,
+                      t / jnp.where(tnorm > 0, tnorm, 1.0))
+
+        Atp, Atf = hvp_free2(t)
+
+        slot = jnp.clip(st.k, 0, K - 1)
+        onehot = (jnp.arange(K)[None, :] == slot[:, None]) & run[:, None]
+        Vn = jnp.where(onehot[:, None, :], t[:, :, None], Vr)
+        AVn = jnp.where(onehot[:, None, :], Atp[:, :, None], AVr)
+        YFn = jnp.where(onehot[:, None, :], Atf[:, :, None], YFr)
+        kn = st.k + run.astype(st.k.dtype)
+        # Freeze finished lanes entirely: extra global iterations (driven
+        # by slower searches in the batch) must not keep re-rotating a
+        # finished search's subspace — that would make results depend on
+        # batch composition (bitwise batch-independence guarantee).
+        keep = run[:, None, None]
+        Vn = jnp.where(keep, Vn, st.V)
+        AVn = jnp.where(keep, AVn, st.AVp)
+        YFn = jnp.where(keep, YFn, st.YF)
+        return _St(Vn, AVn, YFn, kn, run, st.it + 1)
+
+    st = _St(
+        V * active_in[:, None, None],
+        AVp * active_in[:, None, None],
+        YF * active_in[:, None, None],
+        active_in.astype(jnp.int32),
+        active_in,
+        jnp.int32(0),
+    )
+    st = jax.lax.while_loop(cond, body, st)
+    return st.V, st.AVp, st.YF, st.k
+
+
+def init_state(potential, x0: jnp.ndarray, cfg: EnsembleConfig,
+               cell: Optional[jnp.ndarray] = None,
+               key: Optional[jnp.ndarray] = None) -> SearchState:
+    """Initialize the batched search state (pre-step, no diag yet)."""
+    x0 = jnp.asarray(x0)
+    Bsz = x0.shape[0]
+    dtype = x0.dtype
+    if cell is None:
+        cell = jnp.zeros((3, 3), dtype)
+    f, g = _batched_eval(potential, cell)(x0)
+    d = cfg.dim
+    return SearchState(
+        x=x0,
+        f=f,
+        g=g,
+        B=jnp.broadcast_to(jnp.eye(d, dtype=dtype)[None], (Bsz, d, d)).copy(),
+        B_init=jnp.zeros(Bsz, bool),
+        delta=jnp.full((Bsz,), cfg.delta0, dtype),
+        rho=jnp.ones((Bsz,), dtype),
+        nsteps_since_diag=jnp.zeros(Bsz, jnp.int32),
+        converged=jnp.zeros(Bsz, bool),
+        nsteps=jnp.zeros(Bsz, jnp.int32),
+        neval=jnp.ones(Bsz, jnp.int32),
+        nmatvec=jnp.zeros(Bsz, jnp.int32),
+    )
+
+
+def make_step_fn(potential, cfg: EnsembleConfig,
+                 cell: Optional[jnp.ndarray] = None):
+    """Build the jittable batched step: one full RS-P-RFO iteration for
+    every search in the ensemble (``optimize.py:359-440`` as a pure
+    function)."""
+    if cell is None:
+        cell = jnp.zeros((3, 3))
+
+    eval_fn = _batched_eval(potential, cell)
+
+    def step(state: SearchState, key) -> SearchState:
+        Bsz = state.x.shape[0]
+        act = ~state.converged
+
+        Ufree = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(state.x)
+
+        # ---- initial diagonalization (first step only, eig mode) ----
+        need_init_diag = act & (~state.B_init) & cfg.eig
+        B1, B_init1, k_init = _davidson_and_absorb(
+            potential, cell, cfg, state.x, state.g, state.B, state.B_init,
+            Ufree, need_init_diag, jax.random.fold_in(key, 0),
+        )
+        nmv = state.nmatvec + jnp.where(need_init_diag, k_init, 0)
+        neval = state.neval + jnp.where(need_init_diag, k_init, 0)
+        # bootstrap for non-eig (minimization) searches happens via the
+        # first step's secant below (reference: ApproximateHessian.update
+        # bootstrap, ``linalg.py:274-289``)
+
+        # ---- projected quantities ----
+        UT = jnp.swapaxes(Ufree, 1, 2)
+        Hproj = jnp.einsum("bij,bjk,bkl->bil", UT, B1, Ufree)
+        eye = jnp.eye(cfg.nfree, dtype=state.x.dtype)[None]
+        Hproj = jnp.where(B_init1[:, None, None], Hproj, eye)
+        g_free = jnp.einsum("bij,bi->bj", Ufree, state.g)
+
+        # ---- trust-region step ----
+        s_full, smag = restricted_step_batched(
+            g_free, Hproj, Ufree, state.delta, cfg
+        )
+        s_full = jnp.where(act[:, None], s_full, 0.0)
+
+        # ---- diag scheduling (``optimize.py:362-378``) ----
+        if cfg.eig and cfg.order > 0:
+            lams_proj = jnp.linalg.eigvalsh(Hproj)
+            # Wrong inertia: too few negatives (reference trigger) OR too
+            # many (extension: an extra negative mode means the search is
+            # near a higher-order saddle and the stale quasi-Newton
+            # curvature traps it there — a fresh partial diag lets P-RFO
+            # walk down the spurious mode).
+            too_few = jnp.any(lams_proj[:, : cfg.order] > 0, axis=1)
+            too_many = (
+                lams_proj[:, cfg.order] < 0
+                if cfg.order < cfg.nfree
+                else jnp.zeros(Bsz, bool)
+            )
+            ev = act & (state.nsteps_since_diag >= cfg.nsteps_per_diag) & (
+                too_few | too_many
+            )
+        else:
+            ev = jnp.zeros(Bsz, bool)
+        if cfg.diag_every_n > 0:
+            ev = ev | (
+                act & (state.nsteps_since_diag >= cfg.diag_every_n)
+            )
+        nsd = jnp.where(ev | need_init_diag, 0, state.nsteps_since_diag + 1)
+
+        # ---- take the step ----
+        x_new = state.x + s_full
+        f_new, g_new = eval_fn(x_new)
+        neval = neval + act.astype(jnp.int32)
+
+        # ---- trust ratio (``peswrapper.py:578-594``) ----
+        df_pred = jnp.einsum("bi,bi->b", state.g, s_full) + 0.5 * jnp.einsum(
+            "bi,bij,bj->b", s_full, B1, s_full
+        )
+        df_actual = f_new - state.f
+        pred_ok = jnp.abs(df_pred) > 1e-14
+        ratio = jnp.where(pred_ok, df_actual / jnp.where(pred_ok, df_pred,
+                                                         1.0), 1.0)
+        # an uninitialized Hessian gives no meaningful prediction
+        ratio = jnp.where(B_init1, ratio, 1.0)
+
+        # ---- quasi-Newton update with the step secant ----
+        dg = g_new - state.g
+        S1 = s_full[:, :, None]
+        Y1 = dg[:, :, None]
+        m1 = (jnp.linalg.norm(s_full, axis=1) > 1e-8)[:, None]
+        B_boot = bootstrap_B_batched(S1, Y1, m1, cfg.dim)
+        B_base = jnp.where(B_init1[:, None, None], B1, B_boot)
+        B2 = ts_bfgs_update_batched(B_base, S1, Y1, m1 & act[:, None])
+        B2 = jnp.where((act & m1[:, 0])[:, None, None], B2, B1)
+        B_init2 = B_init1 | (act & m1[:, 0])
+
+        # ---- scheduled re-diagonalization at the new point ----
+        Ufree_new = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(x_new)
+        B3, B_init3, k_ev = _davidson_and_absorb(
+            potential, cell, cfg, x_new, g_new, B2, B_init2,
+            Ufree_new, ev, jax.random.fold_in(key, 1),
+        )
+        nmv = nmv + jnp.where(ev, k_ev, 0)
+        neval = neval + jnp.where(ev, k_ev, 0)
+
+        # ---- trust radius update (``optimize.py:412-432``) ----
+        bad = (ratio < 1.0 / cfg.rho_dec) | (ratio > cfg.rho_dec)
+        good = (1.0 / cfg.rho_inc < ratio) & (ratio < cfg.rho_inc)
+        delta_new = jnp.where(
+            bad,
+            jnp.maximum(smag * cfg.sigma_dec, cfg.delta_min),
+            jnp.where(
+                good,
+                jnp.maximum(cfg.sigma_inc * smag, state.delta),
+                state.delta,
+            ),
+        )
+        delta_new = jnp.where(act, delta_new, state.delta)
+
+        # ---- convergence: max projected per-atom force ----
+        gp = jnp.einsum(
+            "bij,bj->bi", Ufree_new,
+            jnp.einsum("bij,bi->bj", Ufree_new, g_new),
+        )
+        fmax_now = jnp.max(
+            jnp.linalg.norm(gp.reshape(Bsz, cfg.natoms, 3), axis=2), axis=1
+        )
+        conv_new = state.converged | (act & (fmax_now < cfg.fmax))
+
+        return SearchState(
+            x=jnp.where(act[:, None], x_new, state.x),
+            f=jnp.where(act, f_new, state.f),
+            g=jnp.where(act[:, None], g_new, state.g),
+            B=B3,
+            B_init=B_init3,
+            delta=delta_new,
+            rho=jnp.where(act, ratio, state.rho),
+            nsteps_since_diag=nsd,
+            converged=conv_new,
+            nsteps=state.nsteps + act.astype(jnp.int32),
+            neval=neval,
+            nmatvec=nmv,
+        )
+
+    return step
+
+
+def run_ensemble(
+    potential,
+    x0: jnp.ndarray,
+    cfg: EnsembleConfig,
+    max_steps: int = 100,
+    cell: Optional[jnp.ndarray] = None,
+    mesh=None,
+    seed: int = 0,
+    steps_per_call: int = 1,
+):
+    """Host loop driving the jitted batched step until all searches
+    converge (or max_steps). With a mesh, the state is sharded over the
+    ensemble axis ('batch'); searches are independent so no collectives
+    are needed beyond the convergence reduction."""
+    step = make_step_fn(potential, cfg, cell)
+
+    def multi_step(state, key):
+        def body(i, st):
+            return step(st, jax.random.fold_in(key, i))
+
+        return jax.lax.fori_loop(0, steps_per_call, body, state)
+
+    state = init_state(potential, jnp.asarray(x0), cfg, cell)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("batch"))
+        state = jax.tree.map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, P(*(("batch",) + (None,) * (a.ndim - 1))))
+            ),
+            state,
+        )
+
+    multi_step_jit = jax.jit(multi_step, donate_argnums=0)
+    key = jax.random.PRNGKey(seed)
+    n_calls = (max_steps + steps_per_call - 1) // steps_per_call
+    for i in range(n_calls):
+        state = multi_step_jit(state, jax.random.fold_in(key, i))
+        if bool(jnp.all(state.converged)):
+            break
+    return state

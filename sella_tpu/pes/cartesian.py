@@ -195,8 +195,11 @@ class PES:
         if self._potential is not None:
             import jax.numpy as jnp
 
+            # NB: always the Cartesian geometry — get_x() is overridden
+            # to internal coordinates in InternalPES
             f, g = self._potential.energy_and_grad(
-                jnp.asarray(self.get_x()), jnp.asarray(self.atoms.cell)
+                jnp.asarray(self.atoms.positions.ravel()),
+                jnp.asarray(self.atoms.cell),
             )
             f, g = float(f), np.asarray(g, dtype=np.float64)
         else:
@@ -211,8 +214,13 @@ class PES:
 
     def _calc_eg(self, x: np.ndarray) -> Tuple[float, np.ndarray]:
         """Evaluate energy+gradient at x without disturbing state
-        (``peswrapper.py:420-427``); this is the Davidson matvec hot path."""
-        if self._potential is not None:
+        (``peswrapper.py:420-427``); this is the Davidson matvec hot path.
+
+        The direct-potential fast path only applies when x IS the
+        Cartesian geometry (plain PES); coordinate-transformed
+        subclasses must run the full set_x/eval/restore dance.
+        """
+        if self._potential is not None and type(self) is PES:
             import jax.numpy as jnp
 
             self.neval += 1
@@ -226,12 +234,20 @@ class PES:
         self.restore()
         return f, g
 
+    def _geom_signature(self) -> bytes:
+        """Geometry identity for caching (positions; cell added by cell
+        PES classes). Internal PES coordinates are non-unique, so caches
+        key on the Cartesian geometry like the reference's state hash
+        (``peswrapper.py:297-303``)."""
+        return self.atoms.positions.tobytes()
+
     # -- state update ----------------------------------------------------------
     def _update(self, feval: bool = True) -> bool:
+        sig = self._geom_signature()
         x = self.get_x()
         same = (
             self.curr["x"] is not None
-            and np.array_equal(x, self.curr["x"])
+            and self.curr.get("sig") == sig
         )
         if same:
             if not (feval and self.curr["f"] is None):
@@ -249,6 +265,7 @@ class PES:
             self.last = self.curr.copy()
 
         self.curr["x"] = x
+        self.curr["sig"] = sig
         self.curr["f"] = f
         self.curr["g"] = g
         self._update_basis()

@@ -12,8 +12,11 @@ from sella_tpu.potentials import MorsePotential
 from sella_tpu.utils.units import kB
 
 
-@pytest.mark.parametrize("order", [0, 1])
-def test_morse_cluster_cartesian(order):
+@pytest.mark.parametrize(
+    "internal,order",
+    [(False, 0), (False, 1), (True, 0), (True, 1)],
+)
+def test_morse_cluster(internal, order):
     rng = np.random.RandomState(4)
     nat = 4
     atoms = Atoms(
@@ -31,7 +34,7 @@ def test_morse_cluster_cartesian(order):
     opt = Sella(
         atoms,
         order=order,
-        internal=False,
+        internal=internal,
         gamma=1e-3,
         constraints=cons,
         logfile=None,

@@ -1,0 +1,201 @@
+"""Batched-ensemble tests: the TPU-native execution tier.
+
+Checks vmap-batched convergence (minimum + saddle), physical inertia at
+the converged points, and the sharded multi-chip path on the virtual
+8-device CPU mesh (cf. SURVEY.md §4 implication: batch-vs-single
+equivalence and shard_map tests on virtual devices).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sella_tpu.parallel.ensemble import (
+    EnsembleConfig,
+    free_basis,
+    init_state,
+    run_ensemble,
+    ts_bfgs_update_batched,
+    bootstrap_B_batched,
+)
+from sella_tpu.potentials import MorsePotential
+from sella_tpu.utils.units import kB
+
+
+def _morse():
+    return MorsePotential(epsilon=226.9 * kB, r0=4.73, rho0=4.73 * 1.099)
+
+
+def _batch_x0(B, nat=4, seed=4, scale=3.0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.normal(size=(B, nat * 3)) * scale)
+
+
+def test_free_basis():
+    x = _batch_x0(1)[0]
+    U = free_basis(x, 6)
+    assert U.shape == (12, 6)
+    np.testing.assert_allclose(np.asarray(U.T @ U), np.eye(6), atol=1e-12)
+    # rigid modes are orthogonal to U
+    n = 4
+    pos = np.asarray(x).reshape(n, 3)
+    t0 = np.zeros((n, 3)); t0[:, 0] = 1.0
+    r2 = np.cross([0, 0, 1], pos - pos.mean(0))
+    for mode in (t0.ravel(), r2.ravel()):
+        np.testing.assert_allclose(np.asarray(U).T @ mode, 0, atol=1e-10)
+
+
+def test_ts_bfgs_batched_multisecant():
+    rng = np.random.RandomState(0)
+    Bsz, d, K = 3, 8, 2
+    H = rng.normal(size=(Bsz, d, d))
+    H = 0.5 * (H + H.transpose(0, 2, 1))
+    B0 = rng.normal(size=(Bsz, d, d))
+    B0 = 0.5 * (B0 + B0.transpose(0, 2, 1))
+    S = rng.normal(size=(Bsz, d, K))
+    Y = np.einsum("bij,bjk->bik", H, S)
+    mask = np.ones((Bsz, K), bool)
+    Bp = np.asarray(ts_bfgs_update_batched(
+        jnp.asarray(B0), jnp.asarray(S), jnp.asarray(Y), jnp.asarray(mask)
+    ))
+    np.testing.assert_allclose(
+        np.einsum("bij,bjk->bik", Bp, S), Y, rtol=1e-6, atol=1e-6
+    )
+
+
+def test_ts_bfgs_batched_masked_matches_unmasked():
+    """A masked-out column must not affect the update."""
+    rng = np.random.RandomState(1)
+    Bsz, d = 2, 6
+    H = rng.normal(size=(Bsz, d, d)); H = 0.5 * (H + H.transpose(0, 2, 1))
+    B0 = np.eye(d)[None].repeat(Bsz, 0) * 2.0
+    S1 = rng.normal(size=(Bsz, d, 1))
+    Y1 = np.einsum("bij,bjk->bik", H, S1)
+    # padded variant: same secant + a zeroed column
+    S2 = np.concatenate([S1, np.zeros((Bsz, d, 1))], axis=2)
+    Y2 = np.concatenate([Y1, np.zeros((Bsz, d, 1))], axis=2)
+    mask2 = np.array([[True, False]] * Bsz)
+    Bp1 = np.asarray(ts_bfgs_update_batched(
+        jnp.asarray(B0), jnp.asarray(S1), jnp.asarray(Y1),
+        jnp.ones((Bsz, 1), bool)))
+    Bp2 = np.asarray(ts_bfgs_update_batched(
+        jnp.asarray(B0), jnp.asarray(S2), jnp.asarray(Y2),
+        jnp.asarray(mask2)))
+    np.testing.assert_allclose(Bp1, Bp2, atol=1e-10)
+
+
+def test_bootstrap_batched():
+    rng = np.random.RandomState(2)
+    Bsz, d = 2, 6
+    S = rng.normal(size=(Bsz, d, 1))
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)  # Davidson probes are unit
+    Y = 3.0 * S  # H = 3 I
+    B0 = np.asarray(bootstrap_B_batched(
+        jnp.asarray(S), jnp.asarray(Y), jnp.ones((Bsz, 1), bool), d
+    ))
+    np.testing.assert_allclose(B0, 3.0 * np.eye(d)[None].repeat(Bsz, 0),
+                               rtol=1e-8)
+
+
+def test_ensemble_minimization():
+    """8 batched Morse Xe4 minimizations all converge to true minima.
+
+    fmax 1e-4: at 1e-3 a search can legitimately stop within tolerance
+    of a near-flat higher-order stationary point of this soft potential.
+    """
+    Bsz = 8
+    pot = _morse()
+    cfg = EnsembleConfig(
+        natoms=4, order=0, fmax=1e-4, gamma=1e-3, eig=False, method="qn",
+        sigma_dec=0.90, rho_dec=100.0,
+    )
+    x0 = _batch_x0(Bsz)
+    state = run_ensemble(pot, x0, cfg, max_steps=500)
+    assert bool(jnp.all(state.converged)), (
+        np.asarray(state.nsteps), np.asarray(state.converged)
+    )
+    cell = jnp.zeros((3, 3))
+    for b in range(Bsz):
+        x = state.x[b]
+        H = np.asarray(pot.hessian(x, cell))
+        U = np.asarray(free_basis(x, 6))
+        evals = np.linalg.eigvalsh(U.T @ H @ U)
+        assert np.sum(evals < -1e-8) == 0, (b, evals)
+
+
+def test_ensemble_saddle():
+    """Batched LJ4 saddle searches from perturbed tetrahedra.
+
+    Hard starts can wander multi-negative-curvature regions for a long
+    time — true for the reference algorithm as well (the sequential
+    driver fails the same starts) — so require >= 7/8 converged, and
+    exact first-order inertia at every converged point.
+    """
+    Bsz = 8
+    from sella_tpu.potentials import LennardJones
+
+    pot = LennardJones()
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(7)
+    x0 = jnp.asarray(
+        (tet[None] + 0.12 * rng.normal(size=(Bsz, 4, 3))).reshape(Bsz, 12)
+    )
+    cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3)
+    state = run_ensemble(pot, x0, cfg, max_steps=300)
+    conv = np.asarray(state.converged)
+    assert conv.sum() >= 7, (conv, np.asarray(state.nsteps))
+
+    cell = jnp.zeros((3, 3))
+    for b in range(Bsz):
+        if not conv[b]:
+            continue
+        H = np.asarray(pot.hessian(state.x[b], cell))
+        U = np.asarray(free_basis(state.x[b], 6))
+        evals = np.linalg.eigvalsh(U.T @ H @ U)
+        assert np.sum(evals < -1e-6) == 1, (b, evals)
+
+
+def test_ensemble_sharded():
+    """Same search, sharded over the virtual 8-device CPU mesh."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8])
+    assert devices.size == 8, "conftest must force 8 virtual devices"
+    mesh = Mesh(devices, ("batch",))
+
+    Bsz = 16
+    pot = _morse()
+    cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3)
+    x0 = _batch_x0(Bsz)
+    state = run_ensemble(pot, x0, cfg, max_steps=300, mesh=mesh)
+    assert bool(jnp.all(state.converged))
+
+
+def test_ensemble_batch_independence():
+    """Search 0 alone must follow the same trajectory as inside a batch.
+
+    Not bitwise: XLA lowers the same math differently for different
+    batch shapes, giving ~1e-15 roundoff deltas; the algorithmic path
+    (masked loops, frozen finished lanes) must keep the divergence at
+    roundoff level rather than letting batch composition change
+    decisions."""
+    from sella_tpu.parallel.ensemble import make_step_fn
+
+    pot = _morse()
+    cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3)
+    x0 = _batch_x0(4)
+    step = jax.jit(make_step_fn(pot, cfg))
+    key = jax.random.PRNGKey(0)
+
+    s_full = init_state(pot, x0, cfg)
+    s_solo = init_state(pot, x0[:1], cfg)
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        s_full = step(s_full, k)
+        s_solo = step(s_solo, k)
+    np.testing.assert_allclose(
+        np.asarray(s_full.x[0]), np.asarray(s_solo.x[0]), atol=1e-12
+    )
