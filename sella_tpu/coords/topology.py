@@ -62,7 +62,22 @@ def _bond_key(i, j, ncvec):
 
 def _candidate_bonds(positions, cell, pbc, labels, scale, rcov):
     """All atom pairs (across fragments) within the covalent threshold,
-    including periodic images (``internal.py:3260-3332``)."""
+    including periodic images (``internal.py:3260-3332``).
+
+    Dispatches to the native C++ kernel (csrc/topology.cpp) when
+    available; the numpy path below is the reference fallback.
+    """
+    from ..utils.native import find_candidate_bonds_native
+
+    native = find_candidate_bonds_native(
+        np.asarray(positions), np.asarray(cell),
+        np.asarray(pbc, dtype=np.int64),
+        np.asarray(rcov), np.asarray(labels, dtype=np.int64),
+        float(scale),
+    )
+    if native is not None:
+        return native
+
     n = len(positions)
     ii, jj = np.triu_indices(n, k=0)
     same = (labels[ii] == labels[jj]) & (labels[ii] != -1)
@@ -99,6 +114,14 @@ def _candidate_bonds(positions, cell, pbc, labels, scale, rcov):
 
 
 def _flood_labels(n, bonds) -> Tuple[np.ndarray, int]:
+    if bonds:
+        from ..utils.native import flood_fill_native
+
+        arr = np.array([(i, j) for i, j, _ in bonds], dtype=np.int64)
+        native = flood_fill_native(arr, n)
+        if native is not None:
+            return native
+
     adj = [[] for _ in range(n)]
     for i, j, _ in bonds:
         adj[i].append(j)

@@ -69,16 +69,44 @@ class Sella(Optimizer):
         nsteps_per_diag: int = 3,
         diag_every_n: Optional[int] = None,
         hessian_function: Optional[Callable] = None,
+        optimize_cell: bool = False,
+        cell_mask: Optional[np.ndarray] = None,
+        exp_cell_factor: Optional[float] = None,
+        scalar_pressure: float = 0.0,
+        smax: Optional[float] = None,
+        niggli: bool = False,
+        refine_initial_hessian=False,
+        save_hessian: Optional[str] = None,
         **kwargs,
     ) -> None:
         atoms = as_atoms(atoms)
         default = _default_kwargs["minimum" if order == 0 else "saddle"]
 
+        # cell-optimization validation (``optimize.py:127-142``)
+        self.optimize_cell = optimize_cell
+        self.smax = smax
+        self.niggli = niggli
+        if optimize_cell:
+            if order != 0:
+                raise ValueError(
+                    "Cell optimization is only supported for minima "
+                    f"(order=0), got order={order}."
+                )
+            if not np.any(atoms.pbc):
+                raise ValueError(
+                    "Cell optimization requires periodic boundary "
+                    "conditions."
+                )
+
         self.user_internal = internal
         self.peskwargs = dict(kwargs)
         self.initialize_pes(
             atoms, trajectory, order, eta, constraints, v0, internal,
-            hessian_function, **kwargs
+            hessian_function, optimize_cell=optimize_cell,
+            cell_mask=cell_mask, exp_cell_factor=exp_cell_factor,
+            scalar_pressure=scalar_pressure,
+            refine_initial_hessian=refine_initial_hessian,
+            save_hessian=save_hessian, **kwargs
         )
 
         if rs is None:
@@ -131,8 +159,35 @@ class Sella(Optimizer):
         v0=None,
         internal: bool = False,
         hessian_function=None,
+        optimize_cell: bool = False,
+        cell_mask=None,
+        exp_cell_factor=None,
+        scalar_pressure: float = 0.0,
+        refine_initial_hessian=False,
+        save_hessian=None,
         **kwargs,
     ) -> None:
+        if optimize_cell and not internal:
+            from ..pes.cell import CellCartesianPES
+
+            self.internal = None
+            if constraints is None:
+                constraints = Constraints(atoms)
+            self.constraints = constraints
+            self.pes = CellCartesianPES(
+                atoms, constraints=constraints, trajectory=trajectory,
+                eta=eta, v0=v0, hessian_function=hessian_function,
+                cell_mask=cell_mask, exp_cell_factor=exp_cell_factor,
+                scalar_pressure=scalar_pressure,
+                refine_initial_hessian=refine_initial_hessian,
+                save_hessian=save_hessian, **kwargs
+            )
+            return
+        if optimize_cell and internal:
+            raise NotImplementedError(
+                "CellInternalPES (internal + cell) lands in a later "
+                "stage; use optimize_cell with internal=False."
+            )
         if internal:
             from ..pes.internal import InternalPES
             from ..coords.internals import Internals
@@ -255,7 +310,11 @@ class Sella(Optimizer):
 
     def converged(self, forces=None) -> bool:
         fmax = self.fmax if self.fmax is not None else 0.05
-        result = self.pes.converged(fmax)
+        if self.optimize_cell:
+            smax = self.smax if self.smax is not None else fmax
+            result = self.pes.converged(fmax, smax=smax)
+        else:
+            result = self.pes.converged(fmax)
         self._last_converged = result
         return result[0]
 
@@ -263,9 +322,15 @@ class Sella(Optimizer):
         if self.logfile is None:
             return
         result = self._last_converged
-        if result is None or len(result) != 3:
-            result = self.pes.converged(self.fmax or 0.05)
-        _, fmax, cmax = result
+        if result is None:
+            if self.optimize_cell:
+                result = self.pes.converged(
+                    self.fmax or 0.05,
+                    smax=self.smax if self.smax is not None else (self.fmax or 0.05),
+                )
+            else:
+                result = self.pes.converged(self.fmax or 0.05)
+        _, fmax, cmax = result[:3]
         e = self.pes.get_f()
         T = time.strftime("%H:%M:%S")
         name = self.__class__.__name__

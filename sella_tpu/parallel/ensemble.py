@@ -802,6 +802,55 @@ def make_step_fn(potential, cfg: EnsembleConfig,
     return step
 
 
+def refill_converged(state: SearchState, x_new: jnp.ndarray,
+                     avail: jnp.ndarray, cfg: EnsembleConfig
+                     ) -> Tuple[SearchState, jnp.ndarray]:
+    """Replace converged lanes with fresh starts from a work queue.
+
+    ``x_new``: (B, d) replacement geometries; ``avail``: (B,) bool — which
+    rows of x_new hold real work. A lane is refilled when it is converged
+    AND its replacement is available; refilled lanes are fully reset
+    (fresh identity Hessian, trust radius, counters). Returns the new
+    state and the refill mask (so the caller can record the finished
+    results before they are overwritten). Jit-friendly: shapes static,
+    decisions are masks — this is the convergence-mask compaction of
+    SURVEY.md §7 stage 8.
+    """
+    take = state.converged & avail
+    tk = take[:, None]
+    f_new, g_new = None, None  # computed lazily by the caller's next step
+    d = cfg.dim
+    Bsz = state.x.shape[0]
+    eye = jnp.broadcast_to(
+        jnp.eye(d, dtype=state.B.dtype)[None], (Bsz, d, d)
+    )
+    dtype = state.x.dtype
+    new_state = SearchState(
+        x=jnp.where(tk, x_new, state.x),
+        f=jnp.where(take, jnp.zeros_like(state.f), state.f),
+        g=jnp.where(tk, jnp.zeros_like(state.g), state.g),
+        B=jnp.where(take[:, None, None], eye, state.B),
+        B_init=jnp.where(take, False, state.B_init),
+        delta=jnp.where(take, jnp.asarray(cfg.delta0, dtype), state.delta),
+        rho=jnp.where(take, jnp.ones((), dtype), state.rho),
+        nsteps_since_diag=jnp.where(take, 0, state.nsteps_since_diag),
+        converged=jnp.where(take, False, state.converged),
+        nsteps=jnp.where(take, 0, state.nsteps),
+        neval=jnp.where(take, 0, state.neval),
+        nmatvec=jnp.where(take, 0, state.nmatvec),
+    )
+    return new_state, take
+
+
+def refresh_fg(state: SearchState, potential, cfg: EnsembleConfig,
+               cell: Optional[jnp.ndarray] = None) -> SearchState:
+    """Recompute (f, g) for all lanes — call once after refill."""
+    if cell is None:
+        cell = jnp.zeros((3, 3), state.x.dtype)
+    f, g = _batched_eval(potential, cell)(state.x)
+    return state._replace(f=f, g=g, neval=state.neval + 1)
+
+
 def run_ensemble(
     potential,
     x0: jnp.ndarray,
@@ -845,3 +894,82 @@ def run_ensemble(
         if bool(jnp.all(state.converged)):
             break
     return state
+
+
+def run_ensemble_queue(
+    potential,
+    x0_all: jnp.ndarray,
+    cfg: EnsembleConfig,
+    batch: int,
+    max_steps_per_search: int = 300,
+    cell: Optional[jnp.ndarray] = None,
+    refill_every: int = 10,
+    seed: int = 0,
+):
+    """Process an arbitrarily large work set with a fixed device batch.
+
+    Converged searches are harvested every ``refill_every`` steps and
+    their lanes refilled from the queue (convergence-mask compaction) —
+    the chip never idles on finished lanes. Returns a list of
+    (x_final, f, nsteps, converged) result tuples for every input.
+    """
+    x0_all = jnp.asarray(x0_all)
+    total = x0_all.shape[0]
+    step = jax.jit(make_step_fn(potential, cfg, cell), donate_argnums=0)
+    refill = jax.jit(partial(refill_converged, cfg=cfg), donate_argnums=0)
+
+    state = init_state(potential, x0_all[:batch], cfg, cell)
+    origin = np.arange(batch)          # which input each lane holds
+    next_idx = batch
+    results: dict = {}
+    key = jax.random.PRNGKey(seed)
+
+    it = 0
+    while len(results) < total:
+        for _ in range(refill_every):
+            state = step(state, jax.random.fold_in(key, it))
+            it += 1
+
+        conv = np.asarray(state.converged)
+        nsteps = np.asarray(state.nsteps)
+        done = conv | (nsteps >= max_steps_per_search)
+        if not np.any(done):
+            continue
+
+        # harvest finished lanes
+        xs = np.asarray(state.x)
+        fs = np.asarray(state.f)
+        for lane in np.where(done)[0]:
+            oi = origin[lane]
+            if oi >= 0 and oi not in results:
+                results[int(oi)] = (
+                    xs[lane].copy(), float(fs[lane]),
+                    int(nsteps[lane]), bool(conv[lane]),
+                )
+
+        # refill from the queue (mark timed-out lanes converged so the
+        # refill mask picks them up too)
+        state = state._replace(converged=jnp.asarray(done))
+        n_needed = int(done.sum())
+        n_take = min(n_needed, total - next_idx)
+        x_new = np.zeros((batch, cfg.dim))
+        avail = np.zeros(batch, dtype=bool)
+        lanes = np.where(done)[0]
+        new_origin = origin.copy()
+        for k, lane in enumerate(lanes):
+            if k < n_take:
+                x_new[lane] = np.asarray(x0_all[next_idx + k])
+                avail[lane] = True
+                new_origin[lane] = next_idx + k
+            else:
+                new_origin[lane] = -1  # idle lane
+        next_idx += n_take
+        origin = new_origin
+
+        state, _ = refill(state, jnp.asarray(x_new), jnp.asarray(avail))
+        state = refresh_fg(state, potential, cfg, cell)
+        # idle lanes stay marked converged so they are skipped
+        idle = jnp.asarray(origin < 0)
+        state = state._replace(converged=state.converged | idle)
+
+    return [results[i] for i in range(total)]

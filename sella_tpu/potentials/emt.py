@@ -129,29 +129,30 @@ class EMT(Potential):
             r2 = jnp.where(jnp.eye(self.n, dtype=bool), jnp.inf, r2)
             r2 = r2[:, :, None]                          # (n, n, 1)
 
-        r = jnp.sqrt(r2)
+        # double-where guard: r2 is inf on masked self-pairs, and a naive
+        # where() would still propagate NaN through the untaken branch's
+        # gradient — so compute everything at a safe r and mask after
+        mask = r2 < (self.rc + 1.5) ** 2
+        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
         theta = 1.0 / (1.0 + jnp.exp(self.acut * (r - self.rc)))
-        # hard zero beyond a safety radius keeps exp underflow away
-        theta = jnp.where(r < self.rc + 1.5, theta, 0.0)
+        mask_f = mask.astype(x.dtype)
+        theta = theta * mask_f
 
         chi = (n0[None, :] / n0[:, None])[:, :, None]    # chi_ij = n0_j/n0_i
 
         # density contribution of j at i
-        w1 = jnp.where(
-            jnp.isfinite(r),
-            chi * jnp.exp(-eta2[None, :, None] * (r - BETA * s0[None, :, None]))
-            * theta,
-            0.0,
+        w1 = (
+            chi
+            * jnp.exp(-eta2[None, :, None] * (r - BETA * s0[None, :, None]))
+            * theta
         )
         sigma1 = jnp.sum(w1, axis=(1, 2)) / gamma1       # (n,)
 
         # pair-potential part
-        w2 = jnp.where(
-            jnp.isfinite(r),
-            chi * jnp.exp(
-                -kappa[None, :, None] * (r / BETA - s0[None, :, None])
-            ) * theta,
-            0.0,
+        w2 = (
+            chi
+            * jnp.exp(-kappa[None, :, None] * (r / BETA - s0[None, :, None]))
+            * theta
         )
         e_pair = -0.5 * jnp.sum(
             V0[:, None] * jnp.sum(w2, axis=2) / gamma2[:, None]
@@ -188,10 +189,16 @@ def fcc_bulk(symbol: str, a: float, reps=(2, 2, 2)):
 
 
 def fcc111_slab(symbol: str, a: float, size=(4, 4, 3), vacuum: float = 10.0):
-    """fcc(111) slab — test/bench helper (orthogonal cell)."""
+    """fcc(111) slab — test/bench helper (orthogonal cell).
+
+    ``ny`` must be even: the alternating row offset of the triangular
+    lattice only closes periodically over an even number of rows.
+    """
     from ..atoms import Atoms
 
     nx, ny, nz = size
+    if ny % 2 != 0:
+        raise ValueError("fcc111_slab requires even ny for periodicity")
     d = a / np.sqrt(2.0)                     # nn distance
     ax = d
     ay = d * np.sqrt(3.0) / 2.0

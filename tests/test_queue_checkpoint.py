@@ -1,0 +1,69 @@
+"""Work-queue refill and orbax checkpoint/resume tests (SURVEY.md §5/§7
+stage 8: convergence-mask compaction + first-class checkpointing)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sella_tpu.parallel.checkpoint import load_state, save_state
+from sella_tpu.parallel.ensemble import (
+    EnsembleConfig,
+    init_state,
+    make_step_fn,
+    run_ensemble_queue,
+)
+from sella_tpu.potentials import LennardJones
+
+
+def _x0_batch(total, seed=3, pert=0.1):
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(
+        (tet[None] + pert * rng.normal(size=(total, 4, 3))).reshape(
+            total, 12
+        )
+    )
+
+
+def test_queue_processes_more_work_than_batch():
+    pot = LennardJones()
+    cfg = EnsembleConfig(natoms=4, order=0, fmax=1e-3, gamma=1e-3,
+                         eig=False, method="qn", sigma_dec=0.90,
+                         rho_dec=100.0)
+    total, batch = 12, 4
+    results = run_ensemble_queue(
+        pot, _x0_batch(total), cfg, batch=batch,
+        max_steps_per_search=300, refill_every=20,
+    )
+    assert len(results) == total
+    nconv = sum(1 for *_ , c in results if c)
+    assert nconv >= total - 1
+    for x, f, nsteps, conv in results:
+        if conv:
+            assert f < -5.5  # near the LJ4 tetrahedron basin
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pot = LennardJones()
+    cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3)
+    state = init_state(pot, _x0_batch(4), cfg)
+    step = jax.jit(make_step_fn(pot, cfg))
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        state = step(state, jax.random.fold_in(key, i))
+
+    path = os.path.join(tmp_path, "ckpt")
+    save_state(path, state, step=3)
+    restored, nstep = load_state(path)
+    assert nstep == 3
+    for a, b in zip(state, restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed trajectory identical to uninterrupted one
+    s1 = step(state, jax.random.fold_in(key, 3))
+    s2 = step(restored, jax.random.fold_in(key, 3))
+    np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
