@@ -82,13 +82,50 @@ def _tvec(rec: Record, cell: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(rec.ncvecs) @ jnp.asarray(cell)
 
 
-class Constraints:
-    """Holds constraint records and evaluates residual/Jacobian/Hessian."""
+class DummyStore:
+    """Mutable positions of dummy atoms, shared between Internals and
+    Constraints (the reference threads a dummies Atoms object through
+    both, ``internal.py:2748-2756``)."""
 
-    def __init__(self, atoms: Atoms, ignore_rotation: bool = True) -> None:
+    def __init__(self) -> None:
+        self.positions = np.zeros((0, 3))
+
+    def __len__(self) -> int:
+        return len(self.positions)
+
+    def append(self, pos) -> int:
+        self.positions = np.vstack([self.positions, np.asarray(pos)])
+        return len(self.positions) - 1
+
+    def copy(self) -> "DummyStore":
+        new = DummyStore()
+        new.positions = self.positions.copy()
+        return new
+
+
+class Constraints:
+    """Holds constraint records and evaluates residual/Jacobian/Hessian.
+
+    Coordinate indices >= len(atoms) refer to dummy atoms in the shared
+    :class:`DummyStore` (used by the internal-coordinate machinery for
+    linear centers)."""
+
+    def __init__(self, atoms: Atoms, ignore_rotation: bool = True,
+                 dummies: Optional[DummyStore] = None) -> None:
         self.atoms = atoms
         self.ignore_rotation = ignore_rotation
+        self.dummies = dummies if dummies is not None else DummyStore()
         self.records: dict = {g: [] for g in GROUPS}
+
+    def _all_positions(self) -> np.ndarray:
+        if len(self.dummies):
+            return np.vstack([self.atoms.positions,
+                              self.dummies.positions])
+        return self.atoms.positions
+
+    @property
+    def _ntotal(self) -> int:
+        return len(self.atoms) + len(self.dummies)
 
     # -- registration --------------------------------------------------------
     def _add(self, group: str, rec: Record, replace_ok: bool = True) -> None:
@@ -121,7 +158,7 @@ class Constraints:
                 self.fix_translation(index, dim=d)
             return
         if target is None:
-            target = float(np.mean(self.atoms.positions[index, dim]))
+            target = float(np.mean(self._all_positions()[index, dim]))
         rec = Record("translation", index, target=target, axis=dim)
         self._add("translations", rec)
 
@@ -142,7 +179,7 @@ class Constraints:
             indices,
             target=0.0,
             axis=axis,
-            ref=self.atoms.positions[indices].copy(),
+            ref=self._all_positions()[indices].copy(),
         )
         self._add("rotations", rec, replace_ok=False)
 
@@ -223,7 +260,7 @@ class Constraints:
 
     # -- evaluation ----------------------------------------------------------
     def _value_of(self, rec: Record) -> float:
-        pos = self.atoms.positions
+        pos = self._all_positions()
         cell = self.atoms.cell
         if rec.kind == "translation":
             return float(np.mean(pos[rec.indices, rec.axis]))
@@ -264,9 +301,10 @@ class Constraints:
         return res
 
     def jacobian(self) -> np.ndarray:
-        """(ncons, 3n) constraint Jacobian drdx."""
-        n = len(self.atoms)
-        pos = self.atoms.positions
+        """(ncons, 3n_total) constraint Jacobian drdx (n_total includes
+        dummies)."""
+        n = self._ntotal
+        pos = self._all_positions()
         cell = self.atoms.cell
         rows = []
         for rec in self._iter_records():
@@ -297,8 +335,8 @@ class Constraints:
     def hessian_ldot(self, L: np.ndarray) -> np.ndarray:
         """``Hc = sum_k L_k hess_k`` — the constraint curvature entering
         the Hessian of the Lagrangian (``peswrapper.py:349-361``)."""
-        n = len(self.atoms)
-        pos = self.atoms.positions
+        n = self._ntotal
+        pos = self._all_positions()
         cell = self.atoms.cell
         Hc = np.zeros((3 * n, 3 * n))
         for lk, rec in zip(np.asarray(L), self._iter_records()):
@@ -341,7 +379,8 @@ class Constraints:
     def copy(self) -> "Constraints":
         import copy as _copy
 
-        new = Constraints(self.atoms, self.ignore_rotation)
+        new = Constraints(self.atoms, self.ignore_rotation,
+                          dummies=self.dummies)
         new.records = {
             g: [_copy.deepcopy(r) for r in self.records[g]] for g in GROUPS
         }

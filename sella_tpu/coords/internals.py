@@ -14,9 +14,10 @@ Functional redesign of the reference ``Internals``/``BaseInternals``
 * coordinate ordering matches the reference: translations, bonds,
   angles, dihedrals, other, rotations.
 
-Dummy atoms for 2-coordinate linear centers are not yet implemented
-(topology warns); improper-dihedral replacement covers >=3-coordinate
-linear centers.
+Linear centers: >=3-coordinate centers get improper-dihedral
+replacements; 2-coordinate centers get a dummy atom perpendicular to the
+axis with a constrained dummy bond/angle and an improper-dihedral bend
+(``internal.py:3482-3550``).
 """
 from __future__ import annotations
 
@@ -33,7 +34,7 @@ from ..utils import units
 from ..utils.elements import covalent_radii
 from . import primitives as prim
 from . import topology as topo_mod
-from .constraints import Constraints, DuplicateInternalError
+from .constraints import Constraints, DummyStore, DuplicateInternalError
 
 
 def _pad_to(x: np.ndarray, n: int, axis: int = 0):
@@ -56,9 +57,16 @@ class Internals:
         atol_deg: float = 15.0,
     ) -> None:
         self.atoms = atoms
-        self.cons = cons if cons is not None else Constraints(atoms)
+        self.dummies = DummyStore()
+        if cons is None:
+            cons = Constraints(atoms, dummies=self.dummies)
+        else:
+            cons.dummies = self.dummies
+        self.cons = cons
         self.allow_fragments = allow_fragments
         self.atol = np.radians(atol_deg)
+        # dinds[i] = extended index of atom i's dummy, or -1
+        self.dinds = -np.ones(len(atoms), dtype=np.int64)
 
         # coordinate records
         self.trans: List[Tuple[np.ndarray]] = []    # (indices,) per axis-triple
@@ -67,6 +75,7 @@ class Internals:
         self.angles: List[tuple] = []
         self.dihedrals: List[tuple] = []
         self.rotations: List[tuple] = []  # (indices, axis, ref_positions)
+        self.others: List[tuple] = []     # (fn, indices) user coordinates
         self.fragment_atom_groups: List[np.ndarray] = []
 
         self._engine = None
@@ -91,7 +100,7 @@ class Internals:
 
     @property
     def nother(self):
-        return 0
+        return len(self.others)
 
     @property
     def nrotations(self):
@@ -100,7 +109,7 @@ class Internals:
     @property
     def nint(self):
         return (self.ntrans + self.nbonds + self.nangles + self.ndihedrals
-                + self.nrotations)
+                + self.nother + self.nrotations)
 
     @property
     def natoms(self):
@@ -108,11 +117,17 @@ class Internals:
 
     @property
     def ndummies(self):
-        return 0
+        return len(self.dummies)
 
     @property
     def ndof(self):
-        return 3 * self.natoms
+        return 3 * (self.natoms + self.ndummies)
+
+    def all_positions(self) -> np.ndarray:
+        if self.ndummies:
+            return np.vstack([self.atoms.positions,
+                              self.dummies.positions])
+        return self.atoms.positions
 
     # -- registration ---------------------------------------------------------
     def add_bond(self, indices, ncvec=(0, 0, 0)) -> None:
@@ -150,6 +165,31 @@ class Internals:
         self.trans_axes.append(int(axis))
         self._engine = None
 
+    def add_user_coordinate(self, fn, indices) -> None:
+        """Register a user-defined coordinate: ``fn(pos)`` is a pure jnp
+        scalar function of the gathered (k, 3) positions; derivatives
+        come from jax (the reference's ``make_internal`` factory,
+        ``internal.py:1181-1206``)."""
+        indices = np.asarray(indices, dtype=np.int64)
+        self.others.append((fn, indices))
+        self._engine = None
+
+    def add_displacement(self, indices=None, refpos=None, W=None) -> None:
+        """Weighted squared displacement from a reference geometry
+        (``internal.py:1081-1108``)."""
+        if indices is None:
+            indices = np.arange(self.natoms, dtype=np.int64)
+        indices = np.asarray(indices, dtype=np.int64)
+        if refpos is None:
+            refpos = self.all_positions()[indices].copy()
+        if W is None:
+            W = np.eye(3 * len(indices))
+        refpos_j = jnp.asarray(refpos)
+        W_j = jnp.asarray(W)
+        self.add_user_coordinate(
+            lambda p: prim.displacement_value(p, refpos_j, W_j), indices
+        )
+
     def add_rotation(self, indices, axis=None) -> None:
         indices = np.asarray(indices, dtype=np.int64)
         if axis is None:
@@ -157,7 +197,7 @@ class Internals:
                 self.add_rotation(indices, a)
             return
         self.rotations.append(
-            (indices, int(axis), self.atoms.positions[indices].copy())
+            (indices, int(axis), self.all_positions()[indices].copy())
         )
         self._engine = None
 
@@ -186,13 +226,72 @@ class Internals:
     def find_all_angles(self) -> None:
         t = topo_mod.Topology()
         t.bonds = self.bonds
-        topo_mod.find_angles(
-            t, self.atoms.positions, self.atoms.cell, self.atol
+        linear_centers = topo_mod.find_angles(
+            t, self.all_positions(), self.atoms.cell, self.atol
         )
         self.angles.extend(t.angles)
         # linear-angle improper replacements land in t.dihedrals
         self.dihedrals.extend(t.dihedrals)
+        for j, (a, nca), (b, ncb) in linear_centers:
+            self._add_dummy_for_linear_center(j, a, nca, b, ncb)
         self._engine = None
+
+    def _add_dummy_for_linear_center(self, j, a, nca, b, ncb) -> None:
+        """Insert a dummy atom perpendicular to a 2-coordinate linear
+        center so its bend is representable (``internal.py:3482-3550``):
+        the dummy bond and one dummy angle are constrained; the improper
+        dihedral a-j-dummy-b becomes the bending coordinate."""
+        pos = self.all_positions()
+        cell = self.atoms.cell
+        if self.dinds[j] < 0:
+            dx1 = pos[a] - pos[j] + nca @ cell
+            dx1 = dx1 / np.linalg.norm(dx1)
+            dx2 = pos[b] - pos[j] + ncb @ cell
+            dx2 = dx2 / np.linalg.norm(dx2)
+            dpos = np.cross(-dx1, dx2)
+            nrm = np.linalg.norm(dpos)
+            if nrm < 1e-4:
+                # exactly collinear: basis vector most orthogonal to dx1
+                dim = int(np.argmin(np.abs(dx1)))
+                dpos = np.zeros(3)
+                dpos[dim] = 1.0
+                dpos -= dx1 * (dpos @ dx1)
+                dpos /= np.linalg.norm(dpos)
+            else:
+                dpos = dpos / nrm
+            dind = self.natoms + self.dummies.append(pos[j] + dpos)
+            self.dinds[j] = dind
+        dind = int(self.dinds[j])
+
+        # constrained dummy bond + ONE dummy angle (two would
+        # over-constrain, ``internal.py:3518-3527``)
+        try:
+            self.add_bond((j, dind))
+        except DuplicateInternalError:
+            pass
+        self.cons.fix_bond((j, dind))
+        self.cons.fix_angle((a, j, dind), ncvecs=np.vstack([-nca, [0, 0, 0]]))
+        # bending DOF: improper dihedral a-j-dummy-b
+        self.add_dihedral(
+            (a, j, dind, b),
+            ncvecs=np.vstack([-nca, [0, 0, 0], ncb]),
+        )
+        # angles through the dummy for every bond at j
+        for (i2, j2, nc2) in self.bonds:
+            if j2 == j and i2 != dind:
+                other, nco = i2, -np.asarray(nc2)
+            elif i2 == j and j2 != dind:
+                other, nco = j2, np.asarray(nc2)
+            else:
+                continue
+            tv1 = -nco @ cell
+            ang = topo_mod._angle_of(
+                self.all_positions(), other, j, dind, tv1, np.zeros(3)
+            )
+            if self.atol < ang < np.pi - self.atol:
+                self.add_angle(
+                    (other, j, dind), ncvecs=np.vstack([-nco, [0, 0, 0]])
+                )
 
     def find_all_dihedrals(self) -> None:
         t = topo_mod.Topology()
@@ -211,7 +310,7 @@ class Internals:
         s = np.linalg.svd(np.asarray(jac), compute_uv=False)
         ndeloc = int(np.sum(s > 1e-8))
         has_trics = bool(self.trans or self.rotations)
-        n = self.natoms
+        n = self.natoms + self.ndummies
         if has_trics:
             ndof = 3 * n
         elif any(np.any(b[2] != 0) for b in self.bonds):
@@ -243,6 +342,9 @@ class Internals:
 
     def copy(self) -> "Internals":
         new = Internals(self.atoms, self.cons.copy(), self.allow_fragments)
+        new.dummies.positions = self.dummies.positions.copy()
+        new.cons.dummies = new.dummies
+        new.dinds = self.dinds.copy()
         new.atol = self.atol
         new.trans = list(self.trans)
         new.trans_axes = list(self.trans_axes)
@@ -250,6 +352,7 @@ class Internals:
         new.angles = list(self.angles)
         new.dihedrals = list(self.dihedrals)
         new.rotations = list(self.rotations)
+        new.others = list(self.others)
         new.fragment_atom_groups = list(self.fragment_atom_groups)
         new._bond_keys = set(self._bond_keys)
         return new
@@ -263,7 +366,8 @@ class Internals:
     def calc(self) -> np.ndarray:
         return np.array(
             self._get_engine().calc(
-                jnp.asarray(self.atoms.positions), jnp.asarray(self.atoms.cell)
+                jnp.asarray(self.all_positions()),
+                jnp.asarray(self.atoms.cell),
             )
         )
 
@@ -271,7 +375,8 @@ class Internals:
         """B matrix, (nint, 3 natoms)."""
         return np.asarray(
             self._get_engine().jacobian(
-                jnp.asarray(self.atoms.positions), jnp.asarray(self.atoms.cell)
+                jnp.asarray(self.all_positions()),
+                jnp.asarray(self.atoms.cell),
             )
         )
 
@@ -280,9 +385,11 @@ class Internals:
         HVPs, shape (nint, 3 natoms) (``internal.py:2307-2575``)."""
         return np.asarray(
             self._get_engine().hessian_rdot(
-                jnp.asarray(self.atoms.positions),
+                jnp.asarray(self.all_positions()),
                 jnp.asarray(self.atoms.cell),
-                jnp.asarray(np.asarray(v).reshape(self.natoms, 3)),
+                jnp.asarray(
+                    np.asarray(v).reshape(self.natoms + self.ndummies, 3)
+                ),
             )
         )
 
@@ -292,7 +399,7 @@ class Internals:
         (``linalg.py:601-618``)."""
         return np.asarray(
             self._get_engine().hessian_ldot(
-                jnp.asarray(self.atoms.positions),
+                jnp.asarray(self.all_positions()),
                 jnp.asarray(self.atoms.cell),
                 jnp.asarray(np.asarray(w)),
             )
@@ -307,24 +414,42 @@ class Internals:
         return Internals._HessLdot(self.hessian_ldot)
 
     def wrap(self, vec: np.ndarray) -> np.ndarray:
-        """Wrap dihedral components of a coordinate difference to
-        (-pi, pi] (``internal.py:2577-2627``)."""
+        """Wrap periodic components of a coordinate difference
+        (``internal.py:2577-2627``): dihedrals to (-pi, pi]; rotation
+        vectors by 2 pi about their own axis when the magnitude exceeds
+        pi (v and v (1 - 2 pi/|v|) are the same rotation)."""
         out = np.asarray(vec, dtype=np.float64).copy()
         d0 = self.ntrans + self.nbonds + self.nangles
         d1 = d0 + self.ndihedrals
         out[d0:d1] = (out[d0:d1] + np.pi) % (2 * np.pi) - np.pi
+        if self.nrotations:
+            r0 = self.nint - self.nrotations
+            # rotations are stored per axis but grouped in triples
+            for k in range(r0, self.nint - 2, 3):
+                v = out[k:k + 3]
+                nrm = np.linalg.norm(v)
+                while nrm > np.pi:
+                    v -= 2 * np.pi * v / nrm
+                    nrm = np.linalg.norm(v)
+                out[k:k + 3] = v
         return out
 
     # -- Lindh-style diagonal guess Hessian -------------------------------------
     def guess_hessian(self, h0cart: float = 70.0) -> np.ndarray:
         """(``internal.py:3738-3820``)"""
-        Z = self.atoms.numbers
-        pos = self.atoms.positions
+        # dummies enter as element 'X' (Z=0, rcov 0.2) like the
+        # reference's all_atoms (``internal.py:3744-3747``)
+        Z = np.concatenate(
+            [self.atoms.numbers,
+             np.zeros(self.ndummies, dtype=self.atoms.numbers.dtype)]
+        )
+        pos = self.all_positions()
         cell = self.atoms.cell
         vals = self.calc()
         h0 = np.zeros(self.nint)
         h0_tr = 0.05 * units.Hartree
-        nbonds_per_atom = np.zeros(self.natoms, dtype=np.int64)
+        nbonds_per_atom = np.zeros(self.natoms + self.ndummies,
+                                   dtype=np.int64)
         for i, j, _ in self.bonds:
             nbonds_per_atom[i] += 1
             nbonds_per_atom[j] += 1
@@ -353,7 +478,12 @@ class Internals:
                 ) / (rcovaj * rcovjb / units.Bohr**2) ** (-0.42)
             ) * units.Hartree
             idx += 1
+        dummy_set = set(range(self.natoms, self.natoms + self.ndummies))
         for (i, j, k, l, ncvs) in self.dihedrals:
+            if any(int(q) in dummy_set for q in (i, j, k, l)):
+                h0[idx] = 0.5 * units.Hartree
+                idx += 1
+                continue
             rcovjk = covalent_radii[Z[j]] + covalent_radii[Z[k]]
             rjk = np.linalg.norm(pos[k] - pos[j] + ncvs[1] @ cell)
             L = nbonds_per_atom[j] + nbonds_per_atom[k] - 2
@@ -363,6 +493,9 @@ class Internals:
                     -2.85 * (rjk - rcovjk) / units.Bohr
                 ) / (rjk * rcovjk / units.Bohr**2) ** 4.00
             ) * units.Hartree
+            idx += 1
+        for _ in self.others:
+            h0[idx] = h0cart
             idx += 1
         for _ in self.rotations:
             h0[idx] = h0_tr if self.allow_fragments else h0cart
@@ -374,7 +507,7 @@ class _Engine:
     """Compiled evaluation engine for one topology signature."""
 
     def __init__(self, ints: Internals) -> None:
-        self.n = ints.natoms
+        self.n = ints.natoms + ints.ndummies
         # padded index arrays per kind
         self.nb = len(ints.bonds)
         self.na = len(ints.angles)
@@ -421,8 +554,12 @@ class _Engine:
             (jnp.asarray(idx), ax, jnp.asarray(ref))
             for idx, ax, ref in ints.rotations
         ]
+        self.others = [
+            (fn, jnp.asarray(idx)) for fn, idx in ints.others
+        ]
         self.counts = (
-            len(self.trans), self.nb, self.na, self.nd, len(self.rots)
+            len(self.trans), self.nb, self.na, self.nd,
+            len(self.others), len(self.rots),
         )
 
         self._calc = jax.jit(self._calc_impl)
@@ -462,6 +599,8 @@ class _Engine:
             parts.append(jnp.mean(pos[idx, ax])[None])
         for name, vals, count in self._kind_vals(pos, cell):
             parts.append(vals[:count])
+        for fn, idx in self.others:
+            parts.append(fn(pos[idx])[None])
         for idx, ax, ref in self.rots:
             parts.append(prim.rotation_value(pos[idx], ref)[ax][None])
         if not parts:
@@ -500,6 +639,10 @@ class _Engine:
                 pos[self.dih_idx], self.dih_ncv @ cell
             )
             rows.append(scatter_rows(g, self.dih_idx, self.nd, self.nd_p))
+        for fn, idx in self.others:
+            g = jax.grad(fn)(pos[idx])
+            row = jnp.zeros((n, 3), pos.dtype).at[idx].set(g)
+            rows.append(row.reshape(1, 3 * n))
         for idx, ax, ref in self.rots:
             J = prim.rotation_jac(pos[idx], ref)[ax]  # (len(idx), 3)
             row = jnp.zeros((n, 3), pos.dtype).at[idx].set(J)
@@ -536,6 +679,11 @@ class _Engine:
         if self.nd:
             rows.append(hvp_rows(prim.dihedral_value, self.dih_idx,
                                  self.dih_ncv, self.nd, self.nd_p))
+        for fn, idx in self.others:
+            gfun = lambda p: jax.grad(fn)(p)
+            hv = jax.jvp(gfun, (pos[idx],), (v[idx],))[1]
+            row = jnp.zeros((n, 3), pos.dtype).at[idx].set(hv)
+            rows.append(row.reshape(1, 3 * n))
         for idx, ax, ref in self.rots:
             jfun = lambda p: prim.rotation_jac(p, ref)[ax]
             hv = jax.jvp(jfun, (pos[idx],), (v[idx],))[1]
@@ -584,6 +732,12 @@ class _Engine:
         if self.nd:
             H, off = add_kind2(H, prim.dihedral_value, self.dih_idx,
                                self.dih_ncv, self.nd, self.nd_p, off)
+        for fn, idx in self.others:
+            Hr = jax.hessian(fn)(pos[idx])  # (m,3,m,3)
+            onehot = jax.nn.one_hot(idx, n, dtype=pos.dtype)
+            Hk = jnp.einsum("ia,ixjy,jb->axby", onehot, Hr, onehot)
+            H = H + w[off] * Hk.reshape(3 * n, 3 * n)
+            off += 1
         for idx, ax, ref in self.rots:
             Hr = prim.rotation_hess(pos[idx], ref)[ax]  # (m,3,m,3)
             m = idx.shape[0]

@@ -61,6 +61,14 @@ def translation_value(pos: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.mean(pos[:, axis])
 
 
+def displacement_value(pos: jnp.ndarray, refpos: jnp.ndarray,
+                       W: jnp.ndarray) -> jnp.ndarray:
+    """Weighted squared displacement from a reference geometry
+    (``/root/reference/sella/internal.py:1081-1108``)."""
+    dx = (pos - refpos).ravel()
+    return dx @ W @ dx
+
+
 # ---------------------------------------------------------------------------
 # Quaternion rotation coordinate
 # ---------------------------------------------------------------------------

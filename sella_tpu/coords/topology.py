@@ -214,7 +214,7 @@ def find_angles(topo: Topology, positions: np.ndarray, cell: np.ndarray,
         neigh[i].append((j, ncvec))
         neigh[j].append((i, -ncvec))
 
-    linear_centers = []
+    linear_centers = []  # (j, (a, nca), (b, ncb)) needing dummy atoms
     for j in range(n):
         linear = []
         for (a, nca), (b, ncb) in combinations(neigh[j], 2):
@@ -232,7 +232,16 @@ def find_angles(topo: Topology, positions: np.ndarray, cell: np.ndarray,
                 linear.append(((a, nca), (b, ncb)))
         if linear:
             if len(neigh[j]) == 2:
-                linear_centers.append(j)
+                # needs a dummy atom; handled by the Internals container
+                # (sorted shortest-bond-first for permutational
+                # invariance, ``internal.py:3482-3486``)
+                (a, nca), (b, ncb) = sorted(
+                    neigh[j],
+                    key=lambda t: np.linalg.norm(
+                        positions[t[0]] - positions[j] + t[1] @ cell
+                    ),
+                )
+                linear_centers.append((j, (a, nca), (b, ncb)))
             else:
                 # replace each linear angle with an improper dihedral
                 # through a third neighbor (``internal.py:3551-3573``)
@@ -250,12 +259,7 @@ def find_angles(topo: Topology, positions: np.ndarray, cell: np.ndarray,
                             "Unable to find improper dihedral to replace "
                             "linear angle!"
                         )
-    if linear_centers:
-        warnings.warn(
-            f"Linear 2-coordinate centers {linear_centers} need dummy "
-            "atoms, which are not yet implemented; the corresponding "
-            "bending DOF are not represented."
-        )
+    return linear_centers
 
 
 def find_dihedrals(topo: Topology) -> None:

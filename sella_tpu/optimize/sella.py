@@ -70,6 +70,7 @@ class Sella(Optimizer):
         diag_every_n: Optional[int] = None,
         hessian_function: Optional[Callable] = None,
         optimize_cell: bool = False,
+        allow_fragments: bool = False,
         cell_mask: Optional[np.ndarray] = None,
         exp_cell_factor: Optional[float] = None,
         scalar_pressure: float = 0.0,
@@ -84,6 +85,7 @@ class Sella(Optimizer):
 
         # cell-optimization validation (``optimize.py:127-142``)
         self.optimize_cell = optimize_cell
+        self.allow_fragments = allow_fragments
         self.smax = smax
         self.niggli = niggli
         if optimize_cell:
@@ -103,6 +105,7 @@ class Sella(Optimizer):
         self.initialize_pes(
             atoms, trajectory, order, eta, constraints, v0, internal,
             hessian_function, optimize_cell=optimize_cell,
+            allow_fragments=allow_fragments,
             cell_mask=cell_mask, exp_cell_factor=exp_cell_factor,
             scalar_pressure=scalar_pressure,
             refine_initial_hessian=refine_initial_hessian,
@@ -160,6 +163,7 @@ class Sella(Optimizer):
         internal: bool = False,
         hessian_function=None,
         optimize_cell: bool = False,
+        allow_fragments: bool = False,
         cell_mask=None,
         exp_cell_factor=None,
         scalar_pressure: float = 0.0,
@@ -184,10 +188,35 @@ class Sella(Optimizer):
             )
             return
         if optimize_cell and internal:
-            raise NotImplementedError(
-                "CellInternalPES (internal + cell) lands in a later "
-                "stage; use optimize_cell with internal=False."
+            from ..pes.cell import CellInternalPES
+            from ..coords.internals import Internals
+
+            if isinstance(internal, Internals):
+                if constraints is not None:
+                    raise ValueError(
+                        "Pass Constraints to the Internals constructor "
+                        "when supplying explicit Internals."
+                    )
+                internals = internal
+                auto = False
+            else:
+                internals = Internals(
+                    atoms, cons=constraints,
+                    allow_fragments=allow_fragments,
+                )
+                auto = True
+            self.internal = internals
+            self.constraints = None
+            self.pes = CellInternalPES(
+                atoms, internals, trajectory=trajectory, eta=eta, v0=v0,
+                auto_find_internals=auto,
+                hessian_function=hessian_function,
+                cell_mask=cell_mask, exp_cell_factor=exp_cell_factor,
+                scalar_pressure=scalar_pressure,
+                refine_initial_hessian=refine_initial_hessian,
+                save_hessian=save_hessian, **kwargs
             )
+            return
         if internal:
             from ..pes.internal import InternalPES
             from ..coords.internals import Internals
@@ -201,7 +230,10 @@ class Sella(Optimizer):
                 internals = internal
                 auto = False
             else:
-                internals = Internals(atoms, cons=constraints)
+                internals = Internals(
+                    atoms, cons=constraints,
+                    allow_fragments=allow_fragments,
+                )
                 auto = True
             self.internal = internals
             self.constraints = None

@@ -263,3 +263,400 @@ class CellCartesianPES(PES):
         """Niggli reduction is a host-side repave event; implemented with
         the Hessian cell-block transform in a later stage."""
         return False
+
+
+class CellInternalPES:
+    """Internal coordinates + cell DOF (``peswrapper.py:1320-2373``).
+
+    Composed from :class:`~sella_tpu.pes.internal.InternalPES` for the
+    atomic part and the log-deformation machinery above for the cell
+    part. DOF vector = [q (redundant internals), masked scaled
+    log-deformation]. A cell change scales atoms affinely (fixed
+    fractional coordinates, ``peswrapper.py:1864-1878``); the optimizer's
+    internal step then applies on top via the geodesic move. The cell
+    gradient is ``jax.grad`` of the fixed-fractional enthalpy — the
+    reference's virial + expm-Fréchet pipeline is unnecessary.
+
+    Rigid-fragment transport and Niggli reduction are tracked for a later
+    stage.
+    """
+
+    n_cell_dof: int
+
+    def __init__(
+        self,
+        atoms,
+        internals,
+        *args,
+        exp_cell_factor: Optional[float] = None,
+        cell_mask: Optional[np.ndarray] = None,
+        scalar_pressure: float = 0.0,
+        refine_initial_hessian=False,
+        hessian_delta: float = 1e-5,
+        save_hessian: Optional[str] = None,
+        H0: Optional[np.ndarray] = None,
+        **kwargs,
+    ) -> None:
+        from .internal import InternalPES
+
+        # atomic part is a full InternalPES; we wrap rather than subclass
+        # so every internal-only code path stays untouched
+        self._ipes = InternalPES(atoms, internals, *args, **kwargs)
+        self.atoms = self._ipes.atoms
+        self.int = self._ipes.int
+        self.cons = self._ipes.cons
+
+        self.orig_cell = atoms.cell.copy()
+        self.exp_cell_factor = (
+            float(len(atoms)) if exp_cell_factor is None else exp_cell_factor
+        )
+        if cell_mask is None:
+            cell_mask = np.ones((3, 3), dtype=bool)
+        self.cell_mask = np.asarray(cell_mask, dtype=bool).reshape(3, 3)
+        self.n_cell_dof = int(self.cell_mask.sum())
+        self.scalar_pressure = scalar_pressure
+        self._L = np.zeros((3, 3))
+
+        self.n_internal = self._ipes.dim
+        self.dim = self.n_internal + self.n_cell_dof
+        self.eta = self._ipes.eta
+        self.hessian_function = self._ipes.hessian_function
+        self.traj = self._ipes.traj
+        self.first_diag = True
+        self.v0 = self._ipes.v0
+        self.eigensolver = self._ipes.eigensolver
+
+        pot = self._ipes._potential
+        if pot is None:
+            raise NotImplementedError(
+                "CellInternalPES requires a jax-native Potential"
+            )
+        factor = self.exp_cell_factor
+        pressure = self.scalar_pressure
+        mask_flat = jnp.asarray(np.where(self.cell_mask.ravel())[0])
+
+        def cell_enthalpy(frac, s, L_base, cell0):
+            L = L_base.ravel().at[mask_flat].set(s).reshape(3, 3)
+            cell = expm(L / factor) @ cell0
+            pos = frac @ cell
+            e = pot.energy(pos.ravel(), cell)
+            if pressure != 0.0:
+                e = e + pressure * jnp.abs(jnp.linalg.det(cell))
+            return e
+
+        self._cell_grad = jax.jit(jax.grad(cell_enthalpy, argnums=1))
+
+        # Hessian: internal block from the InternalPES guess + unit cell
+        # block (``peswrapper.py:1471-1519`` refine levels via FD)
+        H0_full = np.zeros((self.dim, self.dim))
+        H0_full[: self.n_internal, : self.n_internal] = (
+            self._ipes.H.asarray()
+        )
+        H0_full[self.n_internal:, self.n_internal:] = np.eye(
+            self.n_cell_dof
+        )
+        self._H_obj = None
+        self.set_H(H0_full)
+        if int(refine_initial_hessian) >= 1:
+            cols = self._cell_hessian_columns(hessian_delta)
+            H = self.H.asarray().copy()
+            H[: self.n_internal, self.n_internal:] = cols[: self.n_internal]
+            H[self.n_internal:, : self.n_internal] = (
+                cols[: self.n_internal].T
+            )
+            cc = cols[self.n_internal:]
+            H[self.n_internal:, self.n_internal:] = 0.5 * (cc + cc.T)
+            self.set_H(H)
+        if save_hessian is not None:
+            np.save(save_hessian, self.H.asarray())
+
+        # own state dict — the inner InternalPES keeps internal-dim
+        # quantities (its geodesic reads curr['g'] of length n_internal),
+        # the wrapper keeps the extended [internal, cell] vectors
+        self.curr: dict = dict(x=None, f=None, g=None)
+        self.last: dict = dict(self.curr)
+
+    # -- plumbing shared with PES API -------------------------------------------
+    @property
+    def neval(self):
+        return self._ipes.neval
+
+    @property
+    def H(self):
+        return self._H_obj
+
+    def set_H(self, target, **kwargs) -> None:
+        from ..ops.operators import ApproximateHessian
+
+        self._H_obj = ApproximateHessian(self.dim, self.n_internal, target,
+                                         **kwargs)
+
+    def get_H(self):
+        return self._H_obj
+
+    def save(self) -> None:
+        self._ipes.save()
+        self._ipes.savepoint["cell"] = self.atoms.cell.copy()
+        self._ipes.savepoint["L"] = self._L.copy()
+
+    def restore(self) -> None:
+        sp = self._ipes.savepoint
+        if sp.get("cell") is not None:
+            self.atoms.cell = sp["cell"].copy()
+        if sp.get("L") is not None:
+            self._L = sp["L"].copy()
+        self._ipes.restore()
+
+    # -- cell parameterization ---------------------------------------------------
+    def _masked_cell_params(self) -> np.ndarray:
+        return self._L[self.cell_mask].copy()
+
+    def _set_masked_cell_params(self, params: np.ndarray) -> None:
+        self._L[self.cell_mask] = params
+        cell = np.asarray(
+            expm(jnp.asarray(self._L / self.exp_cell_factor))
+        ) @ self.orig_cell
+        # affine scaling: fixed fractional coordinates
+        frac = self.atoms.positions @ np.linalg.inv(self.atoms.cell)
+        self.atoms.cell = cell
+        self.atoms.positions = frac @ cell
+        self._ipes._invalidate()
+
+    # -- coordinates ----------------------------------------------------------------
+    def get_x(self) -> np.ndarray:
+        return np.concatenate(
+            [self._ipes.get_x(), self._masked_cell_params()]
+        )
+
+    def wrap_dx(self, dx: np.ndarray) -> np.ndarray:
+        out = np.asarray(dx, dtype=np.float64).copy()
+        out[: self.n_internal] = self._ipes.wrap_dx(out[: self.n_internal])
+        return out
+
+    def set_x(self, target: np.ndarray):
+        """Cell first (affine), then the internal step via the geodesic
+        machinery (``peswrapper.py:1947-2111``)."""
+        ni = self.n_internal
+        q_before = self._ipes.get_x()
+        s_before = self._masked_cell_params()
+        dq = self._ipes.wrap_dx(np.asarray(target[:ni]) - q_before)
+
+        # keep the inner PES's state consistent (internal-dim slices)
+        g_ext = self.curr.get("g")
+        self._ipes.curr["x"] = q_before
+        self._ipes.curr["g"] = (
+            None if g_ext is None else np.asarray(g_ext[:ni])
+        )
+
+        self._set_masked_cell_params(np.asarray(target[ni:]))
+        q_after_cell = self._ipes.get_x()
+        dxi, dxf, gpar = self._ipes.set_x(q_after_cell + dq)
+
+        ds = np.asarray(target[ni:]) - s_before
+        dx_initial = np.concatenate([dq, ds])
+        dx_final = np.concatenate([dxf, ds])
+        g_old = self.curr.get("g")
+        if g_old is not None and len(g_old) == self.dim:
+            g_par = np.concatenate([gpar, g_old[ni:]])
+        else:
+            g_par = np.concatenate([gpar, np.zeros(self.n_cell_dof)])
+        return dx_initial, dx_final, g_par
+
+    # -- evaluation --------------------------------------------------------------------
+    def eval(self):
+        f, g_int = self._ipes.eval()
+        if self.scalar_pressure != 0.0:
+            f = f + self.scalar_pressure * abs(
+                np.linalg.det(self.atoms.cell)
+            )
+        frac = self.atoms.positions @ np.linalg.inv(self.atoms.cell)
+        g_cell = np.asarray(
+            self._cell_grad(
+                jnp.asarray(frac),
+                jnp.asarray(self._masked_cell_params()),
+                jnp.asarray(self._L),
+                jnp.asarray(self.orig_cell),
+            )
+        )
+        return f, np.concatenate([g_int, g_cell])
+
+    def _cell_hessian_columns(self, delta: float = 1e-5) -> np.ndarray:
+        cols = np.zeros((self.dim, self.n_cell_dof))
+        x0 = self.get_x()
+        for k in range(self.n_cell_dof):
+            xp = x0.copy()
+            xp[self.n_internal + k] += delta
+            self.set_x(xp)
+            _, gp = self.eval()
+            xm = x0.copy()
+            xm[self.n_internal + k] -= delta
+            self.set_x(xm)
+            _, gm = self.eval()
+            cols[:, k] = (gp - gm) / (2 * delta)
+        self.set_x(x0)
+        return cols
+
+    # -- state / bases ------------------------------------------------------------------
+    def _update(self, feval: bool = True) -> bool:
+        sig = self._ipes._geom_signature() + self.atoms.cell.tobytes()
+        same = self.curr.get("x") is not None and self.curr.get(
+            "sig_cell"
+        ) == sig
+        if same and not (feval and self.curr.get("f") is None):
+            return False
+        if feval:
+            f, g = self.eval()
+        else:
+            f, g = None, None
+        if self.curr.get("x") is not None:
+            self.last = dict(self.curr)
+        self.curr["x"] = self.get_x()
+        self.curr["sig_cell"] = sig
+        self.curr["f"] = f
+        self.curr["g"] = g
+        self._update_basis()
+        return True
+
+    def _update_basis(self, basis=None) -> None:
+        drdx, Ucons, Unred, Ufree = (
+            basis if basis is not None else self._calc_basis()
+        )
+        self.curr.update(
+            drdx=drdx, Ucons=Ucons, Unred=Unred, Ufree=Ufree
+        )
+        g = self.curr.get("g")
+        if g is None:
+            self.curr["L"] = None
+        elif drdx.shape[0] == 0:
+            self.curr["L"] = np.zeros(0)
+        else:
+            self.curr["L"] = np.linalg.lstsq(drdx.T, g, rcond=None)[0]
+        # propagate multipliers to the inner PES for its Hc
+        self._ipes.curr["L"] = (
+            None if self.curr["L"] is None
+            else self.curr["L"]
+        )
+
+    def _calc_basis(self):
+        drdx_i, Ucons_i, Unred_i, Ufree_i = self._ipes._calc_basis()
+        ni, nc = self.n_internal, self.n_cell_dof
+        nt = self.dim
+        drdx = np.zeros((drdx_i.shape[0], nt))
+        drdx[:, :ni] = drdx_i
+        Ucons = np.zeros((nt, Ucons_i.shape[1]))
+        Ucons[:ni] = Ucons_i
+        Unred = np.zeros((nt, Unred_i.shape[1] + nc))
+        Unred[:ni, : Unred_i.shape[1]] = Unred_i
+        Unred[ni:, Unred_i.shape[1]:] = np.eye(nc)
+        Ufree = np.zeros((nt, Ufree_i.shape[1] + nc))
+        Ufree[:ni, : Ufree_i.shape[1]] = Ufree_i
+        Ufree[ni:, Ufree_i.shape[1]:] = np.eye(nc)
+        return drdx, Ucons, Unred, Ufree
+
+    def get_f(self):
+        self._update()
+        return self.curr["f"]
+
+    def get_g(self):
+        self._update()
+        return self.curr["g"].copy()
+
+    def get_Unred(self):
+        self._update(False)
+        return self.curr["Unred"]
+
+    def get_Ufree(self):
+        self._update(False)
+        return self.curr["Ufree"]
+
+    def get_Ucons(self):
+        self._update(False)
+        return self.curr["Ucons"]
+
+    def get_res(self):
+        return self._ipes.get_res()
+
+    def get_drdx(self):
+        drdx_i = self._ipes.get_drdx()
+        out = np.zeros((drdx_i.shape[0], self.dim))
+        out[:, : self.n_internal] = drdx_i
+        return out
+
+    def get_scons(self):
+        Ucons = self.get_Ucons()
+        if Ucons.shape[1] == 0:
+            return np.zeros(self.dim)
+        rhs = self.get_drdx() @ Ucons
+        sol = np.linalg.lstsq(rhs, self.get_res(), rcond=None)[0]
+        return -Ucons @ sol
+
+    def get_Hc(self):
+        Hc = np.zeros((self.dim, self.dim))
+        L = self.curr.get("L")
+        if L is not None and L.size:
+            Hc[: self.n_internal, : self.n_internal] = self._ipes.get_Hc()
+        return Hc
+
+    def get_HL(self):
+        return self.H.asarray() - self.get_Hc()
+
+    def get_HL_projected(self, U):
+        from ..ops.operators import ApproximateHessian
+
+        B = self.H.B
+        if B is None:
+            Bp = None
+        else:
+            Bp = U.T @ B @ U
+            L = self.curr.get("L")
+            if L is not None and L.size:
+                Bp = Bp - U.T @ self.get_Hc() @ U
+        return ApproximateHessian(U.shape[1], 0, Bp,
+                                  self.H.update_method, self.H.symm)
+
+    def get_df_pred(self, dx, g, H):
+        if H is None:
+            return None
+        Unred = self.get_Unred()
+        dx_r = dx @ Unred
+        g_r = g @ Unred
+        H_r = Unred.T @ H @ Unred
+        return float(g_r.T @ dx_r + (dx_r.T @ H_r @ dx_r) / 2.0)
+
+    def _update_H(self, dx, dg):
+        if self.last.get("x") is None or self.last.get("g") is None:
+            return
+        self.H.update(dx, dg)
+
+    # the generic kick / diag / converged machinery matches PES
+    kick = PES.kick
+    diag = PES.diag
+    _calc_eg = PES._calc_eg
+    write_traj = PES.write_traj
+    calculate_hessian = PES.calculate_hessian
+
+    def get_projected_forces(self):
+        g = self.get_g()[: self.n_internal]
+        Ufree = self.get_Ufree()[: self.n_internal,
+                                 : -self.n_cell_dof or None]
+        B = self.int.jacobian()
+        return -((Ufree @ (Ufree.T @ g)) @ B).reshape(-1, 3)
+
+    def converged(self, fmax, smax=None, cmax: float = 1e-5):
+        if smax is None:
+            smax = fmax
+        g = self.get_g()
+        fmax1 = np.linalg.norm(
+            self.get_projected_forces(), axis=1
+        ).max()
+        g_cell = g[self.n_internal:]
+        smax1 = float(np.abs(g_cell).max()) if g_cell.size else 0.0
+        res = self.get_res()
+        cmax1 = np.linalg.norm(res) if res.size else 0.0
+        return (
+            (fmax1 < fmax) and (smax1 < smax) and (cmax1 < cmax),
+            fmax1, cmax1, smax1,
+        )
+
+    def maybe_niggli_reduce(self, angle_threshold: float = 30.0) -> bool:
+        return False

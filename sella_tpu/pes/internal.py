@@ -77,6 +77,35 @@ class InternalPES(PES):
         self.iterative_stepper = iterative_stepper
         self._jac_memo: dict = {}
 
+    # -- extended (atoms + dummies) flat positions ----------------------------
+    def _get_flat_pos(self) -> np.ndarray:
+        return self.int.all_positions().ravel().copy()
+
+    def _set_flat_pos(self, x: np.ndarray) -> None:
+        na = 3 * len(self.atoms)
+        self.atoms.positions = np.asarray(x[:na]).reshape(-1, 3)
+        if self.int.ndummies:
+            self.int.dummies.positions = np.asarray(x[na:]).reshape(-1, 3)
+        self._invalidate()
+
+    def _geom_signature(self) -> bytes:
+        sig = self.atoms.positions.tobytes()
+        if self.int.ndummies:
+            sig += self.int.dummies.positions.tobytes()
+        return sig
+
+    def save(self) -> None:
+        super().save()
+        self.savepoint["dpos"] = (
+            self.int.dummies.positions.copy() if self.int.ndummies else None
+        )
+
+    def restore(self) -> None:
+        dpos = self.savepoint.get("dpos")
+        if dpos is not None:
+            self.int.dummies.positions = dpos.copy()
+        super().restore()
+
     # -- Jacobian / pseudo-inverse with 2-slot memo -----------------------------
     def _jac_factors(self):
         """(B, Unred, Binv) at the current geometry; QR-based with SVD
@@ -125,7 +154,7 @@ class InternalPES(PES):
     def _set_x_newton(self, target, max_iter: int = 20):
         """Newton fast path: solve q(x) = target by lstsq iterations
         (``peswrapper.py:749-839``). Returns None on failure."""
-        pos0 = self.atoms.positions.copy()
+        pos0 = self._get_flat_pos()
         x0 = self.get_x()
         dx_initial = self.wrap_dx(target - x0)
         g0_cart = self._get_Binv() @ self.curr.get(
@@ -143,16 +172,14 @@ class InternalPES(PES):
             if rms < 1e-8:
                 break
             if rms > initial_rms * 2.0:
-                self.atoms.positions = pos0
-                self._invalidate()
+                self._set_flat_pos(pos0)
                 return None
             if it > 3:
                 if rms > rms_prev * 0.95:
                     stagnation += 1
                     if stagnation >= 3:
                         if rms > initial_rms * 0.5:
-                            self.atoms.positions = pos0
-                            self._invalidate()
+                            self._set_flat_pos(pos0)
                             return None
                         break
                 else:
@@ -161,19 +188,14 @@ class InternalPES(PES):
             step = np.linalg.lstsq(
                 self.int.jacobian(), residual, rcond=None
             )[0]
-            self.atoms.positions = (
-                self.atoms.positions + step.reshape(-1, 3)
-            )
-            self._invalidate()
+            self._set_flat_pos(self._get_flat_pos() + step)
             if self.int.check_for_bad_internals() is not None:
-                self.atoms.positions = pos0
-                self._invalidate()
+                self._set_flat_pos(pos0)
                 return None
 
         final = self.wrap_dx(target - self.get_x())
         if np.linalg.norm(final) / np.sqrt(max(len(final), 1)) > 1e-6:
-            self.atoms.positions = pos0
-            self._invalidate()
+            self._set_flat_pos(pos0)
             return None
 
         dx_final = self.get_x() - x0
@@ -188,7 +210,7 @@ class InternalPES(PES):
         deterministic control flow."""
         dq = self.wrap_dx(target - self.get_x())
         Binv0 = self._get_Binv()
-        x = self.atoms.positions.ravel().copy()
+        x = self._get_flat_pos()
         xd = Binv0 @ dq
         gt = Binv0 @ self.curr.get("g", np.zeros_like(dq))
 
@@ -197,8 +219,7 @@ class InternalPES(PES):
 
         def rhs(state):
             x_, xd_, gt_ = state
-            self.atoms.positions = x_.reshape(-1, 3)
-            self._invalidate()
+            self._set_flat_pos(x_)
             D_rdot = self.int.hessian_rdot(xd_)
             Binv = self._get_Binv()
             both = Binv @ (D_rdot @ np.column_stack((xd_, gt_)))
@@ -214,15 +235,13 @@ class InternalPES(PES):
                 s + (h / 6.0) * (a + 2 * b + 2 * c + d)
                 for s, a, b, c, d in zip(state, k1, k2, k3, k4)
             )
-            self.atoms.positions = state[0].reshape(-1, 3)
-            self._invalidate()
+            self._set_flat_pos(state[0])
             self.bad_int = self.int.check_for_bad_internals()
             if self.bad_int is not None:
                 break
 
         x_, xd_, gt_ = state
-        self.atoms.positions = x_.reshape(-1, 3)
-        self._invalidate()
+        self._set_flat_pos(x_)
         B = self.int.jacobian()
         dx_final = B @ xd_
         g_final = B @ gt_
@@ -265,10 +284,7 @@ class InternalPES(PES):
             dx = self._get_Binv() @ dq
             if np.linalg.norm(dx, ord=np.inf) > safety_limit:
                 return moved
-            self.atoms.positions = (
-                self.atoms.positions + dx.reshape(-1, 3)
-            )
-            self._invalidate()
+            self._set_flat_pos(self._get_flat_pos() + dx)
             moved = True
         return moved
 
@@ -328,10 +344,12 @@ class InternalPES(PES):
         return float(g_r.T @ dx_r + (dx_r.T @ H_r @ dx_r) / 2.0)
 
     def get_projected_forces(self) -> np.ndarray:
+        """Projected forces on the REAL atoms (dummy rows dropped)."""
         g = self.get_g()
         Ufree = self.get_Ufree()
         B = self.int.jacobian()
-        return -((Ufree @ (Ufree.T @ g)) @ B).reshape(-1, 3)
+        fx = -((Ufree @ (Ufree.T @ g)) @ B)
+        return fx[: 3 * len(self.atoms)].reshape(-1, 3)
 
     # -- topology rebuild --------------------------------------------------------------
     def update_internals(self, dx=None) -> None:

@@ -84,6 +84,37 @@ def test_hydrostatic_mask():
     assert abs(cos01) > 1e-3  # shear persists
 
 
+def test_cell_internal_tric():
+    """CellInternalPES: fcc Ar (LJ) with per-atom TRIC translations +
+    cell DOF relaxes compressed lattice to the LJ equilibrium (cf. the
+    reference's molecular-crystal cell tests)."""
+    from sella_tpu import Atoms
+    from sella_tpu.potentials import LennardJones
+
+    a = 5.0
+    base = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    )
+    reps = 2
+    pos = np.vstack([
+        (base + [ix, iy, iz]) * a
+        for ix in range(reps) for iy in range(reps) for iz in range(reps)
+    ])
+    atoms = Atoms(["Ar"] * len(pos), pos, cell=np.diag([a * reps] * 3),
+                  pbc=True)
+    atoms.calc = LennardJones(epsilon=0.0104, sigma=3.4, pbc=True)
+    rng = np.random.RandomState(0)
+    atoms.positions = atoms.positions + 0.05 * rng.normal(
+        size=atoms.positions.shape
+    )
+    opt = Sella(atoms, order=0, optimize_cell=True, internal=True,
+                allow_fragments=True, logfile=None)
+    assert opt.pes.n_internal == 3 * len(pos)  # pure TRIC translations
+    assert opt.run(fmax=2e-3, steps=200)
+    a_eff = np.linalg.det(atoms.cell) ** (1 / 3) / reps
+    assert abs(a_eff - 5.33) < 0.05, a_eff
+
+
 def test_scalar_pressure():
     """External pressure shrinks the equilibrium volume."""
     a0 = 3.594

@@ -169,3 +169,37 @@ def test_tric_fragments():
     jac = ints.jacobian()
     s = np.linalg.svd(jac, compute_uv=False)
     assert int(np.sum(s > 1e-8)) == 18  # full 3N
+
+
+def test_user_coordinate_and_displacement():
+    """User-defined coordinates (make_internal equivalent) and the
+    Displacement coordinate participate in q/B/ldot like built-ins."""
+    import jax.numpy as jnp
+
+    ints = Internals(water())
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    # custom coordinate: distance between the two hydrogens
+    ints.add_user_coordinate(
+        lambda p: jnp.linalg.norm(p[1] - p[0]), np.array([1, 2])
+    )
+    ints.add_displacement()
+    assert ints.nother == 2
+    q = ints.calc()
+    assert q.shape == (ints.nint,)
+    # H-H distance value
+    hh = np.linalg.norm(
+        ints.atoms.positions[2] - ints.atoms.positions[1]
+    )
+    np.testing.assert_allclose(q[3], hh, atol=1e-12)
+    np.testing.assert_allclose(q[4], 0.0, atol=1e-12)  # displacement at ref
+    # FD check of the full Jacobian including the custom rows
+    J = ints.jacobian()
+    J_fd = _fd_jacobian(ints)
+    np.testing.assert_allclose(J, J_fd, rtol=1e-6, atol=1e-7)
+    # ldot with weight only on the custom coordinate
+    w = np.zeros(ints.nint)
+    w[3] = 1.0
+    Hl = ints.hessian_ldot(w)
+    np.testing.assert_allclose(Hl, Hl.T, atol=1e-10)
+    assert np.abs(Hl).max() > 0
