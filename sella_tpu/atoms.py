@@ -164,6 +164,10 @@ def from_ase(ase_atoms) -> Atoms:
         from .potentials.base import ASECalculatorWrapper
 
         atoms.calc = ASECalculatorWrapper(ase_atoms)
+    # carry ASE constraints over for later ingestion by Constraints
+    atoms.info["ase_constraints"] = list(
+        getattr(ase_atoms, "constraints", []) or []
+    )
     return atoms
 
 

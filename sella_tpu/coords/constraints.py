@@ -116,6 +116,10 @@ class Constraints:
         self.ignore_rotation = ignore_rotation
         self.dummies = dummies if dummies is not None else DummyStore()
         self.records: dict = {g: [] for g in GROUPS}
+        # ingest ASE constraints carried over by atoms.from_ase
+        # (``internal.py:2760-2761``)
+        for c in getattr(atoms, "info", {}).get("ase_constraints", []):
+            self.merge_ase_constraint(c)
 
     def _all_positions(self) -> np.ndarray:
         if len(self.dummies):
@@ -375,6 +379,61 @@ class Constraints:
                         lk * H[a, :, b, :]
                     )
         return Hc
+
+    def merge_ase_constraint(self, ase_cons) -> None:
+        """Ingest an ASE constraint object (``internal.py:2981-3030``).
+
+        Duck-typed on the class name so ASE stays an optional
+        dependency: FixAtoms, FixCom, FixBondLengths, FixCartesian and
+        FixInternals are mapped onto the native fix_* API.
+        """
+        name = type(ase_cons).__name__
+        if name == "FixAtoms":
+            for index in ase_cons.index:
+                try:
+                    self.fix_translation(int(index))
+                except DuplicateConstraintError:
+                    pass
+        elif name == "FixCom":
+            try:
+                self.fix_translation()
+            except DuplicateConstraintError:
+                pass
+        elif name == "FixBondLengths":
+            lengths = getattr(ase_cons, "bondlengths", None)
+            for i, pair in enumerate(ase_cons.pairs):
+                target = None if lengths is None else lengths[i]
+                try:
+                    self.fix_bond(tuple(pair), target=target)
+                except DuplicateConstraintError:
+                    pass
+        elif name == "FixCartesian":
+            for dim, relaxed in enumerate(ase_cons.mask):
+                if relaxed:
+                    continue
+                try:
+                    self.fix_translation(int(ase_cons.a), dim=dim)
+                except DuplicateConstraintError:
+                    pass
+        elif name == "FixInternals":
+            for lst, adder in (
+                (getattr(ase_cons, "bonds", []), self.fix_bond),
+                (getattr(ase_cons, "angles", []), self.fix_angle),
+                (getattr(ase_cons, "dihedrals", []), self.fix_dihedral),
+            ):
+                for target, indices in lst or []:
+                    try:
+                        adder(indices, target=target)
+                    except DuplicateInternalError:
+                        pass
+            if getattr(ase_cons, "bondcombos", None):
+                raise RuntimeError(
+                    "Combination constraints are not supported."
+                )
+        else:
+            raise RuntimeError(
+                f"ASE constraint class {name} is not supported."
+            )
 
     def copy(self) -> "Constraints":
         import copy as _copy

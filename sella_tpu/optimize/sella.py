@@ -5,8 +5,8 @@ Sequential-API equivalent of the reference driver
 hyperparameter sets per order, per-step predict -> diag-schedule ->
 ``pes.kick`` -> trust-radius ratio update, inequality-constraint retry
 loop, and the same convergence/logging surface. PES construction
-dispatch currently covers Cartesian and internal PES classes; cell
-variants land with the cell-optimization stage.
+dispatches over the four PES classes (Cartesian, internal, and the two
+cell variants), mirroring ``optimize.py:218-315``.
 """
 from __future__ import annotations
 
@@ -300,9 +300,10 @@ class Sella(Optimizer):
                 ev = True
             else:
                 Unred = self.pes.get_Unred()
-                ev = bool(
-                    (self.pes.get_HL_projected(Unred).evals[: self.ord] > 0).any()
-                )
+                evals = self.pes.get_HL_projected(Unred).evals
+                # wrong inertia: a leading eigenvalue turned positive
+                # (``optimize.py:369-371``)
+                ev = bool((evals[: self.ord] > 0).any())
         else:
             ev = False
 
@@ -338,6 +339,14 @@ class Sella(Optimizer):
                 self.delta = max(self.sigma_inc * smag, self.delta)
             self.rho = rho
         else:
+            self.rho = 1.0
+
+        # Niggli-style cell rebase when the cell skews (``optimize.py:
+        # 437-440``)
+        if self.optimize_cell and self.niggli and (
+            self.pes.maybe_niggli_reduce()
+        ):
+            self.initialized = False
             self.rho = 1.0
 
     def converged(self, forces=None) -> bool:

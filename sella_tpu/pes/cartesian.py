@@ -285,7 +285,17 @@ class PES:
         elif drdx.shape[0] == 0:
             L = np.zeros(0)
         else:
-            L = np.linalg.lstsq(drdx.T, g, rcond=None)[0]
+            # Rigid-motion constraints have identically-zero rows in
+            # internal-coordinate space; a plain lstsq then returns
+            # garbage ~1/eps multipliers that poison Hc. Rows below an
+            # absolute norm threshold carry no force and get L = 0.
+            row_norms = np.linalg.norm(drdx, axis=1)
+            active = row_norms > 1e-10
+            L = np.zeros(drdx.shape[0])
+            if np.any(active):
+                L[active] = np.linalg.lstsq(
+                    drdx[active].T, g, rcond=None
+                )[0]
         self.curr["L"] = L
 
     def _update_H(self, dx: np.ndarray, dg: np.ndarray) -> None:

@@ -27,6 +27,55 @@ from ..ops.linalg import expm, logm_host
 from .cartesian import PES
 
 
+def reduce_cell_basis(cell: np.ndarray):
+    """Greedy (Minkowski-style) lattice basis reduction.
+
+    Returns ``(new_cell, M)`` with integer unimodular M such that
+    ``new_cell = M @ cell`` and the rows of new_cell are as short/compact
+    as a greedy pairwise reduction achieves — the role ASE's
+    ``niggli_reduce`` plays for the reference (``peswrapper.py:194-196``).
+    """
+    cell = np.asarray(cell, dtype=np.float64).copy()
+    M = np.eye(3, dtype=np.int64)
+    for _ in range(100):
+        changed = False
+        for i in range(3):
+            others = [j for j in range(3) if j != i]
+            Bo = cell[others]
+            # best integer combination of the other two vectors
+            coef, *_ = np.linalg.lstsq(Bo.T, cell[i], rcond=None)
+            r = np.round(coef).astype(np.int64)
+            if np.any(r != 0):
+                new_vec = cell[i] - r @ Bo
+                if (np.linalg.norm(new_vec)
+                        < np.linalg.norm(cell[i]) - 1e-12):
+                    cell[i] = new_vec
+                    M[i] -= r @ M[others]
+                    changed = True
+        if not changed:
+            break
+    # canonical orientation: keep determinant sign
+    if np.linalg.det(cell) < 0:
+        cell[2] *= -1
+        M[2] *= -1
+    return cell, M
+
+
+def _cell_param_jacobian(L: np.ndarray, cell0: np.ndarray,
+                         factor: float) -> np.ndarray:
+    """J[ab, ij] = d(cell_ab)/d(L_ij) at L, via autodiff through expm
+    (replaces the reference's explicit expm-Fréchet loop,
+    ``peswrapper.py:180-200``)."""
+    L = jnp.asarray(L)
+    cell0 = jnp.asarray(cell0)
+
+    def cell_of(Lflat):
+        return (expm(Lflat.reshape(3, 3) / factor) @ cell0).ravel()
+
+    J = jax.jacfwd(cell_of)(L.ravel())
+    return np.asarray(J)
+
+
 class CellCartesianPES(PES):
     def __init__(
         self,
@@ -260,9 +309,57 @@ class CellCartesianPES(PES):
         return conv, fmax1, cmax1, smax1
 
     def maybe_niggli_reduce(self, angle_threshold: float = 30.0) -> bool:
-        """Niggli reduction is a host-side repave event; implemented with
-        the Hessian cell-block transform in a later stage."""
-        return False
+        """Rebase onto a compact reduced cell when angles skew too far
+        from 90 deg (``peswrapper.py:2511-2555``): atoms wrap into the
+        new cell, the log-deformation reference resets, and the Hessian
+        cell blocks transform by ``T = J_old^{-1} J_new`` (Jacobians of
+        the cell(L) map by autodiff, replacing the reference's
+        ``_niggli_hessian_transform``, ``peswrapper.py:151-211``)."""
+        cell = self.atoms.cell
+        def angle(u, v):
+            c = u @ v / (np.linalg.norm(u) * np.linalg.norm(v))
+            return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+        devs = [
+            abs(angle(cell[i], cell[j]) - 90.0)
+            for i, j in ((0, 1), (0, 2), (1, 2))
+        ]
+        if max(devs) <= angle_threshold:
+            return False
+
+        # old parameterization Jacobian at the current L
+        J_old = _cell_param_jacobian(
+            self._ensure_L() / 1.0, self.orig_cell, self.exp_cell_factor
+        )
+
+        new_cell, M = reduce_cell_basis(cell)
+        # wrap atoms into the new cell
+        frac = self.atoms.positions @ np.linalg.inv(new_cell)
+        frac -= np.floor(frac)
+        self.atoms.positions = frac @ new_cell
+        self.atoms.cell = new_cell
+
+        # new parameterization Jacobian at L = 0 about the new cell
+        J_new = _cell_param_jacobian(
+            np.zeros((3, 3)), new_cell, self.exp_cell_factor
+        )
+        T_full = np.linalg.solve(J_old, J_new)
+        midx = np.where(self.cell_mask.ravel())[0]
+        T = T_full[np.ix_(midx, midx)]
+
+        H = self.H.asarray().copy()
+        n = self.n_cart
+        H[n:, n:] = T.T @ H[n:, n:] @ T
+        H[:n, n:] = H[:n, n:] @ T
+        H[n:, :n] = T.T @ H[n:, :n]
+
+        self.orig_cell = new_cell.copy()
+        self._L = np.zeros((3, 3))
+        self.set_H(H)
+        self.curr = dict(x=None, f=None, g=None)
+        self.last = dict(self.curr)
+        self._invalidate()
+        return True
 
 
 class CellInternalPES:
@@ -346,6 +443,12 @@ class CellInternalPES:
 
         self._cell_grad = jax.jit(jax.grad(cell_enthalpy, argnums=1))
 
+        # own state dict — the inner InternalPES keeps internal-dim
+        # quantities (its geodesic reads curr['g'] of length n_internal),
+        # the wrapper keeps the extended [internal, cell] vectors
+        self.curr: dict = dict(x=None, f=None, g=None)
+        self.last: dict = dict(self.curr)
+
         # Hessian: internal block from the InternalPES guess + unit cell
         # block (``peswrapper.py:1471-1519`` refine levels via FD)
         H0_full = np.zeros((self.dim, self.dim))
@@ -357,24 +460,30 @@ class CellInternalPES:
         )
         self._H_obj = None
         self.set_H(H0_full)
-        if int(refine_initial_hessian) >= 1:
-            cols = self._cell_hessian_columns(hessian_delta)
-            H = self.H.asarray().copy()
-            H[: self.n_internal, self.n_internal:] = cols[: self.n_internal]
-            H[self.n_internal:, : self.n_internal] = (
-                cols[: self.n_internal].T
-            )
-            cc = cols[self.n_internal:]
-            H[self.n_internal:, self.n_internal:] = 0.5 * (cc + cc.T)
-            self.set_H(H)
+        refine_level = int(refine_initial_hessian)
+        if refine_level >= 1:
+            # level 1: FD of the cell-cell block only (2 * n_cell_dof
+            # force calls, ``peswrapper.py:1471-1519``). Cell parameters
+            # displace exactly, so the block is well-defined; the
+            # coupling blocks are left to quasi-Newton learning (naive
+            # FD columns are inconsistent in redundant coordinates).
+            self._refine_cell_block(hessian_delta)
+        if refine_level >= 2:
+            # levels 2/3: absorb internal-DOF probes as multi-secants
+            # (TRICs for molecular crystals, ``peswrapper.py:1627-1825``;
+            # level 3 = the full internal block, expensive)
+            if refine_level >= 3:
+                idx = list(range(self.n_internal))
+            else:
+                nt = self.int.ntrans
+                nr = self.int.nrotations
+                idx = list(range(nt)) + list(
+                    range(self.n_internal - nr, self.n_internal)
+                )
+            self._refine_by_secants(idx, hessian_delta)
         if save_hessian is not None:
             np.save(save_hessian, self.H.asarray())
 
-        # own state dict — the inner InternalPES keeps internal-dim
-        # quantities (its geodesic reads curr['g'] of length n_internal),
-        # the wrapper keeps the extended [internal, cell] vectors
-        self.curr: dict = dict(x=None, f=None, g=None)
-        self.last: dict = dict(self.curr)
 
     # -- plumbing shared with PES API -------------------------------------------
     @property
@@ -480,21 +589,71 @@ class CellInternalPES:
         )
         return f, np.concatenate([g_int, g_cell])
 
-    def _cell_hessian_columns(self, delta: float = 1e-5) -> np.ndarray:
-        cols = np.zeros((self.dim, self.n_cell_dof))
+    def _refine_cell_block(self, delta: float = 1e-5) -> None:
+        """Central-difference cell-cell Hessian block."""
+        nc = self.n_cell_dof
+        ni = self.n_internal
         x0 = self.get_x()
-        for k in range(self.n_cell_dof):
+        blk = np.zeros((nc, nc))
+        for k in range(nc):
             xp = x0.copy()
-            xp[self.n_internal + k] += delta
+            xp[ni + k] += delta
             self.set_x(xp)
             _, gp = self.eval()
             xm = x0.copy()
-            xm[self.n_internal + k] -= delta
+            xm[ni + k] -= delta
             self.set_x(xm)
             _, gm = self.eval()
-            cols[:, k] = (gp - gm) / (2 * delta)
+            blk[:, k] = (gp[ni:] - gm[ni:]) / (2 * delta)
         self.set_x(x0)
-        return cols
+        H = self.H.asarray().copy()
+        H[ni:, ni:] = 0.5 * (blk + blk.T)
+        self.set_H(H)
+
+    def _refine_by_secants(self, indices, delta: float = 1e-5) -> None:
+        """FD Hessian refinement as multi-secant absorption.
+
+        With redundant internal coordinates a requested unit
+        displacement is never realized exactly (set_x moves along the
+        constraint manifold), so naive FD columns are inconsistent.
+        Instead every +/-delta probe records the REALIZED coordinate
+        displacement and the gradient change, and the pairs are absorbed
+        through the same multi-secant TS-BFGS machinery the Davidson
+        probes use — exact curvature along the probed directions, no
+        basis inconsistency. Cost: 2 force calls per refined DOF, same
+        as the reference's column FD (``peswrapper.py:1471-1519``).
+        """
+        indices = list(indices)
+        if not indices:
+            return
+        x0 = self.get_x()
+        _, g0 = self.eval()
+        S_cols, Y_cols = [], []
+        for k in indices:
+            xp = x0.copy()
+            xp[k] += delta
+            self.set_x(xp)
+            xp_real = self.get_x()
+            _, gp = self.eval()
+            self.set_x(x0)
+            dx = self.wrap_dx(xp_real - x0)
+            if np.linalg.norm(dx) > 1e-10:
+                S_cols.append(dx)
+                Y_cols.append(gp - g0)
+            xm = x0.copy()
+            xm[k] -= delta
+            self.set_x(xm)
+            xm_real = self.get_x()
+            _, gm = self.eval()
+            self.set_x(x0)
+            dx = self.wrap_dx(xm_real - x0)
+            if np.linalg.norm(dx) > 1e-10:
+                S_cols.append(dx)
+                Y_cols.append(gm - g0)
+        if S_cols:
+            self.H.update(
+                np.stack(S_cols, axis=1), np.stack(Y_cols, axis=1)
+            )
 
     # -- state / bases ------------------------------------------------------------------
     def _update(self, feval: bool = True) -> bool:
@@ -530,7 +689,14 @@ class CellInternalPES:
         elif drdx.shape[0] == 0:
             self.curr["L"] = np.zeros(0)
         else:
-            self.curr["L"] = np.linalg.lstsq(drdx.T, g, rcond=None)[0]
+            row_norms = np.linalg.norm(drdx, axis=1)
+            active = row_norms > 1e-10
+            L = np.zeros(drdx.shape[0])
+            if np.any(active):
+                L[active] = np.linalg.lstsq(
+                    drdx[active].T, g, rcond=None
+                )[0]
+            self.curr["L"] = L
         # propagate multipliers to the inner PES for its Hc
         self._ipes.curr["L"] = (
             None if self.curr["L"] is None

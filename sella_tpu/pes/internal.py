@@ -157,9 +157,10 @@ class InternalPES(PES):
         pos0 = self._get_flat_pos()
         x0 = self.get_x()
         dx_initial = self.wrap_dx(target - x0)
-        g0_cart = self._get_Binv() @ self.curr.get(
-            "g", np.zeros_like(dx_initial)
-        )
+        g_int = self.curr.get("g")
+        if g_int is None:
+            g_int = np.zeros_like(dx_initial)
+        g0_cart = self._get_Binv() @ g_int
 
         rms_prev = np.inf
         initial_rms = None
@@ -212,7 +213,10 @@ class InternalPES(PES):
         Binv0 = self._get_Binv()
         x = self._get_flat_pos()
         xd = Binv0 @ dq
-        gt = Binv0 @ self.curr.get("g", np.zeros_like(dq))
+        g_int = self.curr.get("g")
+        if g_int is None:
+            g_int = np.zeros_like(dq)
+        gt = Binv0 @ g_int
 
         nsub = int(np.clip(np.ceil(np.linalg.norm(dq) / 0.05), 8, 64))
         h = 1.0 / nsub

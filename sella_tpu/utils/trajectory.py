@@ -39,3 +39,39 @@ class TrajectoryWriter:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+
+
+def read_trajectory(filename: str):
+    """Read all frames of an extended-XYZ trajectory written by
+    :class:`TrajectoryWriter`. Returns a list of Atoms."""
+    from ..atoms import Atoms
+    from .elements import symbol_to_number
+
+    frames = []
+    with open(filename) as fh:
+        while True:
+            line = fh.readline()
+            if not line.strip():
+                break
+            n = int(line)
+            header = fh.readline()
+            cell = np.zeros((3, 3))
+            pbc = [False] * 3
+            if 'Lattice="' in header:
+                lat = header.split('Lattice="')[1].split('"')[0]
+                cell = np.fromstring(lat, sep=" ").reshape(3, 3)
+            if 'pbc="' in header:
+                pbc = [
+                    t == "T"
+                    for t in header.split('pbc="')[1].split('"')[0].split()
+                ]
+            numbers = []
+            positions = []
+            for _ in range(n):
+                parts = fh.readline().split()
+                numbers.append(symbol_to_number[parts[0]])
+                positions.append([float(x) for x in parts[1:4]])
+            frames.append(
+                Atoms(numbers, positions, cell=cell, pbc=pbc)
+            )
+    return frames

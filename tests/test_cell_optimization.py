@@ -127,3 +127,25 @@ def test_scalar_pressure():
     v_p = np.linalg.det(atoms1.cell)
     v_0 = (2 * a0) ** 3
     assert v_p < 0.99 * v_0, (v_p, v_0)
+
+
+def test_niggli_reduction():
+    """A heavily sheared cell triggers the rebase; optimization still
+    converges to the equilibrium lattice with near-orthogonal cell."""
+    atoms = fcc_bulk("Cu", 3.55, reps=(2, 2, 2))
+    S = np.eye(3)
+    S[0, 1] = 0.8  # ~ 39 deg skew
+    atoms.cell = atoms.cell @ S.T
+    atoms.positions = atoms.positions @ S.T
+    opt = Sella(atoms, order=0, optimize_cell=True, niggli=True,
+                logfile=None)
+    # the skew exceeds the 30-deg threshold: first reduce event fires
+    assert opt.run(fmax=5e-3, steps=300)
+    c = atoms.cell
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        cosang = abs(
+            c[i] @ c[j] / (np.linalg.norm(c[i]) * np.linalg.norm(c[j]))
+        )
+        assert cosang < 0.35, cosang  # compact cell, no extreme skew
+    a_eff = abs(np.linalg.det(atoms.cell)) ** (1 / 3) / 2
+    assert abs(a_eff - 3.594) < 0.02, a_eff

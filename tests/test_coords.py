@@ -188,3 +188,29 @@ def test_constraints_inequality():
     atoms.positions[1, 0] = 4.0
     assert not cons.validate_inequalities()
     assert cons.ncons == 1
+
+
+def test_merge_ase_constraint_ducktyped():
+    """ASE-constraint ingestion mapped by class name (ASE optional)."""
+
+    class FixAtoms:
+        def __init__(self, index):
+            self.index = index
+
+    class FixBondLengths:
+        def __init__(self, pairs, bondlengths=None):
+            self.pairs = pairs
+            self.bondlengths = bondlengths
+
+    class Unknown:
+        pass
+
+    rng = np.random.RandomState(11)
+    atoms = Atoms("Xe4", positions=rng.normal(size=(4, 3)) * 3)
+    cons = Constraints(atoms)
+    cons.merge_ase_constraint(FixAtoms(index=[0, 2]))
+    assert len(cons.records["translations"]) == 6  # 3 per fixed atom
+    cons.merge_ase_constraint(FixBondLengths(pairs=[(1, 3)]))
+    assert len(cons.records["bonds"]) == 1
+    with pytest.raises(RuntimeError):
+        cons.merge_ase_constraint(Unknown())
