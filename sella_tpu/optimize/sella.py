@@ -71,6 +71,7 @@ class Sella(Optimizer):
         hessian_function: Optional[Callable] = None,
         optimize_cell: bool = False,
         allow_fragments: bool = False,
+        rigid_fragments: bool = False,
         cell_mask: Optional[np.ndarray] = None,
         exp_cell_factor: Optional[float] = None,
         scalar_pressure: float = 0.0,
@@ -106,6 +107,7 @@ class Sella(Optimizer):
             atoms, trajectory, order, eta, constraints, v0, internal,
             hessian_function, optimize_cell=optimize_cell,
             allow_fragments=allow_fragments,
+            rigid_fragments=rigid_fragments,
             cell_mask=cell_mask, exp_cell_factor=exp_cell_factor,
             scalar_pressure=scalar_pressure,
             refine_initial_hessian=refine_initial_hessian,
@@ -164,6 +166,7 @@ class Sella(Optimizer):
         hessian_function=None,
         optimize_cell: bool = False,
         allow_fragments: bool = False,
+        rigid_fragments: bool = False,
         cell_mask=None,
         exp_cell_factor=None,
         scalar_pressure: float = 0.0,
@@ -211,6 +214,7 @@ class Sella(Optimizer):
                 atoms, internals, trajectory=trajectory, eta=eta, v0=v0,
                 auto_find_internals=auto,
                 hessian_function=hessian_function,
+                rigid_fragments=rigid_fragments,
                 cell_mask=cell_mask, exp_cell_factor=exp_cell_factor,
                 scalar_pressure=scalar_pressure,
                 refine_initial_hessian=refine_initial_hessian,

@@ -27,6 +27,19 @@ from ..ops.linalg import expm, logm_host
 from .cartesian import PES
 
 
+def voigt_6_to_full_3x3_stress(sv: np.ndarray) -> np.ndarray:
+    """ASE Voigt order [xx, yy, zz, yz, xz, xy] -> full 3x3
+    (``peswrapper.py:1295-1317``)."""
+    xx, yy, zz, yz, xz, xy = sv
+    return np.array([[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
+
+
+def full_3x3_to_voigt_6_stress(s: np.ndarray) -> np.ndarray:
+    return np.array(
+        [s[0, 0], s[1, 1], s[2, 2], s[1, 2], s[0, 2], s[0, 1]]
+    )
+
+
 def reduce_cell_basis(cell: np.ndarray):
     """Greedy (Minkowski-style) lattice basis reduction.
 
@@ -106,12 +119,13 @@ class CellCartesianPES(PES):
         self.dim = self.n_cart + self.n_cell_dof
         self._initializing = False
 
-        if self._potential is None:
-            raise NotImplementedError(
-                "CellCartesianPES currently requires a jax-native "
-                "Potential (host-calculator stress path not implemented)"
-            )
-        self._build_extended_energy()
+        if self._potential is not None:
+            self._build_extended_energy()
+        else:
+            # host-calculator path: cell gradient from the virial stress
+            # (requires calc.get_stress); the chain rule through the
+            # cell(s) parameterization is a single vjp (below)
+            self._build_param_vjp()
 
         # block-diagonal initial Hessian (``peswrapper.py:2470-2509``)
         H0_full = np.zeros((self.dim, self.dim))
@@ -151,6 +165,42 @@ class CellCartesianPES(PES):
 
         self._ext_energy = jax.jit(ext_energy)
         self._ext_grad = jax.jit(jax.value_and_grad(ext_energy, argnums=(0, 1)))
+
+    def _build_param_vjp(self) -> None:
+        factor = self.exp_cell_factor
+        mask_flat = jnp.asarray(np.where(self.cell_mask.ravel())[0])
+
+        def cell_of(s, L_base, cell0):
+            L = L_base.ravel().at[mask_flat].set(s).reshape(3, 3)
+            return expm(L / factor) @ cell0
+
+        @jax.jit
+        def pullback(s, L_base, cell0, dEdC):
+            _, vjp = jax.vjp(lambda ss: cell_of(ss, L_base, cell0), s)
+            return vjp(dEdC)[0]
+
+        self._param_vjp = pullback
+
+    def _stress_to_cell_gradient(self, stress_voigt: np.ndarray,
+                                 forces: np.ndarray) -> np.ndarray:
+        """Virial stress -> gradient w.r.t. the masked log-deformation
+        parameters (fixed-Cartesian convention, ``peswrapper.py:
+        2773-2819``); the expm-Frechet contraction is one jax vjp."""
+        C = self.atoms.cell
+        volume = abs(np.linalg.det(C))
+        sigma = voigt_6_to_full_3x3_stress(np.asarray(stress_voigt))
+        if self.scalar_pressure != 0.0:
+            sigma = sigma + self.scalar_pressure * np.eye(3)
+        dEdC = np.linalg.inv(C.T) @ (
+            volume * sigma + self.atoms.positions.T @ np.asarray(forces)
+        )
+        g = self._param_vjp(
+            jnp.asarray(self._masked_cell_params()),
+            jnp.asarray(self._ensure_L()),
+            jnp.asarray(self.orig_cell),
+            jnp.asarray(dEdC),
+        )
+        return np.asarray(g)
 
     # -- cell parameterization ------------------------------------------------
     # The scaled log-deformation L is explicit state (source of truth),
@@ -220,15 +270,34 @@ class CellCartesianPES(PES):
     # -- evaluation -----------------------------------------------------------------
     def eval(self) -> Tuple[float, np.ndarray]:
         self.neval += 1
-        x = jnp.asarray(self.atoms.positions.ravel())
-        s = jnp.asarray(self._masked_cell_params())
-        L_base = jnp.asarray(self._ensure_L())
-        cell0 = jnp.asarray(self.orig_cell)
-        f, (g_cart, g_cell) = self._ext_grad(x, s, L_base, cell0)
+        if self._potential is not None:
+            x = jnp.asarray(self.atoms.positions.ravel())
+            s = jnp.asarray(self._masked_cell_params())
+            L_base = jnp.asarray(self._ensure_L())
+            cell0 = jnp.asarray(self.orig_cell)
+            f, (g_cart, g_cell) = self._ext_grad(x, s, L_base, cell0)
+            self.write_traj()
+            return float(f), np.concatenate(
+                [np.asarray(g_cart), np.asarray(g_cell)]
+            )
+        # host-calculator path (``peswrapper.py:2752-2771``)
+        f = self.atoms.get_potential_energy()
+        if self.scalar_pressure != 0.0:
+            f = f + self.scalar_pressure * abs(
+                np.linalg.det(self.atoms.cell)
+            )
+        forces = self.atoms.get_forces()
+        g_cart = -forces.ravel()
+        calc = self.atoms.calc
+        if not hasattr(calc, "get_stress"):
+            raise RuntimeError(
+                "Cell optimization with a host calculator requires "
+                "calc.get_stress(atoms) (Voigt, eV/A^3)."
+            )
+        stress = np.asarray(calc.get_stress(self.atoms))
+        g_cell = self._stress_to_cell_gradient(stress, forces)
         self.write_traj()
-        return float(f), np.concatenate(
-            [np.asarray(g_cart), np.asarray(g_cell)]
-        )
+        return float(f), np.concatenate([g_cart, g_cell])
 
     def _cell_hessian_columns(self, delta: float = 1e-5) -> np.ndarray:
         """FD refinement of the cell-related Hessian blocks (level 1,
@@ -388,6 +457,7 @@ class CellInternalPES:
         exp_cell_factor: Optional[float] = None,
         cell_mask: Optional[np.ndarray] = None,
         scalar_pressure: float = 0.0,
+        rigid_fragments: bool = False,
         refine_initial_hessian=False,
         hessian_delta: float = 1e-5,
         save_hessian: Optional[str] = None,
@@ -395,6 +465,8 @@ class CellInternalPES:
         **kwargs,
     ) -> None:
         from .internal import InternalPES
+
+        self.rigid_fragments = rigid_fragments
 
         # atomic part is a full InternalPES; we wrap rather than subclass
         # so every internal-only code path stays untouched
@@ -525,10 +597,38 @@ class CellInternalPES:
         cell = np.asarray(
             expm(jnp.asarray(self._L / self.exp_cell_factor))
         ) @ self.orig_cell
-        # affine scaling: fixed fractional coordinates
-        frac = self.atoms.positions @ np.linalg.inv(self.atoms.cell)
-        self.atoms.cell = cell
-        self.atoms.positions = frac @ cell
+        if self.rigid_fragments:
+            # rigid transport (``peswrapper.py:1986-2010``): each
+            # fragment keeps its internal geometry; its centroid follows
+            # the cell affinely and its orientation rotates by the polar
+            # factor of the incremental deformation.
+            import scipy.linalg as sla
+
+            cell_before = self.atoms.cell.copy()
+            pos_before = self.atoms.positions.copy()
+            inv_before = np.linalg.inv(cell_before)
+            F_inc = cell @ inv_before
+            R_inc, _ = sla.polar(F_inc)
+            self.atoms.cell = cell
+            groups = self.int.fragment_atom_groups or []
+            moved = np.zeros(len(self.atoms), dtype=bool)
+            for group in groups:
+                com_old = pos_before[group].mean(axis=0)
+                com_new = (com_old @ inv_before) @ cell
+                delta = pos_before[group] - com_old
+                self.atoms.positions[group] = com_new + delta @ R_inc.T
+                moved[group] = True
+            # lone atoms follow the cell affinely
+            lone = ~moved
+            if np.any(lone):
+                self.atoms.positions[lone] = (
+                    pos_before[lone] @ inv_before
+                ) @ cell
+        else:
+            # affine scaling: fixed fractional coordinates
+            frac = self.atoms.positions @ np.linalg.inv(self.atoms.cell)
+            self.atoms.cell = cell
+            self.atoms.positions = frac @ cell
         self._ipes._invalidate()
 
     # -- coordinates ----------------------------------------------------------------

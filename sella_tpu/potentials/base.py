@@ -116,6 +116,13 @@ class ASECalculatorWrapper:
         f = self._ase_atoms.get_forces()
         return float(e), np.asarray(f)
 
+    def get_stress(self, atoms) -> np.ndarray:
+        """Voigt stress from the wrapped ASE calculator (for cell
+        optimization with host calculators)."""
+        self._ase_atoms.positions = np.asarray(atoms.positions)
+        self._ase_atoms.cell = np.asarray(atoms.cell)
+        return np.asarray(self._ase_atoms.get_stress())
+
 
 def get_potential(atoms) -> Optional[Potential]:
     """Return the jax-native Potential attached to atoms, or None."""

@@ -149,3 +149,83 @@ def test_niggli_reduction():
         assert cosang < 0.35, cosang  # compact cell, no extreme skew
     a_eff = abs(np.linalg.det(atoms.cell)) ** (1 / 3) / 2
     assert abs(a_eff - 3.594) < 0.02, a_eff
+
+
+def test_rigid_fragments_preserve_geometry():
+    """rigid_fragments=True: a cell change translates/rotates fragments
+    but never deforms them (``peswrapper.py:1986-2010``)."""
+    from sella_tpu import Atoms
+    from sella_tpu.pes.cell import CellInternalPES
+    from sella_tpu.coords.internals import Internals
+    from sella_tpu.potentials import LennardJones
+
+    # two covalently-close dimers in a periodic box (bond threshold for
+    # Ar is 1.25 * 2 * 1.06 = 2.65 Angstrom)
+    pos = np.array([
+        [2.0, 2.0, 2.0], [2.0, 2.0, 4.0],   # dimer 1 (bonded pair)
+        [7.0, 6.0, 3.0], [7.0, 8.0, 3.0],   # dimer 2
+    ])
+    atoms = Atoms(["Ar"] * 4, pos, cell=np.eye(3) * 12.0, pbc=True)
+    atoms.calc = LennardJones(epsilon=0.0104, sigma=3.4, pbc=True)
+    ints = Internals(atoms, allow_fragments=True)
+    pes = CellInternalPES(atoms, ints, rigid_fragments=True)
+    assert len(pes.int.fragment_atom_groups) == 2
+
+    d1_before = np.linalg.norm(atoms.positions[1] - atoms.positions[0])
+    d2_before = np.linalg.norm(atoms.positions[3] - atoms.positions[2])
+
+    # apply a sheared compression through the cell parameters
+    s = pes._masked_cell_params()
+    s[0] -= 0.35 * pes.exp_cell_factor * 0.1   # compress a-axis
+    s[1] += 0.15 * pes.exp_cell_factor * 0.1   # shear
+    pes._set_masked_cell_params(s)
+
+    d1_after = np.linalg.norm(atoms.positions[1] - atoms.positions[0])
+    d2_after = np.linalg.norm(atoms.positions[3] - atoms.positions[2])
+    np.testing.assert_allclose(d1_after, d1_before, rtol=1e-12)
+    np.testing.assert_allclose(d2_after, d2_before, rtol=1e-12)
+    # fragments DID move (CoMs followed the cell)
+    assert np.linalg.norm(pos - atoms.positions) > 0.05
+
+
+def test_host_calculator_stress_path():
+    """The host-calculator (virial stress) cell gradient must match the
+    jax-native autodiff path. The 'host calculator' here is a shim that
+    computes energy/forces/stress from the same jax potential."""
+    import jax
+    import jax.numpy as jnp
+
+    pot = EMT(np.array([29] * 32), pbc=True)  # Cu
+
+    class HostShim:
+        def energy_and_forces(self, atoms):
+            x = jnp.asarray(atoms.positions.ravel())
+            c = jnp.asarray(atoms.cell)
+            f, g = jax.value_and_grad(pot.energy)(x, c)
+            return float(f), -np.asarray(g).reshape(-1, 3)
+
+        def get_stress(self, atoms):
+            c0 = jnp.asarray(atoms.cell)
+            x0 = jnp.asarray(atoms.positions)
+            vol = float(abs(np.linalg.det(atoms.cell)))
+
+            def e_of_strain(eps):
+                F = jnp.eye(3) + eps
+                return pot.energy((x0 @ F.T).ravel(), (c0 @ F.T))
+
+            deps = np.asarray(jax.grad(e_of_strain)(jnp.zeros((3, 3))))
+            s = 0.5 * (deps + deps.T) / vol
+            from sella_tpu.pes.cell import full_3x3_to_voigt_6_stress
+
+            return full_3x3_to_voigt_6_stress(s)
+
+    atoms_native = _strained_bulk(a=3.5, shear=0.02, noise=0.02)
+    pes_native = CellCartesianPES(atoms_native)
+    g_native = pes_native.get_g()
+
+    atoms_host = _strained_bulk(a=3.5, shear=0.02, noise=0.02)
+    atoms_host.calc = HostShim()
+    pes_host = CellCartesianPES(atoms_host)
+    g_host = pes_host.get_g()
+
+    np.testing.assert_allclose(g_host, g_native, rtol=1e-6, atol=1e-9)
