@@ -413,6 +413,18 @@ class Internals:
         """Adapter matching the reference's ``int.hessian().ldot(w)``."""
         return Internals._HessLdot(self.hessian_ldot)
 
+    def cell_jacobian(self) -> np.ndarray:
+        """dq/dcell at fixed positions, shape (nint, 3, 3) — the
+        reference's cell-derivative closures (``internal.py:148-185``).
+        Only coordinates with periodic images depend on the cell;
+        translations/rotations/others are cell-independent."""
+        return np.asarray(
+            self._get_engine().cell_jacobian(
+                jnp.asarray(self.all_positions()),
+                jnp.asarray(self.atoms.cell),
+            )
+        )
+
     def wrap(self, vec: np.ndarray) -> np.ndarray:
         """Wrap periodic components of a coordinate difference
         (``internal.py:2577-2627``): dihedrals to (-pi, pi]; rotation
@@ -563,6 +575,7 @@ class _Engine:
         )
 
         self._calc = jax.jit(self._calc_impl)
+        self._celljac = jax.jit(jax.jacfwd(self._calc_impl, argnums=1))
         self._jac = jax.jit(self._jac_impl)
         self._hrdot = jax.jit(self._hrdot_impl)
         self._hldot = jax.jit(self._hldot_impl)
@@ -750,6 +763,9 @@ class _Engine:
     # public jitted entry points
     def calc(self, pos, cell):
         return self._calc(pos, cell)
+
+    def cell_jacobian(self, pos, cell):
+        return self._celljac(pos, cell)
 
     def jacobian(self, pos, cell):
         return self._jac(pos, cell)

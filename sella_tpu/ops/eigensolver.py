@@ -12,7 +12,7 @@ Two tiers:
   :class:`sella_tpu.ops.operators.NumericalHessian`), which for jax
   potentials is a single jitted call — the loop itself is tiny host
   algebra on an (n, m<<n) subspace.
-* :func:`davidson_batched` (in ``sella_tpu.parallel.ensemble``) — the
+* ``_davidson_loop`` (in ``sella_tpu.parallel.ensemble``) — the
   fixed-shape masked variant used inside the jitted batched step.
 """
 from __future__ import annotations

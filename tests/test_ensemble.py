@@ -199,3 +199,75 @@ def test_ensemble_batch_independence():
     np.testing.assert_allclose(
         np.asarray(s_full.x[0]), np.asarray(s_solo.x[0]), atol=1e-12
     )
+
+
+def test_batched_davidson_ritz_consistency():
+    """The batched masked Davidson loop must produce Ritz pairs of the
+    true operator: leftmost Ritz value ~ smallest eigenvalue, and the
+    recorded action columns satisfy AV = H V (cf. the host-solver Ritz
+    tests mirroring /root/reference/tests/test_eigensolvers.py)."""
+    from sella_tpu.parallel.ensemble import _davidson_loop
+
+    rng = np.random.RandomState(0)
+    Bsz, m = 3, 10
+    Hs = rng.normal(size=(Bsz, m, m))
+    Hs = 0.5 * (Hs + Hs.transpose(0, 2, 1))
+    Hs[:, 0, 0] -= 8.0  # ensure a well-separated negative mode
+    Hj = jnp.asarray(Hs)
+
+    def hvp2(v):
+        out = jnp.einsum("bij,bj->bi", Hj, v)
+        return out, out  # proj == full (Ufree = I)
+
+    P = jnp.broadcast_to(jnp.eye(m)[None], (Bsz, m, m))
+    v0 = jnp.asarray(rng.normal(size=(Bsz, m)))
+    active = jnp.ones(Bsz, bool)
+    key = jax.random.PRNGKey(0)
+    K = m
+    V, AVp, YF, k = _davidson_loop(hvp2, P, v0, 1e-3, K, active, key)
+
+    for b in range(Bsz):
+        kk = int(k[b])
+        Vb = np.asarray(V[b, :, :kk])
+        AVb = np.asarray(AVp[b, :, :kk])
+        # recorded actions are true operator actions
+        np.testing.assert_allclose(AVb, Hs[b] @ Vb, atol=1e-8)
+        # leftmost Ritz value converged to gamma accuracy
+        lam = np.linalg.eigvalsh(Vb.T @ AVb)[0]
+        lam_true = np.linalg.eigvalsh(Hs[b])[0]
+        assert abs(lam - lam_true) < 1e-2 * abs(lam_true), (
+            b, lam, lam_true
+        )
+
+
+def test_ensemble_emt_adatom():
+    """Batched EMT: Cu(111) adatom-hop saddle searches (the BASELINE
+    'batched EMT' configuration, scaled down for CI)."""
+    from sella_tpu.potentials.emt import EMT, fcc111_slab
+
+    a = 3.59
+    slab = fcc111_slab("Cu", a, size=(3, 4, 2))
+    d = a / np.sqrt(2)
+    top_z = slab.positions[:, 2].max()
+    base = slab.positions[slab.positions[:, 2] > top_z - 0.1][0]
+    ad = base + np.array(
+        [d / 2 + 0.3, d / (2 * np.sqrt(3)) + 0.1, a / np.sqrt(3)]
+    )
+    pos0 = np.vstack([slab.positions, ad])
+    nat = len(pos0)
+    pot = EMT(np.array([29] * nat), pbc=True)
+
+    rng = np.random.RandomState(0)
+    Bsz = 3
+    x0 = jnp.asarray(np.stack([
+        (pos0 + 0.02 * rng.normal(size=pos0.shape)).ravel()
+        for _ in range(Bsz)
+    ]))
+    cfg = EnsembleConfig(
+        natoms=nat, order=1, nproj=3, fmax=0.02, gamma=0.3,
+        davidson_max=25, delta0=5e-3,
+    )
+    st = run_ensemble(
+        pot, x0, cfg, max_steps=100, cell=jnp.asarray(slab.cell)
+    )
+    assert int(st.converged.sum()) == Bsz, np.asarray(st.nsteps)

@@ -203,3 +203,32 @@ def test_user_coordinate_and_displacement():
     Hl = ints.hessian_ldot(w)
     np.testing.assert_allclose(Hl, Hl.T, atol=1e-10)
     assert np.abs(Hl).max() > 0
+
+
+def test_cell_jacobian_fd():
+    """dq/dcell of periodic-image bonds vs finite differences
+    (cf. the reference's cell-derivative closures, internal.py:148-185
+    and the periodic-image cell checks in test_cell_optimization.py)."""
+    atoms = Atoms("CuCu", [[0.1, 0, 0], [1.9, 0.1, 0.2]],
+                  cell=np.diag([3.4, 3.6, 3.8]), pbc=True)
+    ints = Internals(atoms)
+    ints.add_bond((0, 1), ncvec=(1, 0, 0))   # periodic-image bond
+    ints.add_bond((0, 1))
+    J = ints.cell_jacobian()
+    assert J.shape == (2, 3, 3)
+    h = 1e-6
+    cell0 = atoms.cell.copy()
+    J_fd = np.zeros_like(J)
+    for a in range(3):
+        for b in range(3):
+            atoms.cell = cell0.copy()
+            atoms.cell[a, b] += h
+            qp = ints.calc()
+            atoms.cell = cell0.copy()
+            atoms.cell[a, b] -= h
+            qm = ints.calc()
+            J_fd[:, a, b] = (qp - qm) / (2 * h)
+    atoms.cell = cell0
+    np.testing.assert_allclose(J, J_fd, rtol=1e-6, atol=1e-8)
+    # the non-periodic bond is cell-independent
+    np.testing.assert_allclose(J[1], 0.0, atol=1e-12)
