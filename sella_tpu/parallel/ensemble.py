@@ -285,11 +285,19 @@ def _rfo_sub(gsub, Hsub, alpha, which: int):
     return s, ds
 
 
-def prfo_step_batched(g, Hproj, order: int, alpha):
-    """Batched P-RFO step in the free subspace at per-search alpha
-    (``stepper.py:160-185``)."""
+def prfo_prepare_batched(g, Hproj, order: int):
+    """Alpha-independent PRFO precomputation: one batched eigh, hoisted
+    out of the alpha root-find (the eigendecomposition is reused by
+    every alpha evaluation)."""
     lams, V = jnp.linalg.eigh(Hproj)
     gV = jnp.einsum("bij,bi->bj", V, g)
+    return lams, V, gV
+
+
+def prfo_step_batched(prep, order: int, alpha):
+    """Batched P-RFO step in the free subspace at per-search alpha
+    (``stepper.py:160-185``)."""
+    lams, V, gV = prep
     if order > 0:
         smax, dsmax = _rfo_sub(
             gV[:, :order],
@@ -315,13 +323,12 @@ def prfo_step_batched(g, Hproj, order: int, alpha):
     return s, ds
 
 
-def qn_step_batched(g, Hproj, order: int, alpha):
+def qn_step_batched(prep, order: int, alpha):
     """Batched shifted quasi-Newton/MMF step (``stepper.py:58-96``)."""
-    lams, V = jnp.linalg.eigh(Hproj)
+    lams, V, gV = prep
     q = lams.shape[-1]
     sign = jnp.where(jnp.arange(q)[None, :] < order, -1.0, 1.0)
     L = jnp.abs(lams) * sign
-    gV = jnp.einsum("bij,bi->bj", V, g)
     denom = L + alpha[:, None] * sign
     sproj = gV / denom
     s = -jnp.einsum("bij,bj->bi", V, sproj)
@@ -364,7 +371,7 @@ def _step_norm(s_full, ds_full, rs: str, natoms: int):
 
 
 def restricted_step_batched(
-    g_free, Hproj, Ufree, delta, cfg: EnsembleConfig
+    g_free, Hproj, Ufree, delta, cfg: EnsembleConfig, prep=None
 ):
     """Map per-search trust radii to steps: masked Newton/bisection on
     ||s(alpha)|| = delta (``restricted_step.py:78-120``), all searches
@@ -381,8 +388,11 @@ def restricted_step_batched(
         alpha0, amin, amax, slope = 0.0, 0.0, jnp.inf, -1.0
         newton_safe = True
 
+    if prep is None:
+        prep = prfo_prepare_batched(g_free, Hproj, cfg.order)
+
     def eval_at(alpha):
-        s_free, ds_free = stepper(g_free, Hproj, cfg.order, alpha)
+        s_free, ds_free = stepper(prep, cfg.order, alpha)
         s_full = jnp.einsum("bij,bj->bi", Ufree, s_free)
         ds_full = jnp.einsum("bij,bj->bi", Ufree, ds_free)
         val, dval = _step_norm(s_full, ds_full, cfg.rs, cfg.natoms)
@@ -469,7 +479,12 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
                          B_init, Ufree, active, key):
     """Run batched Davidson at x and absorb every HVP probe into B
     (the reference's diag + full-probe TS-BFGS absorption,
-    ``peswrapper.py:508-556``)."""
+    ``peswrapper.py:508-556``).
+
+    Callers gate this behind ``lax.cond(jnp.any(active), ...)`` so steps
+    where NO lane is scheduled to diagonalize skip the whole machinery
+    (one batched HVP + Ritz eigh + TS-BFGS would otherwise execute and
+    be masked away every step)."""
     K = cfg.subspace_max
     hvp_full = _batched_hvp_full(potential, cell)
 
@@ -676,9 +691,22 @@ def make_step_fn(potential, cfg: EnsembleConfig,
 
         # ---- initial diagonalization (first step only, eig mode) ----
         need_init_diag = act & (~state.B_init) & cfg.eig
-        B1, B_init1, k_init = _davidson_and_absorb(
-            potential, cell, cfg, state.x, state.g, state.B, state.B_init,
-            Ufree, need_init_diag, jax.random.fold_in(key, 0),
+
+        def _diag_at(x_, g_, B_, B_init_, Ufree_, active_, key_):
+            def run(_):
+                return _davidson_and_absorb(
+                    potential, cell, cfg, x_, g_, B_, B_init_, Ufree_,
+                    active_, key_,
+                )
+
+            def skip(_):
+                return B_, B_init_, jnp.zeros_like(state.nsteps)
+
+            return jax.lax.cond(jnp.any(active_), run, skip, None)
+
+        B1, B_init1, k_init = _diag_at(
+            state.x, state.g, state.B, state.B_init, Ufree,
+            need_init_diag, jax.random.fold_in(key, 0),
         )
         nmv = state.nmatvec + jnp.where(need_init_diag, k_init, 0)
         neval = state.neval + jnp.where(need_init_diag, k_init, 0)
@@ -693,15 +721,19 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         Hproj = jnp.where(B_init1[:, None, None], Hproj, eye)
         g_free = jnp.einsum("bij,bi->bj", Ufree, state.g)
 
+        # one batched eigh of the projected Hessian serves both the
+        # trust-region stepper and the diag-scheduling inertia check
+        prep = prfo_prepare_batched(g_free, Hproj, cfg.order)
+
         # ---- trust-region step ----
         s_full, smag = restricted_step_batched(
-            g_free, Hproj, Ufree, state.delta, cfg
+            g_free, Hproj, Ufree, state.delta, cfg, prep=prep
         )
         s_full = jnp.where(act[:, None], s_full, 0.0)
 
         # ---- diag scheduling (``optimize.py:362-378``) ----
         if cfg.eig and cfg.order > 0:
-            lams_proj = jnp.linalg.eigvalsh(Hproj)
+            lams_proj = prep[0]
             # Wrong inertia: too few negatives (reference trigger) OR too
             # many (extension: an extra negative mode means the search is
             # near a higher-order saddle and the stale quasi-Newton
@@ -753,9 +785,9 @@ def make_step_fn(potential, cfg: EnsembleConfig,
 
         # ---- scheduled re-diagonalization at the new point ----
         Ufree_new = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(x_new)
-        B3, B_init3, k_ev = _davidson_and_absorb(
-            potential, cell, cfg, x_new, g_new, B2, B_init2,
-            Ufree_new, ev, jax.random.fold_in(key, 1),
+        B3, B_init3, k_ev = _diag_at(
+            x_new, g_new, B2, B_init2, Ufree_new, ev,
+            jax.random.fold_in(key, 1),
         )
         nmv = nmv + jnp.where(ev, k_ev, 0)
         neval = neval + jnp.where(ev, k_ev, 0)
