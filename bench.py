@@ -47,22 +47,33 @@ def main():
         )
     )
 
-    step = jax.jit(make_step_fn(pot, cfg), donate_argnums=0)
+    step = make_step_fn(pot, cfg)
     key = jax.random.PRNGKey(0)
+
+    # amortize host->TPU dispatch latency (the remote tunnel adds
+    # ~100ms+ jitter per call): run CHUNK steps per jit invocation
+    CHUNK = int(os.environ.get("BENCH_CHUNK", "10"))
+
+    def multi_step(state, base_key):
+        def body(i, st):
+            return step(st, jax.random.fold_in(base_key, i))
+
+        return jax.lax.fori_loop(0, CHUNK, body, state)
+
+    multi_jit = jax.jit(multi_step, donate_argnums=0)
 
     state = init_state(pot, x0, cfg)
     # warmup/compile
-    state = step(state, jax.random.fold_in(key, 0))
+    state = multi_jit(state, jax.random.fold_in(key, 0))
     jax.block_until_ready(state.x)
 
     t0 = time.perf_counter()
-    nsteps_done = 1
-    for i in range(1, max_steps):
-        state = step(state, jax.random.fold_in(key, i))
-        nsteps_done += 1
-        if i % 25 == 0:
-            if bool(jnp.all(state.converged)):
-                break
+    nsteps_done = CHUNK
+    for i in range(1, max_steps // CHUNK + 1):
+        state = multi_jit(state, jax.random.fold_in(key, i))
+        nsteps_done += CHUNK
+        if bool(jnp.all(state.converged)):
+            break
     jax.block_until_ready(state.x)
     elapsed = time.perf_counter() - t0
 

@@ -21,8 +21,8 @@ vmap over padded index arrays.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple, Union
+from dataclasses import dataclass
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ axis with a constrained dummy bond/angle and an improper-dihedral bend
 from __future__ import annotations
 
 import warnings
-from functools import partial
 from typing import List, Optional, Tuple
 
 import jax

@@ -17,8 +17,6 @@ differentiable so second derivatives work.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ plain numpy — the reference treats it the same way
 """
 from __future__ import annotations
 
-import warnings
 from itertools import combinations, product
 from typing import Dict, List, Optional, Tuple
 

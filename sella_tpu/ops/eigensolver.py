@@ -17,7 +17,7 @@ Two tiers:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import scipy.linalg as sla

@@ -7,7 +7,6 @@ reads identically to upstream (``/root/reference/README.md:32-38``).
 from __future__ import annotations
 
 import sys
-import time
 from typing import Optional
 
 

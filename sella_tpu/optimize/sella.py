@@ -11,7 +11,7 @@ cell variants), mirroring ``optimize.py:218-315``.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional, Union
+from typing import Callable, Optional
 
 import numpy as np
 

@@ -22,11 +22,10 @@ trust-clipped L-BFGS minimizer.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class LBFGSMemory(NamedTuple):

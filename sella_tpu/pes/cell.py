@@ -16,7 +16,6 @@ also yields exact cell-block HVPs for the Davidson diagonalization.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -9,7 +9,6 @@ dependency.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import List, Optional, Tuple
