@@ -65,6 +65,8 @@ class EnsembleConfig(NamedTuple):
     method: str = "prfo"           # 'prfo' | 'qn'
     rs: str = "ras"                # 'ras' | 'tr'
     eig: bool = True               # run Davidson (saddle default)
+    ncons: int = 0                 # number of equality-constraint rows
+    ctol: float = 1e-4             # constraint-residual convergence tol
 
     @property
     def dim(self) -> int:
@@ -72,7 +74,7 @@ class EnsembleConfig(NamedTuple):
 
     @property
     def nfree(self) -> int:
-        return self.dim - self.nproj
+        return self.dim - self.nproj - self.ncons
 
     @property
     def subspace_max(self) -> int:
@@ -128,6 +130,42 @@ def free_basis(x: jnp.ndarray, nproj: int) -> jnp.ndarray:
             r = jnp.cross(jnp.broadcast_to(e, rel.shape), rel)
             cols.append(r.ravel())
     A = jnp.stack(cols, axis=1)  # (d, nproj)
+    Q, _ = jnp.linalg.qr(A, mode="complete")
+    return Q[:, A.shape[1]:]
+
+
+def constrained_free_basis(x: jnp.ndarray, nproj: int,
+                           cons_jac_fn) -> jnp.ndarray:
+    """Free basis with equality constraints: the orthogonal complement of
+    span(rigid generators) + span(J(x)^T), shape (d, d - nproj - m).
+
+    Batched, static-shape equivalent of the reference's Ufree/Ucons QR
+    split (``peswrapper.py:51-69`` + ``internal.py:2810-2840``): the
+    constraint rows are required to be mutually independent and
+    independent of the retained rigid modes (pick ``nproj`` accordingly —
+    e.g. ``nproj=3`` when a constraint pins the orientation), so the
+    rank decision is static and one full QR suffices.
+    """
+    J = cons_jac_fn(x)                      # (m, d)
+    gens = []
+    if nproj > 0:
+        d = x.shape[0]
+        n = d // 3
+        pos = x.reshape(n, 3)
+        dtype = x.dtype
+        for ax in range(3):
+            t = jnp.zeros((n, 3), dtype).at[:, ax].set(1.0 / np.sqrt(n))
+            gens.append(t.ravel())
+        if nproj == 6:
+            com = jnp.mean(pos, axis=0)
+            rel = pos - com
+            for ax in range(3):
+                e = jnp.zeros(3, dtype).at[ax].set(1.0)
+                r = jnp.cross(jnp.broadcast_to(e, rel.shape), rel)
+                gens.append(r.ravel())
+    A = jnp.concatenate(
+        ([jnp.stack(gens, axis=1)] if gens else []) + [J.T], axis=1
+    )
     Q, _ = jnp.linalg.qr(A, mode="complete")
     return Q[:, A.shape[1]:]
 
@@ -476,10 +514,17 @@ def _batched_hvp_full(potential, cell):
 
 
 def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
-                         B_init, Ufree, active, key):
+                         B_init, Ufree, active, key, cons_jac=None):
     """Run batched Davidson at x and absorb every HVP probe into B
     (the reference's diag + full-probe TS-BFGS absorption,
     ``peswrapper.py:508-556``).
+
+    With ``cons_jac`` the operator is the Lagrangian Hessian
+    W v = H v - sum_k lam_k (d2c_k) v with least-squares multipliers
+    lam = (J J^T)^{-1} J g — the batched form of the reference's
+    constraint-curvature correction (``peswrapper.py:360-380`` get_Hc /
+    get_HL), so curvature tangent to a curved constraint manifold is
+    judged correctly.
 
     Callers gate this behind ``lax.cond(jnp.any(active), ...)`` so steps
     where NO lane is scheduled to diagonalize skip the whole machinery
@@ -487,6 +532,18 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
     be masked away every step)."""
     K = cfg.subspace_max
     hvp_full = _batched_hvp_full(potential, cell)
+    if cons_jac is not None:
+        J = jax.vmap(cons_jac)(x)                       # (B, m, d)
+        JJt = jnp.einsum("bij,bkj->bik", J, J)
+        lam = sym_solve(JJt, jnp.einsum("bij,bj->bi", J, g))  # (B, m)
+        hvp_pot = hvp_full
+
+        def _corr_one(x1, v1, l1):
+            # directional derivative of J(x)^T lam at fixed lam
+            return jax.jvp(lambda y: cons_jac(y).T @ l1, (x1,), (v1,))[1]
+
+        def hvp_full(xb, vb):  # noqa: F811 — Lagrangian-corrected
+            return hvp_pot(xb, vb) - jax.vmap(_corr_one)(xb, vb, lam)
 
     def hvp_free(v_free):
         v_full = jnp.einsum("bij,bj->bi", Ufree, v_free)
@@ -674,20 +731,65 @@ def init_state(potential, x0: jnp.ndarray, cfg: EnsembleConfig,
 
 
 def make_step_fn(potential, cfg: EnsembleConfig,
-                 cell: Optional[jnp.ndarray] = None):
+                 cell: Optional[jnp.ndarray] = None,
+                 constraints=None):
     """Build the jittable batched step: one full RS-P-RFO iteration for
     every search in the ensemble (``optimize.py:359-440`` as a pure
-    function)."""
+    function).
+
+    Always wrap the returned step in ``jax.jit`` when driving it from a
+    host loop (as :func:`run_ensemble` does): un-jitted calls recompile
+    the inner ``lax.while_loop`` programs on every invocation, which
+    leaks JIT code mappings until the process hits the mmap limit.
+
+    ``constraints``: optional pure function ``c(x: (d,)) -> (m,)`` of
+    equality-constraint residuals (m == cfg.ncons, same structure for
+    every lane; each lane evaluates it at its own geometry). The batched
+    analogue of the sequential tier's Constraints residual: the step is
+    confined to the tangent space (null(J) minus retained rigid modes),
+    a Gauss-Newton restoration step ``-J^+ c`` removes drift each
+    iteration, Davidson sees the Lagrangian Hessian, and convergence
+    additionally requires ``max|c| < cfg.ctol``. Constraint rows must
+    stay linearly independent of each other and of the retained rigid
+    modes along the trajectory (lower ``nproj`` when a constraint pins
+    translation/orientation).
+    """
     if cell is None:
         cell = jnp.zeros((3, 3))
 
     eval_fn = _batched_eval(potential, cell)
+    if constraints is None and cfg.ncons > 0:
+        raise ValueError(
+            f"cfg.ncons == {cfg.ncons} but no constraints function given"
+        )
+    if constraints is not None:
+        if cfg.ncons <= 0:
+            raise ValueError("constraints given but cfg.ncons == 0")
+        m = jax.eval_shape(
+            constraints,
+            jax.ShapeDtypeStruct((cfg.dim,), jnp.float64),
+        ).shape
+        if m != (cfg.ncons,):
+            raise ValueError(
+                f"constraints(x) returns shape {m}, expected"
+                f" ({cfg.ncons},) to match cfg.ncons"
+            )
+        cons_jac = jax.jacfwd(constraints)
+
+        def basis_fn(xx):
+            return constrained_free_basis(xx, cfg.nproj, cons_jac)
+
+    else:
+        cons_jac = None
+
+        def basis_fn(xx):
+            return free_basis(xx, cfg.nproj)
 
     def step(state: SearchState, key) -> SearchState:
         Bsz = state.x.shape[0]
         act = ~state.converged
 
-        Ufree = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(state.x)
+        Ufree = jax.vmap(basis_fn)(state.x)
 
         # ---- initial diagonalization (first step only, eig mode) ----
         need_init_diag = act & (~state.B_init) & cfg.eig
@@ -696,7 +798,7 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             def run(_):
                 return _davidson_and_absorb(
                     potential, cell, cfg, x_, g_, B_, B_init_, Ufree_,
-                    active_, key_,
+                    active_, key_, cons_jac=cons_jac,
                 )
 
             def skip(_):
@@ -757,6 +859,27 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         nsd = jnp.where(ev | need_init_diag, 0, state.nsteps_since_diag + 1)
 
         # ---- take the step ----
+        if cons_jac is not None:
+            # Gauss-Newton restoration toward the constraint manifold
+            # (the reference folds this into its internal-coordinate
+            # Newton iteration, ``peswrapper.py:700-740``); kept separate
+            # here so the tangent step and the normal correction stay
+            # orthogonal to first order.
+            c_now = jax.vmap(constraints)(state.x)          # (B, m)
+            Jb = jax.vmap(cons_jac)(state.x)                # (B, m, d)
+            JJt = jnp.einsum("bij,bkj->bik", Jb, Jb)
+            dx_rest = -jnp.einsum(
+                "bij,bi->bj", Jb, sym_solve(JJt, c_now)
+            )
+            # cap restoration at the trust radius to keep the update
+            # secant meaningful when starting far off the manifold
+            rmag = jnp.linalg.norm(dx_rest, axis=1, keepdims=True)
+            cap = state.delta[:, None]
+            dx_rest = jnp.where(
+                rmag > cap, dx_rest * cap / jnp.where(rmag > 0, rmag, 1.0),
+                dx_rest,
+            )
+            s_full = s_full + jnp.where(act[:, None], dx_rest, 0.0)
         x_new = state.x + s_full
         f_new, g_new = eval_fn(x_new)
         neval = neval + act.astype(jnp.int32)
@@ -784,7 +907,7 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         B_init2 = B_init1 | (act & m1[:, 0])
 
         # ---- scheduled re-diagonalization at the new point ----
-        Ufree_new = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(x_new)
+        Ufree_new = jax.vmap(basis_fn)(x_new)
         B3, B_init3, k_ev = _diag_at(
             x_new, g_new, B2, B_init2, Ufree_new, ev,
             jax.random.fold_in(key, 1),
@@ -814,7 +937,13 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         fmax_now = jnp.max(
             jnp.linalg.norm(gp.reshape(Bsz, cfg.natoms, 3), axis=2), axis=1
         )
-        conv_new = state.converged | (act & (fmax_now < cfg.fmax))
+        conv_now = fmax_now < cfg.fmax
+        if cons_jac is not None:
+            c_new = jax.vmap(constraints)(x_new)
+            conv_now = conv_now & (
+                jnp.max(jnp.abs(c_new), axis=1) < cfg.ctol
+            )
+        conv_new = state.converged | (act & conv_now)
 
         return SearchState(
             x=jnp.where(act[:, None], x_new, state.x),
@@ -892,12 +1021,13 @@ def run_ensemble(
     mesh=None,
     seed: int = 0,
     steps_per_call: int = 1,
+    constraints=None,
 ):
     """Host loop driving the jitted batched step until all searches
     converge (or max_steps). With a mesh, the state is sharded over the
     ensemble axis ('batch'); searches are independent so no collectives
     are needed beyond the convergence reduction."""
-    step = make_step_fn(potential, cfg, cell)
+    step = make_step_fn(potential, cfg, cell, constraints=constraints)
 
     def multi_step(state, key):
         def body(i, st):
@@ -937,6 +1067,7 @@ def run_ensemble_queue(
     cell: Optional[jnp.ndarray] = None,
     refill_every: int = 10,
     seed: int = 0,
+    constraints=None,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
 
@@ -947,7 +1078,10 @@ def run_ensemble_queue(
     """
     x0_all = jnp.asarray(x0_all)
     total = x0_all.shape[0]
-    step = jax.jit(make_step_fn(potential, cfg, cell), donate_argnums=0)
+    step = jax.jit(
+        make_step_fn(potential, cfg, cell, constraints=constraints),
+        donate_argnums=0,
+    )
     refill = jax.jit(partial(refill_converged, cfg=cfg), donate_argnums=0)
 
     state = init_state(potential, x0_all[:batch], cfg, cell)

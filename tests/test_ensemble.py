@@ -271,3 +271,106 @@ def test_ensemble_emt_adatom():
         pot, x0, cfg, max_steps=100, cell=jnp.asarray(slab.cell)
     )
     assert int(st.converged.sum()) == Bsz, np.asarray(st.nsteps)
+
+
+def _fixed_bond_cons(rt):
+    def cons(x):
+        p = x.reshape(-1, 3)
+        return jnp.array([jnp.linalg.norm(p[0] - p[1]) - rt])
+
+    return cons
+
+
+def test_ensemble_constrained_minimization():
+    """Batched constrained minimization: LJ4 with the 0-1 bond pinned at
+    a non-equilibrium length. Every converged lane must satisfy the
+    constraint to ctol, have a zero tangent gradient, and a PSD tangent
+    Lagrangian Hessian (batched analogue of the sequential tier's
+    fix_bond, reference ``internal.py:2906-2933``)."""
+    from sella_tpu.parallel.ensemble import constrained_free_basis
+    from sella_tpu.potentials import LennardJones
+
+    Bsz = 8
+    rt = 1.3
+    pot = LennardJones()
+    cons = _fixed_bond_cons(rt)
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(3)
+    x0 = jnp.asarray(
+        (tet[None] + 0.05 * rng.normal(size=(Bsz, 4, 3))).reshape(Bsz, 12)
+    )
+    cfg = EnsembleConfig(
+        natoms=4, order=0, fmax=1e-4, ncons=1, ctol=1e-6, eig=False,
+        method="qn",
+    )
+    state = run_ensemble(pot, x0, cfg, max_steps=200, constraints=cons)
+    assert bool(jnp.all(state.converged)), np.asarray(state.nsteps)
+
+    cell = jnp.zeros((3, 3))
+    cj = jax.jacfwd(cons)
+    for b in range(Bsz):
+        x = state.x[b]
+        # constraint satisfied: pinned bond, not the LJ minimum 2^(1/6)
+        assert abs(float(jnp.linalg.norm(x[0:3] - x[3:6])) - rt) < 1e-5
+        g = np.asarray(pot.grad(x, cell))
+        U = np.asarray(constrained_free_basis(x, 6, cj))
+        assert np.max(np.abs(U.T @ g)) < 1e-3
+        # tangent Lagrangian Hessian PSD
+        J = np.asarray(cj(x))
+        lam = np.linalg.lstsq(J.T, g, rcond=None)[0]
+        H = np.asarray(pot.hessian(x, cell))
+        Hc = np.asarray(jax.hessian(cons)(x))
+        W = H - np.einsum("m,mij->ij", lam, Hc)
+        evals = np.linalg.eigvalsh(U.T @ W @ U)
+        assert np.sum(evals < -1e-6) == 0, (b, evals)
+
+
+def test_ensemble_constrained_saddle():
+    """Batched constrained saddle search: converged lanes satisfy the
+    pinned bond and are first-order saddles of the Lagrangian restricted
+    to the constraint tangent space (possibly higher order on this
+    cluster's near-degenerate shoulders, hence >= 1 negative mode and
+    >= half the batch converging)."""
+    from sella_tpu.parallel.ensemble import constrained_free_basis
+    from sella_tpu.potentials import LennardJones
+
+    Bsz = 8
+    rt = 1.3
+    pot = LennardJones()
+    cons = _fixed_bond_cons(rt)
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(
+        (tet[None] + 0.05 * rng.normal(size=(Bsz, 4, 3))).reshape(Bsz, 12)
+    )
+    cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, ncons=1)
+    state = run_ensemble(pot, x0, cfg, max_steps=200, constraints=cons)
+    conv = np.asarray(state.converged)
+    assert conv.sum() >= Bsz // 2, (conv, np.asarray(state.nsteps))
+
+    cell = jnp.zeros((3, 3))
+    cj = jax.jacfwd(cons)
+    nfirst = 0
+    for b in range(Bsz):
+        if not conv[b]:
+            continue
+        x = state.x[b]
+        assert abs(float(jnp.linalg.norm(x[0:3] - x[3:6])) - rt) < 1e-3
+        g = np.asarray(pot.grad(x, cell))
+        J = np.asarray(cj(x))
+        lam = np.linalg.lstsq(J.T, g, rcond=None)[0]
+        H = np.asarray(pot.hessian(x, cell))
+        Hc = np.asarray(jax.hessian(cons)(x))
+        W = H - np.einsum("m,mij->ij", lam, Hc)
+        U = np.asarray(constrained_free_basis(x, 6, cj))
+        evals = np.linalg.eigvalsh(U.T @ W @ U)
+        assert np.sum(evals < -1e-6) >= 1, (b, evals)
+        if np.sum(evals < -1e-6) == 1:
+            nfirst += 1
+    assert nfirst >= 1
