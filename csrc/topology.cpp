@@ -5,10 +5,12 @@
 // the *compute* path is XLA, and the host-side hot spot that remains is
 // topology discovery: the candidate bond search over all atom pairs and
 // periodic images (O(n^2 * n_images) in numpy, called on every rebuild
-// event). This C++ kernel runs the same search as a tight direct pair
-// loop (no O(n^2 * n_images) numpy temporaries) behind a plain C ABI
-// for ctypes; a cell-list O(n) variant is the planned upgrade for
-// >10k-atom systems.
+// event). Two paths behind one C ABI entry point:
+//   * a tight direct pair loop (small n);
+//   * a linked-cell O(n) search (n >= 512) binning atoms into fractional
+//     (or bounding-box) cells of side >= cutoff and scanning the 27
+//     neighbor bins — the standard neighbor-list structure, required for
+//     >10k-atom systems where the pair loop's O(n^2) dominates rebuilds.
 //
 // Build: g++ -O3 -march=native -shared -fPIC topology.cpp -o libsella_native.so
 
@@ -17,46 +19,14 @@
 #include <cstring>
 #include <vector>
 
-extern "C" {
+namespace {
 
-// Candidate bond search with periodic images.
-//
-// positions: (n, 3) row-major; cell: (3, 3) row-major (rows are lattice
-// vectors); pbc: (3,) 0/1; rcov: (n,) covalent radii; labels: (n,)
-// fragment labels (-1 = unlabeled; pairs within the same label are
-// skipped); scale: threshold factor.
-//
-// Output: triples (i, j, tx, ty, tz) appended into out (cap entries);
-// returns the number of pairs found (may exceed cap — caller must
-// retry with a larger buffer; nothing beyond cap is written).
-int64_t find_candidate_bonds(
-    const double* positions,
-    const double* cell,
-    const int64_t* pbc,
-    const double* rcov,
-    const int64_t* labels,
-    int64_t n,
-    double scale,
-    int64_t* out,
-    int64_t cap)
-{
-    // image ranges per axis
-    int rx = pbc[0] ? 1 : 0, ry = pbc[1] ? 1 : 0, rz = pbc[2] ? 1 : 0;
-
-    // max threshold determines the cutoff
-    double rcov_max = 0.0;
-    for (int64_t i = 0; i < n; ++i)
-        if (rcov[i] > rcov_max) rcov_max = rcov[i];
-    const double cutoff = scale * 2.0 * rcov_max;
-    const double cutoff2 = cutoff * cutoff;
-
-    // fractional offset rounding (nearest-image prefold), as in the
-    // vectorized reference search (internal.py:3290-3307)
-    double inv[9];
+struct Cell3 {
+    const double* cell;   // (3,3) row-major, rows are lattice vectors
+    double inv[9];        // column-major action: frac = r . inv
     bool have_inv = false;
-    {
-        // invert cell if non-singular (needed only under pbc)
-        const double* c = cell;
+
+    explicit Cell3(const double* c) : cell(c) {
         double det =
             c[0] * (c[4] * c[8] - c[5] * c[7])
             - c[1] * (c[3] * c[8] - c[5] * c[6])
@@ -75,7 +45,35 @@ int64_t find_candidate_bonds(
             have_inv = true;
         }
     }
-    const bool any_pbc = (rx | ry | rz) && have_inv;
+
+    void frac(const double* r, double* f) const {
+        f[0] = r[0] * inv[0] + r[1] * inv[3] + r[2] * inv[6];
+        f[1] = r[0] * inv[1] + r[1] * inv[4] + r[2] * inv[7];
+        f[2] = r[0] * inv[2] + r[1] * inv[5] + r[2] * inv[8];
+    }
+
+    // perpendicular width of the cell along lattice axis a: V / |b x c|
+    double perp_width(int a) const {
+        const double* b = cell + 3 * ((a + 1) % 3);
+        const double* c = cell + 3 * ((a + 2) % 3);
+        double bx = b[1] * c[2] - b[2] * c[1];
+        double by = b[2] * c[0] - b[0] * c[2];
+        double bz = b[0] * c[1] - b[1] * c[0];
+        double area = std::sqrt(bx * bx + by * by + bz * bz);
+        const double* aa = cell + 3 * a;
+        double vol = std::fabs(aa[0] * bx + aa[1] * by + aa[2] * bz);
+        return area > 1e-300 ? vol / area : 0.0;
+    }
+};
+
+int64_t brute_force_bonds(
+    const double* positions, const double* cell, const int64_t* pbc,
+    const double* rcov, const int64_t* labels, int64_t n, double scale,
+    int64_t* out, int64_t cap, const Cell3& C)
+{
+    int rx = pbc[0] ? 1 : 0, ry = pbc[1] ? 1 : 0, rz = pbc[2] ? 1 : 0;
+    const bool any_pbc = (rx | ry | rz) && C.have_inv;
+    const double* inv = C.inv;
 
     int64_t count = 0;
     for (int64_t i = 0; i < n; ++i) {
@@ -125,6 +123,206 @@ int64_t find_candidate_bonds(
         }
     }
     return count;
+}
+
+// Linked-cell O(n) candidate search. Bins atoms into boxes of side
+// >= cutoff (fractional boxes when the cell is invertible, Cartesian
+// bounding-box otherwise), scans the 27 neighbor boxes, and reports the
+// image offset s = u + wrap_i - wrap_j so output triples are identical
+// to the brute-force path. Returns -1 when the geometry disqualifies
+// the structure (a periodic axis thinner than 3 cutoffs, where an atom
+// can bond to its own image) — caller falls back to brute force.
+int64_t cell_list_bonds(
+    const double* positions, const double* cell, const int64_t* pbc,
+    const double* rcov, const int64_t* labels, int64_t n, double scale,
+    int64_t* out, int64_t cap, const Cell3& C)
+{
+    double rcov_max = 0.0;
+    for (int64_t i = 0; i < n; ++i)
+        if (rcov[i] > rcov_max) rcov_max = rcov[i];
+    const double cutoff = scale * 2.0 * rcov_max;
+    if (cutoff <= 0.0) return 0;
+
+    const bool use_frac = C.have_inv;
+
+    // per-atom bin coordinate source: fractional or Cartesian
+    std::vector<double> coord(3 * n);
+    std::vector<int64_t> wrap(3 * n, 0);
+    double width[3];                       // physical thickness per unit
+    if (use_frac) {
+        for (int64_t i = 0; i < n; ++i)
+            C.frac(positions + 3 * i, &coord[3 * i]);
+        for (int a = 0; a < 3; ++a) width[a] = C.perp_width(a);
+    } else {
+        for (int64_t i = 0; i < n; ++i)
+            for (int a = 0; a < 3; ++a)
+                coord[3 * i + a] = positions[3 * i + a];
+        width[0] = width[1] = width[2] = 1.0;
+    }
+
+    int64_t nb[3];                         // bins per axis
+    double lo[3], binw[3];                 // origin + bin width (coord units)
+    for (int a = 0; a < 3; ++a) {
+        if (pbc[a] && use_frac) {
+            // wrap into [0, 1); bins must each be >= cutoff thick
+            int64_t m = (int64_t)std::floor(width[a] / cutoff);
+            if (m < 3) return -1;          // self-image regime: brute force
+            nb[a] = m;
+            lo[a] = 0.0;
+            binw[a] = 1.0 / (double)m;
+            for (int64_t i = 0; i < n; ++i) {
+                double f = coord[3 * i + a];
+                double w = std::floor(f);
+                wrap[3 * i + a] = (int64_t)w;
+                coord[3 * i + a] = f - w;
+            }
+        } else {
+            double cmin = coord[a], cmax = coord[a];
+            for (int64_t i = 1; i < n; ++i) {
+                double v = coord[3 * i + a];
+                if (v < cmin) cmin = v;
+                if (v > cmax) cmax = v;
+            }
+            double extent = cmax - cmin;
+            double bw = cutoff / width[a];     // bin width in coord units
+            int64_t m = (int64_t)std::floor(extent / bw) + 1;
+            if (m < 1) m = 1;
+            nb[a] = m;
+            lo[a] = cmin;
+            binw[a] = bw;
+        }
+    }
+
+    const int64_t nbins = nb[0] * nb[1] * nb[2];
+    // counting sort into bins
+    std::vector<int64_t> binof(n);
+    std::vector<int64_t> start(nbins + 1, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t b[3];
+        for (int a = 0; a < 3; ++a) {
+            int64_t k = (int64_t)std::floor(
+                (coord[3 * i + a] - lo[a]) / binw[a]);
+            if (k < 0) k = 0;
+            if (k >= nb[a]) k = nb[a] - 1;
+            b[a] = k;
+        }
+        binof[i] = (b[0] * nb[1] + b[1]) * nb[2] + b[2];
+        ++start[binof[i] + 1];
+    }
+    for (int64_t k = 0; k < nbins; ++k) start[k + 1] += start[k];
+    std::vector<int64_t> order(n);
+    {
+        std::vector<int64_t> cursor(start.begin(), start.end() - 1);
+        for (int64_t i = 0; i < n; ++i) order[cursor[binof[i]]++] = i;
+    }
+
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t bi0 = binof[i];
+        const int64_t bx = bi0 / (nb[1] * nb[2]);
+        const int64_t by = (bi0 / nb[2]) % nb[1];
+        const int64_t bz = bi0 % nb[2];
+        const double* ri = positions + 3 * i;
+        for (int dx = -1; dx <= 1; ++dx)
+        for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+            int64_t cb[3] = {bx + dx, by + dy, bz + dz};
+            int64_t u[3] = {0, 0, 0};
+            bool skip = false;
+            for (int a = 0; a < 3; ++a) {
+                if (cb[a] < 0) {
+                    if (pbc[a] && use_frac) { cb[a] += nb[a]; u[a] = -1; }
+                    else { skip = true; break; }
+                } else if (cb[a] >= nb[a]) {
+                    if (pbc[a] && use_frac) { cb[a] -= nb[a]; u[a] = 1; }
+                    else { skip = true; break; }
+                }
+            }
+            if (skip) continue;
+            const int64_t bj = (cb[0] * nb[1] + cb[1]) * nb[2] + cb[2];
+            for (int64_t p = start[bj]; p < start[bj + 1]; ++p) {
+                const int64_t j = order[p];
+                if (j <= i) continue;       // each unordered pair once
+                if (labels[i] == labels[j] && labels[i] != -1) continue;
+                const double thr = scale * (rcov[i] + rcov[j]);
+                // displacement of wrapped_j + u relative to wrapped_i
+                double vx, vy, vz;
+                int64_t s[3];
+                if (use_frac) {
+                    double df[3];
+                    for (int a = 0; a < 3; ++a) {
+                        double fj = coord[3 * j + a];
+                        double fi = coord[3 * i + a];
+                        df[a] = fj + (double)u[a] - fi;
+                        s[a] = u[a] + wrap[3 * i + a] - wrap[3 * j + a];
+                    }
+                    vx = df[0] * cell[0] + df[1] * cell[3]
+                        + df[2] * cell[6];
+                    vy = df[0] * cell[1] + df[1] * cell[4]
+                        + df[2] * cell[7];
+                    vz = df[0] * cell[2] + df[1] * cell[5]
+                        + df[2] * cell[8];
+                } else {
+                    const double* rj = positions + 3 * j;
+                    vx = rj[0] - ri[0];
+                    vy = rj[1] - ri[1];
+                    vz = rj[2] - ri[2];
+                    s[0] = s[1] = s[2] = 0;
+                }
+                if (vx * vx + vy * vy + vz * vz <= thr * thr) {
+                    if (count < cap) {
+                        int64_t* o = out + 5 * count;
+                        o[0] = i;
+                        o[1] = j;
+                        o[2] = s[0];
+                        o[3] = s[1];
+                        o[4] = s[2];
+                    }
+                    ++count;
+                }
+            }
+        }
+    }
+    return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Candidate bond search with periodic images.
+//
+// positions: (n, 3) row-major; cell: (3, 3) row-major (rows are lattice
+// vectors); pbc: (3,) 0/1; rcov: (n,) covalent radii; labels: (n,)
+// fragment labels (-1 = unlabeled; pairs within the same label are
+// skipped); scale: threshold factor.
+//
+// Output: triples (i, j, tx, ty, tz) appended into out (cap entries);
+// returns the number of pairs found (may exceed cap — caller must
+// retry with a larger buffer; nothing beyond cap is written).
+//
+// Dispatch: linked-cell O(n) search for n >= 512 (falling back when a
+// periodic axis is thinner than 3 cutoffs), direct O(n^2) pair loop
+// otherwise.
+int64_t find_candidate_bonds(
+    const double* positions,
+    const double* cell,
+    const int64_t* pbc,
+    const double* rcov,
+    const int64_t* labels,
+    int64_t n,
+    double scale,
+    int64_t* out,
+    int64_t cap)
+{
+    Cell3 C(cell);
+    if (n >= 512) {
+        int64_t r = cell_list_bonds(positions, cell, pbc, rcov, labels,
+                                    n, scale, out, cap, C);
+        if (r >= 0) return r;
+    }
+    return brute_force_bonds(positions, cell, pbc, rcov, labels, n,
+                             scale, out, cap, C);
 }
 
 // Flood-fill fragment labeling over a bond list. bonds: (m, 2) atom

@@ -75,3 +75,56 @@ def test_flood_fill_equivalence():
     assert labels[0] == labels[1] == labels[2]
     assert labels[4] == labels[5]
     assert len({labels[0], labels[3], labels[4], labels[6], labels[7]}) == 5
+
+
+@pytest.mark.parametrize(
+    "kind", ["bulk", "slab", "molecule", "triclinic_wrapped"]
+)
+def test_cell_list_equivalence(kind):
+    """n >= 512 dispatches to the linked-cell O(n) search; its output
+    must match the numpy pair-loop exactly (same pairs, same image
+    offsets) on bulk / slab / molecular / far-out-of-cell geometries."""
+    rng = np.random.RandomState(42)
+    n = 540
+    if kind == "bulk":
+        cell = np.eye(3) * 18.0
+        positions = rng.uniform(0, 18.0, size=(n, 3))
+        pbc = np.array([1, 1, 1])
+    elif kind == "slab":
+        cell = np.diag([16.0, 16.0, 40.0])
+        positions = np.hstack([
+            rng.uniform(0, 16, (n, 2)), rng.uniform(0, 7, (n, 1))
+        ])
+        pbc = np.array([1, 1, 0])
+    elif kind == "molecule":
+        cell = np.zeros((3, 3))
+        positions = rng.normal(size=(n, 3)) * 7.0
+        pbc = np.array([0, 0, 0])
+    else:  # triclinic, atoms far outside the unit cell
+        cell = np.array([[11.0, 0, 0], [3.0, 10.0, 0], [1.0, 2.0, 12.0]])
+        positions = rng.uniform(-1.5, 2.5, size=(n, 3)) @ cell
+        pbc = np.array([1, 1, 1])
+
+    numbers = rng.choice([1, 6, 29], size=n)
+    rcov = covalent_radii[numbers]
+    labels = -np.ones(n, dtype=np.int64)
+
+    native = find_candidate_bonds_native(
+        positions, cell, pbc, rcov, labels, 1.25
+    )
+    assert native is not None
+    ref = _numpy_candidates(
+        positions, np.asarray(cell, float), pbc.astype(bool), labels,
+        1.25, rcov,
+    )
+
+    def canon(items):
+        out = []
+        for i, j, ts in items:
+            ts = tuple(int(c) for c in np.asarray(ts))
+            if (j, tuple(-c for c in ts)) < (i, ts):
+                i, j, ts = j, i, tuple(-c for c in ts)
+            out.append((i, j, ts))
+        return sorted(out)
+
+    assert canon(native) == canon(ref)
