@@ -35,11 +35,15 @@ class MorsePotential(Potential):
         self.r0 = r0
         self.pbc = pbc
 
+    def pair_energy(self, r):
+        """Per-pair energy at distance r (vectorized; r = +inf -> 0)."""
+        expf = jnp.exp(self.rho0 * (1.0 - r / self.r0))
+        return self.epsilon * (expf * expf - 2.0 * expf)
+
     def energy(self, x, cell):
         r = pair_distances(x, cell, self.pbc)
-        expf = jnp.exp(self.rho0 * (1.0 - r / self.r0))
-        # mask the inf diagonal: exp(-inf) = 0 already, so the sum is safe
-        e = self.epsilon * (expf * expf - 2.0 * expf)
+        # the inf diagonal is safe: exp(-inf) = 0, and the where masks it
+        e = self.pair_energy(r)
         return 0.5 * jnp.sum(jnp.where(jnp.isfinite(r), e, 0.0))
 
 
@@ -56,14 +60,19 @@ class LennardJones(Potential):
         self.rc = rc
         self.pbc = pbc
 
-    def energy(self, x, cell):
-        r = pair_distances(x, cell, self.pbc)
+    def pair_energy(self, r):
+        """Per-pair energy at distance r (vectorized; r = +inf -> 0)."""
         sr6 = (self.sigma / r) ** 6
         e = 4.0 * self.epsilon * (sr6 * sr6 - sr6)
         if self.rc is not None:
             src6 = (self.sigma / self.rc) ** 6
             e0 = 4.0 * self.epsilon * (src6 * src6 - src6)
             e = jnp.where(r < self.rc, e - e0, 0.0)
+        return e
+
+    def energy(self, x, cell):
+        r = pair_distances(x, cell, self.pbc)
+        e = self.pair_energy(r)
         return 0.5 * jnp.sum(jnp.where(jnp.isfinite(r), e, 0.0))
 
 

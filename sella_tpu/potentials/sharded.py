@@ -1,0 +1,94 @@
+"""Mesh-sharded pair potential for the large-single-system path.
+
+SURVEY.md §2 (parallelism item 3): for systems too large for one chip's
+batched tier, the force field itself shards — each device owns a block
+of atoms and computes that block's pair interactions against all atoms,
+with one ``psum`` over the mesh per energy evaluation. Because the
+sharding lives inside ``energy`` (a ``shard_map`` region), every derived
+quantity scales for free: ``jax.grad`` gives sharded forces,
+``jax.jvp``-of-grad gives sharded Hessian-vector products, so the
+matrix-free Lanczos/Davidson machinery in
+:mod:`sella_tpu.parallel.largescale` runs multi-chip without touching a
+Hessian (the reference's matrix-free pattern is ``NumericalHessian``,
+``/root/reference/sella/linalg.py:39-95``, host-serial FD; here matvecs
+are exact HVPs sharded over ICI).
+
+The O(n^2/ndev) dense row-block is deliberate: for n up to a few 10^4
+the (blk, n) distance panel maps onto the VPU far better than gather-
+heavy neighbor lists, and memory is n^2/ndev * 8 bytes — 100 MB/device
+at n = 10^4 on 8 devices.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .base import Potential
+
+
+class ShardedPairPotential(Potential):
+    """Wrap a pair potential (anything exposing ``pair_energy(r)``) so
+    its lattice sums shard over a device mesh axis.
+
+    Positions stay replicated (they are tiny); the (blk, n) interaction
+    panel is what shards. The energy is bitwise-deterministic for a
+    fixed mesh size but the summation order differs from the unsharded
+    potential, so compare with a tolerance.
+    """
+
+    def __init__(self, inner, mesh: Mesh, axis: str = "atoms") -> None:
+        if not hasattr(inner, "pair_energy"):
+            raise TypeError(
+                f"{type(inner).__name__} exposes no pair_energy(r); "
+                "ShardedPairPotential needs a pair potential"
+            )
+        if axis not in mesh.shape:
+            raise ValueError(
+                f"mesh has no axis {axis!r}; its axes are "
+                f"{tuple(mesh.shape)}"
+            )
+        self.inner = inner
+        self.mesh = mesh
+        self.axis = axis
+        self.pbc = getattr(inner, "pbc", False)
+
+    def energy(self, x, cell):
+        n = x.shape[0] // 3
+        ndev = self.mesh.shape[self.axis]
+        blk = -(-n // ndev)
+        pbc = self.pbc
+        inner = self.inner
+        axis = self.axis
+
+        def partial_energy(x_, cell_):
+            d = jax.lax.axis_index(axis)
+            pos = x_.reshape(n, 3)
+            rows = d * blk + jnp.arange(blk)
+            in_range = rows < n
+            rows_c = jnp.clip(rows, 0, n - 1)
+            pi = pos[rows_c]                          # (blk, 3)
+            dr = pos[None, :, :] - pi[:, None, :]     # (blk, n, 3)
+            if pbc:
+                inv = jnp.linalg.inv(cell_)
+                frac = dr @ inv
+                frac = frac - jnp.round(frac)
+                dr = frac @ cell_
+            r2 = jnp.sum(dr * dr, axis=-1)            # (blk, n)
+            valid = in_range[:, None] & (
+                rows_c[:, None] != jnp.arange(n)[None, :]
+            )
+            # double-where: evaluate pair_energy at a safe distance on
+            # masked slots so reverse-mode sees no 0/0
+            r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+            e = jnp.where(valid, inner.pair_energy(r), 0.0)
+            return jax.lax.psum(0.5 * jnp.sum(e), axis)
+
+        fn = shard_map(
+            partial_energy,
+            mesh=self.mesh,
+            in_specs=(P(), P()),
+            out_specs=P(),
+        )
+        return fn(x, cell)

@@ -1,0 +1,94 @@
+"""Sharded pair potential: the large-single-system multi-chip path.
+
+The mesh here is the 8 virtual CPU devices from conftest; the same code
+shards over real ICI on a TPU pod (SURVEY.md §2, parallelism item 3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from sella_tpu.parallel.largescale import leftmost_mode, run_mmf
+from sella_tpu.potentials import LennardJones, ShardedPairPotential
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()), ("atoms",))
+
+
+def _cluster(n, seed=0, scale=2.0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.normal(size=(3 * n,)) * scale)
+
+
+def test_sharded_matches_unsharded(mesh):
+    """energy/grad/HVP identical to the single-device potential, with a
+    block count (20 atoms) that does not divide the 8-device mesh."""
+    inner = LennardJones()
+    pot = ShardedPairPotential(inner, mesh)
+    x = _cluster(20)
+    cell = jnp.zeros((3, 3))
+    assert jnp.allclose(pot.energy(x, cell), inner.energy(x, cell))
+    assert jnp.allclose(pot.grad(x, cell), inner.grad(x, cell),
+                        atol=1e-10)
+    v = _cluster(20, seed=1, scale=1.0)
+    assert jnp.allclose(pot.hvp(x, v, cell), inner.hvp(x, v, cell),
+                        atol=1e-8)
+
+
+def test_sharded_pbc_matches(mesh):
+    inner = LennardJones(pbc=True, rc=2.5)
+    pot = ShardedPairPotential(inner, mesh)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.uniform(0, 6, size=(60,)))
+    cell = jnp.eye(3) * 6.0
+    assert jnp.allclose(pot.energy(x, cell), inner.energy(x, cell))
+    assert jnp.allclose(pot.grad(x, cell), inner.grad(x, cell),
+                        atol=1e-10)
+
+
+def test_sharded_leftmost_mode(mesh):
+    """Matrix-free Lanczos through the sharded HVP reproduces the
+    unsharded leftmost eigenvalue."""
+    inner = LennardJones()
+    pot = ShardedPairPotential(inner, mesh)
+    x = _cluster(20)
+    cell = jnp.zeros((3, 3))
+    v0 = _cluster(20, seed=3, scale=1.0)
+    v0 = v0 / jnp.linalg.norm(v0)
+    lam_s = leftmost_mode(lambda u: pot.hvp(x, u, cell), v0)[0]
+    lam_u = leftmost_mode(lambda u: inner.hvp(x, u, cell), v0)[0]
+    assert abs(float(lam_s - lam_u)) < 1e-6
+
+
+def test_sharded_mmf_saddle(mesh):
+    """run_mmf drives a saddle search entirely through the sharded
+    potential: forces, mode tracking, and convergence all multi-device."""
+    inner = LennardJones()
+    pot = ShardedPairPotential(inner, mesh)
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(5)
+    x0 = jnp.asarray((tet + 0.08 * rng.normal(size=(4, 3))).ravel())
+    fin = run_mmf(pot, x0, order=1, fmax=1e-3, max_steps=300)
+    assert bool(fin.converged)
+    # verify against the unsharded Hessian: exactly one negative mode in
+    # the rigid-free subspace
+    from sella_tpu.parallel.ensemble import free_basis
+
+    cell = jnp.zeros((3, 3))
+    H = np.asarray(inner.hessian(fin.x, cell))
+    U = np.asarray(free_basis(fin.x, 6))
+    evals = np.linalg.eigvalsh(U.T @ H @ U)
+    assert np.sum(evals < -1e-6) == 1, evals
+
+
+def test_sharded_requires_pair_energy(mesh):
+    class NotAPair:
+        pass
+
+    with pytest.raises(TypeError):
+        ShardedPairPotential(NotAPair(), mesh)
