@@ -35,7 +35,12 @@ def main():
     natoms = 4
 
     pot = LennardJones()
-    cfg = EnsembleConfig(natoms=natoms, order=1, fmax=1e-3, gamma=1e-3)
+    # steady state has ~10% of lanes requesting a re-diag per step, so a
+    # batch/8 compaction budget serves every request within a step or two
+    # while cutting the dominant Davidson cost ~8x
+    budget = int(os.environ.get("BENCH_DIAG_BUDGET", str(batch // 8)))
+    cfg = EnsembleConfig(natoms=natoms, order=1, fmax=1e-3, gamma=1e-3,
+                         diag_budget=budget)
     tet = np.array(
         [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
          [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]

@@ -41,6 +41,10 @@ import jax.numpy as jnp
 import numpy as np
 
 BIG = 1e30
+# stiff positive curvature assigned to constrained-out directions in the
+# inequality (projector) path: far above any physical eigenvalue, far
+# below overflow in the alpha root-find denominators
+_CONS_SHIFT = 1e6
 
 
 class EnsembleConfig(NamedTuple):
@@ -67,6 +71,15 @@ class EnsembleConfig(NamedTuple):
     eig: bool = True               # run Davidson (saddle default)
     ncons: int = 0                 # number of equality-constraint rows
     ctol: float = 1e-4             # constraint-residual convergence tol
+    diag_budget: int = 0           # max lanes re-diagonalized per step
+    #   (0 = all). In steady state only ~10% of lanes request a diag on
+    #   any step, so running Davidson on a compacted sub-batch (gather
+    #   the requesting lanes, run, scatter back) cuts the dominant step
+    #   cost; unserved lanes keep their request pending for the next
+    #   step. Trades the strict batch-composition independence guarantee
+    #   for throughput — leave at 0 where bitwise reproducibility across
+    #   different batch packings matters. The first-step bootstrap diag
+    #   is always full-batch.
 
     @property
     def dim(self) -> int:
@@ -206,6 +219,16 @@ def sym_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-14):
     keep = jnp.abs(lams) > rcond * jnp.maximum(amax, 1e-300)
     inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)
     return jnp.einsum("bij,bj,bkj,bk->bi", V, inv, V, b)
+
+
+def _sym_pinv(A: jnp.ndarray, rcond: float = 1e-12) -> jnp.ndarray:
+    """Batched pseudo-inverse of a symmetric matrix via eigh (batched
+    SVD is ~20x slower on TPU; see _blstsq)."""
+    lams, V = jnp.linalg.eigh(A)
+    lmax = jnp.max(jnp.abs(lams), axis=-1, keepdims=True)
+    keep = jnp.abs(lams) > rcond * jnp.maximum(lmax, 1e-300)
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)
+    return jnp.einsum("bij,bj,bkj->bik", V, inv, V)
 
 
 def _blstsq(A: jnp.ndarray, Bv: jnp.ndarray, rcond: float = 1e-10):
@@ -520,7 +543,8 @@ def _batched_hvp_full(potential, cell):
 
 
 def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
-                         B_init, Ufree, active, key, cons_jac=None):
+                         B_init, Ufree, active, key, cons_jac=None,
+                         cons_active=None, tang_proj=None):
     """Run batched Davidson at x and absorb every HVP probe into B
     (the reference's diag + full-probe TS-BFGS absorption,
     ``peswrapper.py:508-556``).
@@ -530,7 +554,12 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
     lam = (J J^T)^{-1} J g — the batched form of the reference's
     constraint-curvature correction (``peswrapper.py:360-380`` get_Hc /
     get_HL), so curvature tangent to a curved constraint manifold is
-    judged correctly.
+    judged correctly. ``cons_active`` (B, m) masks inactive inequality
+    rows out of the multipliers; ``tang_proj`` (B, nfree, nfree), the
+    projector onto the active-constraint tangent space in free
+    coordinates, confines the Davidson operator to that space and gives
+    the projected-out directions a stiff positive shift (they can never
+    masquerade as the negative modes being sought).
 
     Callers gate this behind ``lax.cond(jnp.any(active), ...)`` so steps
     where NO lane is scheduled to diagonalize skip the whole machinery
@@ -540,6 +569,8 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
     hvp_full = _batched_hvp_full(potential, cell)
     if cons_jac is not None:
         J = jax.vmap(cons_jac)(x)                       # (B, m, d)
+        if cons_active is not None:
+            J = J * cons_active[:, :, None]
         JJt = jnp.einsum("bij,bkj->bik", J, J)
         lam = sym_solve(JJt, jnp.einsum("bij,bj->bi", J, g))  # (B, m)
         hvp_pot = hvp_full
@@ -551,21 +582,40 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
         def hvp_full(xb, vb):  # noqa: F811 — Lagrangian-corrected
             return hvp_pot(xb, vb) - jax.vmap(_corr_one)(xb, vb, lam)
 
-    def hvp_free(v_free):
-        v_full = jnp.einsum("bij,bj->bi", Ufree, v_free)
-        Av_full = hvp_full(x, v_full)
-        return jnp.einsum("bij,bi->bj", Ufree, Av_full), Av_full
+    nfree = Ufree.shape[2]
 
-    # Davidson runs on the projected operator; we also keep the
-    # full-space actions for absorption (``linalg.py:89-90``).
-    yfull_store = [jnp.zeros((x.shape[0], cfg.dim, K), x.dtype)]
+    if tang_proj is None:
+        def hvp_free(v_free):
+            v_full = jnp.einsum("bij,bj->bi", Ufree, v_free)
+            Av_full = hvp_full(x, v_full)
+            return jnp.einsum("bij,bi->bj", Ufree, Av_full), Av_full
+    else:
+        def hvp_free(v_free):
+            vt = jnp.einsum("bij,bj->bi", tang_proj, v_free)
+            v_full = jnp.einsum("bij,bj->bi", Ufree, vt)
+            Av_full = hvp_full(x, v_full)
+            Av = jnp.einsum(
+                "bij,bi->bj",
+                tang_proj,
+                jnp.einsum("bij,bi->bj", Ufree, Av_full),
+            )
+            # stiff shift along projected-out directions
+            Av = Av + _CONS_SHIFT * (v_free - vt)
+            return Av, Av_full
 
     # preconditioner: projected quasi-Newton B (identity when fresh)
     P = jnp.einsum("bij,bjk,bkl->bil", jnp.swapaxes(Ufree, 1, 2), B, Ufree)
-    eye = jnp.eye(cfg.nfree, dtype=x.dtype)[None]
+    eye = jnp.eye(nfree, dtype=x.dtype)[None]
     P = jnp.where(B_init[:, None, None], P, eye)
+    if tang_proj is not None:
+        P = (
+            jnp.einsum("bij,bjk,bkl->bil", tang_proj, P, tang_proj)
+            + _CONS_SHIFT * (eye - tang_proj)
+        )
 
     v0 = jnp.einsum("bij,bi->bj", Ufree, g)
+    if tang_proj is not None:
+        v0 = jnp.einsum("bij,bj->bi", tang_proj, v0)
 
     V, AVp, YF, k = _davidson_loop(
         hvp_free, P, v0, cfg.gamma, K, active, key
@@ -627,6 +677,23 @@ def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key):
         any_unconv = jnp.any(unconv, axis=1)
         return lams, Vr, AVr, R, seeking, any_unconv, W
 
+    # One eigendecomposition of the (iteration-independent) jd0
+    # preconditioner per Davidson call; each iteration's augmented solve
+    # [[P - theta I, v], [v^T, 0]] is then two diagonal applications via
+    # the Olsen formula — saving one batched eigh per expansion (~2.6 ms
+    # per iteration at batch 1024 f64 on v5e).
+    lamsP, QP = jnp.linalg.eigh(P)
+
+    def pinv_shift_apply(theta, x):
+        """(P - theta I)^+ x through the precomputed eigenbasis."""
+        denom = lamsP - theta[:, None]
+        scale = jnp.max(jnp.abs(lamsP), axis=1, keepdims=True) + 1e-300
+        keep = jnp.abs(denom) > 1e-12 * scale
+        inv = jnp.where(keep, 1.0 / jnp.where(keep, denom, 1.0), 0.0)
+        return jnp.einsum(
+            "bij,bj,bkj,bk->bi", QP, inv, QP, x
+        )
+
     def cond(st):
         return jnp.any(st.running) & (st.it < K - 1)
 
@@ -640,15 +707,16 @@ def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key):
         r = R[bidx, :, seeking]
         vi = Vr[bidx, :, seeking]
 
-        eye = jnp.eye(m, dtype=dtype)[None]
-        Pshift = P - theta[:, None, None] * eye
-        Aaug = jnp.zeros((Bsz, m + 1, m + 1), dtype)
-        Aaug = Aaug.at[:, :m, :m].set(Pshift)
-        Aaug = Aaug.at[:, :m, m].set(vi)
-        Aaug = Aaug.at[:, m, :m].set(vi)
-        raug = jnp.zeros((Bsz, m + 1), dtype).at[:, :m].set(r)
-        z = sym_solve(Aaug, -raug)
-        t = z[:, :m]
+        # Olsen/JD correction: t = -(y1 - (v^T y1 / v^T y2) y2) with
+        # y1 = (P - theta)^+ r, y2 = (P - theta)^+ v; t is normalized
+        # below, so the global sign is immaterial.
+        y1 = pinv_shift_apply(theta, r)
+        y2 = pinv_shift_apply(theta, vi)
+        num = jnp.einsum("bi,bi->b", vi, y1)
+        den = jnp.einsum("bi,bi->b", vi, y2)
+        safe = jnp.abs(den) > 1e-300
+        alpha = jnp.where(safe, num / jnp.where(safe, den, 1.0), 0.0)
+        t = y1 - alpha[:, None] * y2
 
         tnorm = jnp.linalg.norm(t, axis=1, keepdims=True)
         bad = (~jnp.all(jnp.isfinite(t), axis=1, keepdims=True)) | (
@@ -713,7 +781,9 @@ def init_state(potential, x0: jnp.ndarray, cfg: EnsembleConfig,
                cell: Optional[jnp.ndarray] = None,
                key: Optional[jnp.ndarray] = None) -> SearchState:
     """Initialize the batched search state (pre-step, no diag yet)."""
-    x0 = jnp.asarray(x0)
+    # private copy: run loops donate the state buffers (donate_argnums),
+    # and aliasing the caller's x0 would invalidate it for reuse
+    x0 = jnp.asarray(x0).copy()
     Bsz = x0.shape[0]
     dtype = x0.dtype
     if cell is None:
@@ -738,7 +808,7 @@ def init_state(potential, x0: jnp.ndarray, cfg: EnsembleConfig,
 
 def make_step_fn(potential, cfg: EnsembleConfig,
                  cell: Optional[jnp.ndarray] = None,
-                 constraints=None):
+                 constraints=None, comparators=None):
     """Build the jittable batched step: one full RS-P-RFO iteration for
     every search in the ensemble (``optimize.py:359-440`` as a pure
     function).
@@ -768,6 +838,10 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         raise ValueError(
             f"cfg.ncons == {cfg.ncons} but no constraints function given"
         )
+    if comparators is not None and constraints is None:
+        raise ValueError("comparators given but no constraints function")
+    has_ineq = False
+    active_mask = None
     if constraints is not None:
         if cfg.ncons <= 0:
             raise ValueError("constraints given but cfg.ncons == 0")
@@ -781,15 +855,79 @@ def make_step_fn(potential, cfg: EnsembleConfig,
                 f" ({cfg.ncons},) to match cfg.ncons"
             )
         cons_jac = jax.jacfwd(constraints)
+        if comparators is None:
+            comparators = ("eq",) * cfg.ncons
+        comparators = tuple(comparators)
+        if len(comparators) != cfg.ncons or not all(
+            c in ("eq", "lt", "gt") for c in comparators
+        ):
+            raise ValueError(
+                f"comparators must be {cfg.ncons} of 'eq'|'lt'|'gt', got"
+                f" {comparators}"
+            )
+        has_ineq = any(c != "eq" for c in comparators)
+
+    if has_ineq:
+        # Inequality (projector) path: the active set varies per lane and
+        # per step, so a fixed-width constrained basis is impossible.
+        # Work in the rigid-free basis (dim - nproj wide) and project the
+        # ACTIVE constraint rows out of gradient/Hessian instead, giving
+        # the projected-out directions a stiff positive curvature
+        # (_CONS_SHIFT). Inequalities deactivate while satisfied and
+        # re-engage on violation — the reference's disable_satisfied
+        # semantics (``internal.py:2788-2823``) as pure masking.
+        cfg_w = cfg._replace(ncons=0)
+        _eqm = np.array([c == "eq" for c in comparators])
+        _ltm = np.array([c == "lt" for c in comparators])
+        _gtm = np.array([c == "gt" for c in comparators])
+
+        def active_mask(c, J, g):
+            """Active set with a boundary layer + multiplier-sign test.
+
+            A purely violation-driven set chatters: a lane on the
+            boundary deactivates, drifts out on the next tangent step,
+            reactivates, and never converges. Instead an inequality in
+            the |c| <= ctol layer stays active while its (row-wise)
+            KKT multiplier has the binding sign — i.e. while the descent
+            direction points out of the feasible region (for 'lt':
+            J.g < 0 means -g increases c). Violated rows are always
+            active; comfortably satisfied rows are always free.
+            """
+            jg = jnp.einsum("md,d->m", J, g)
+            lt, gt = jnp.asarray(_ltm), jnp.asarray(_gtm)
+            layer = jnp.abs(c) <= cfg.ctol
+            return (
+                jnp.asarray(_eqm)
+                | (lt & ((c > 0.0) | (layer & (jg < 0.0))))
+                | (gt & ((c < 0.0) | (layer & (jg > 0.0))))
+            )
+
+        def basis_fn(xx):
+            return free_basis(xx, cfg.nproj)
+
+    elif constraints is not None:
+        cfg_w = cfg
 
         def basis_fn(xx):
             return constrained_free_basis(xx, cfg.nproj, cons_jac)
 
     else:
         cons_jac = None
+        cfg_w = cfg
 
         def basis_fn(xx):
             return free_basis(xx, cfg.nproj)
+
+    def tang_at(x, c, g, Ufree):
+        """Active-set mask and tangent projector (inequality path)."""
+        Jb0 = jax.vmap(cons_jac)(x)                          # (B, m, d)
+        a = jax.vmap(active_mask)(c, Jb0, g).astype(x.dtype)
+        Jb = Jb0 * a[:, :, None]
+        A = jnp.einsum("bmd,bdf->bmf", Jb, Ufree)            # (B, m, f)
+        G = jnp.einsum("bmf,bnf->bmn", A, A)
+        Pc = jnp.einsum("bmf,bmn,bng->bfg", A, _sym_pinv(G), A)
+        eye = jnp.eye(Ufree.shape[2], dtype=x.dtype)[None]
+        return a, eye - Pc
 
     def step(state: SearchState, key) -> SearchState:
         Bsz = state.x.shape[0]
@@ -797,24 +935,35 @@ def make_step_fn(potential, cfg: EnsembleConfig,
 
         Ufree = jax.vmap(basis_fn)(state.x)
 
+        if has_ineq:
+            c_cur = jax.vmap(constraints)(state.x)
+            a_cur, Ip_cur = tang_at(state.x, c_cur, state.g, Ufree)
+        else:
+            c_cur = a_cur = Ip_cur = None
+
         # ---- initial diagonalization (first step only, eig mode) ----
         need_init_diag = act & (~state.B_init) & cfg.eig
 
-        def _diag_at(x_, g_, B_, B_init_, Ufree_, active_, key_):
+        def _diag_at(x_, g_, B_, B_init_, Ufree_, active_, key_,
+                     cons_active_=None, tang_proj_=None):
             def run(_):
                 return _davidson_and_absorb(
-                    potential, cell, cfg, x_, g_, B_, B_init_, Ufree_,
+                    potential, cell, cfg_w, x_, g_, B_, B_init_, Ufree_,
                     active_, key_, cons_jac=cons_jac,
+                    cons_active=cons_active_, tang_proj=tang_proj_,
                 )
 
             def skip(_):
-                return B_, B_init_, jnp.zeros_like(state.nsteps)
+                return B_, B_init_, jnp.zeros(
+                    active_.shape[0], state.nsteps.dtype
+                )
 
             return jax.lax.cond(jnp.any(active_), run, skip, None)
 
         B1, B_init1, k_init = _diag_at(
             state.x, state.g, state.B, state.B_init, Ufree,
             need_init_diag, jax.random.fold_in(key, 0),
+            cons_active_=a_cur, tang_proj_=Ip_cur,
         )
         nmv = state.nmatvec + jnp.where(need_init_diag, k_init, 0)
         neval = state.neval + jnp.where(need_init_diag, k_init, 0)
@@ -825,9 +974,15 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         # ---- projected quantities ----
         UT = jnp.swapaxes(Ufree, 1, 2)
         Hproj = jnp.einsum("bij,bjk,bkl->bil", UT, B1, Ufree)
-        eye = jnp.eye(cfg.nfree, dtype=state.x.dtype)[None]
+        eye = jnp.eye(cfg_w.nfree, dtype=state.x.dtype)[None]
         Hproj = jnp.where(B_init1[:, None, None], Hproj, eye)
         g_free = jnp.einsum("bij,bi->bj", Ufree, state.g)
+        if has_ineq:
+            g_free = jnp.einsum("bij,bj->bi", Ip_cur, g_free)
+            Hproj = (
+                jnp.einsum("bij,bjk,bkl->bil", Ip_cur, Hproj, Ip_cur)
+                + _CONS_SHIFT * (eye - Ip_cur)
+            )
 
         # one batched eigh of the projected Hessian serves both the
         # trust-region stepper and the diag-scheduling inertia check
@@ -835,7 +990,7 @@ def make_step_fn(potential, cfg: EnsembleConfig,
 
         # ---- trust-region step ----
         s_full, smag = restricted_step_batched(
-            g_free, Hproj, Ufree, state.delta, cfg, prep=prep
+            g_free, Hproj, Ufree, state.delta, cfg_w, prep=prep
         )
         s_full = jnp.where(act[:, None], s_full, 0.0)
 
@@ -862,7 +1017,17 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             ev = ev | (
                 act & (state.nsteps_since_diag >= cfg.diag_every_n)
             )
-        nsd = jnp.where(ev | need_init_diag, 0, state.nsteps_since_diag + 1)
+        # compaction: serve at most diag_budget requests this step;
+        # unserved lanes keep counting and re-request next step
+        if cfg.diag_budget > 0 and cfg.diag_budget < Bsz:
+            sel = jnp.argsort(~ev)[: cfg.diag_budget]
+            served = jnp.zeros(Bsz, bool).at[sel].set(ev[sel])
+        else:
+            sel = None
+            served = ev
+        nsd = jnp.where(
+            served | need_init_diag, 0, state.nsteps_since_diag + 1
+        )
 
         # ---- take the step ----
         if cons_jac is not None:
@@ -871,8 +1036,16 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             # Newton iteration, ``peswrapper.py:700-740``); kept separate
             # here so the tangent step and the normal correction stay
             # orthogonal to first order.
-            c_now = jax.vmap(constraints)(state.x)          # (B, m)
+            c_now = (
+                c_cur if c_cur is not None
+                else jax.vmap(constraints)(state.x)
+            )                                               # (B, m)
             Jb = jax.vmap(cons_jac)(state.x)                # (B, m, d)
+            if has_ineq:
+                # restore only the ACTIVE rows (violated inequalities
+                # and all equalities); satisfied inequalities are free
+                Jb = Jb * a_cur[:, :, None]
+                c_now = c_now * a_cur
             JJt = jnp.einsum("bij,bkj->bik", Jb, Jb)
             dx_rest = -jnp.einsum(
                 "bij,bi->bj", Jb, sym_solve(JJt, c_now)
@@ -914,12 +1087,37 @@ def make_step_fn(potential, cfg: EnsembleConfig,
 
         # ---- scheduled re-diagonalization at the new point ----
         Ufree_new = jax.vmap(basis_fn)(x_new)
-        B3, B_init3, k_ev = _diag_at(
-            x_new, g_new, B2, B_init2, Ufree_new, ev,
-            jax.random.fold_in(key, 1),
-        )
-        nmv = nmv + jnp.where(ev, k_ev, 0)
-        neval = neval + jnp.where(ev, k_ev, 0)
+        if has_ineq:
+            c_new = jax.vmap(constraints)(x_new)
+            a_new, Ip_new = tang_at(x_new, c_new, g_new, Ufree_new)
+        else:
+            c_new = a_new = Ip_new = None
+        if sel is None:
+            B3, B_init3, k_ev = _diag_at(
+                x_new, g_new, B2, B_init2, Ufree_new, served,
+                jax.random.fold_in(key, 1),
+                cons_active_=a_new, tang_proj_=Ip_new,
+            )
+            nmv = nmv + jnp.where(served, k_ev, 0)
+            neval = neval + jnp.where(served, k_ev, 0)
+        else:
+            # run Davidson only on the compacted sub-batch
+            ev_g = ev[sel]
+            B_g, B_init_g, k_g = _diag_at(
+                x_new[sel], g_new[sel], B2[sel], B_init2[sel],
+                Ufree_new[sel], ev_g, jax.random.fold_in(key, 1),
+                cons_active_=None if a_new is None else a_new[sel],
+                tang_proj_=None if Ip_new is None else Ip_new[sel],
+            )
+            B3 = B2.at[sel].set(
+                jnp.where(ev_g[:, None, None], B_g, B2[sel])
+            )
+            B_init3 = B_init2.at[sel].set(B_init2[sel] | ev_g)
+            k_full = jnp.zeros_like(nmv).at[sel].set(
+                jnp.where(ev_g, k_g, 0)
+            )
+            nmv = nmv + k_full
+            neval = neval + k_full
 
         # ---- trust radius update (``optimize.py:412-432``) ----
         bad = (ratio < 1.0 / cfg.rho_dec) | (ratio > cfg.rho_dec)
@@ -936,15 +1134,24 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         delta_new = jnp.where(act, delta_new, state.delta)
 
         # ---- convergence: max projected per-atom force ----
-        gp = jnp.einsum(
-            "bij,bj->bi", Ufree_new,
-            jnp.einsum("bij,bi->bj", Ufree_new, g_new),
-        )
+        gfree_new = jnp.einsum("bij,bi->bj", Ufree_new, g_new)
+        if has_ineq:
+            gfree_new = jnp.einsum("bij,bj->bi", Ip_new, gfree_new)
+        gp = jnp.einsum("bij,bj->bi", Ufree_new, gfree_new)
         fmax_now = jnp.max(
             jnp.linalg.norm(gp.reshape(Bsz, cfg.natoms, 3), axis=2), axis=1
         )
         conv_now = fmax_now < cfg.fmax
-        if cons_jac is not None:
+        if has_ineq:
+            eqm = jnp.asarray(_eqm)[None, :]
+            viol = jnp.where(
+                eqm, jnp.abs(c_new),
+                jnp.where(
+                    jnp.asarray(_ltm)[None, :], c_new, -c_new
+                ),
+            )
+            conv_now = conv_now & (jnp.max(viol, axis=1) < cfg.ctol)
+        elif cons_jac is not None:
             c_new = jax.vmap(constraints)(x_new)
             conv_now = conv_now & (
                 jnp.max(jnp.abs(c_new), axis=1) < cfg.ctol
@@ -1028,12 +1235,14 @@ def run_ensemble(
     seed: int = 0,
     steps_per_call: int = 1,
     constraints=None,
+    comparators=None,
 ):
     """Host loop driving the jitted batched step until all searches
     converge (or max_steps). With a mesh, the state is sharded over the
     ensemble axis ('batch'); searches are independent so no collectives
     are needed beyond the convergence reduction."""
-    step = make_step_fn(potential, cfg, cell, constraints=constraints)
+    step = make_step_fn(potential, cfg, cell, constraints=constraints,
+                        comparators=comparators)
 
     def multi_step(state, key):
         def body(i, st):
@@ -1074,6 +1283,7 @@ def run_ensemble_queue(
     refill_every: int = 10,
     seed: int = 0,
     constraints=None,
+    comparators=None,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
 
@@ -1085,7 +1295,8 @@ def run_ensemble_queue(
     x0_all = jnp.asarray(x0_all)
     total = x0_all.shape[0]
     step = jax.jit(
-        make_step_fn(potential, cfg, cell, constraints=constraints),
+        make_step_fn(potential, cfg, cell, constraints=constraints,
+                     comparators=comparators),
         donate_argnums=0,
     )
     refill = jax.jit(partial(refill_converged, cfg=cfg), donate_argnums=0)

@@ -374,3 +374,97 @@ def test_ensemble_constrained_saddle():
         if np.sum(evals < -1e-6) == 1:
             nfirst += 1
     assert nfirst >= 1
+
+
+def test_ensemble_inequality_constraints():
+    """Batched inequality constraints (projector path): a binding lower
+    bound pins the bond at the boundary; a non-binding one leaves the
+    unconstrained minimum untouched (reference disable_satisfied
+    semantics, ``internal.py:2788-2823``)."""
+    from sella_tpu.potentials import LennardJones
+
+    pot = LennardJones()
+    Bsz = 8
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(3)
+    x0 = jnp.asarray(
+        (tet[None] + 0.05 * rng.normal(size=(Bsz, 4, 3))).reshape(Bsz, 12)
+    )
+    cfg = EnsembleConfig(natoms=4, order=0, fmax=1e-4, ncons=1,
+                         ctol=1e-6, eig=False, method="qn")
+
+    def make_cons(rt):
+        def cons(x):
+            p = x.reshape(4, 3)
+            return jnp.array([jnp.linalg.norm(p[0] - p[1]) - rt])
+
+        return cons
+
+    # binding: free minimum bond (2^(1/6) ~ 1.12) violates bond >= 1.3
+    st = run_ensemble(pot, x0, cfg, max_steps=200,
+                      constraints=make_cons(1.3), comparators=("gt",))
+    conv = np.asarray(st.converged)
+    assert conv.sum() >= Bsz - 2, conv
+    bl = np.linalg.norm(
+        np.asarray(st.x).reshape(-1, 4, 3)[:, 0]
+        - np.asarray(st.x).reshape(-1, 4, 3)[:, 1], axis=1,
+    )
+    assert np.allclose(bl[conv], 1.3, atol=1e-4), bl
+
+    # non-binding: bond >= 1.0 is satisfied at the free minimum
+    st = run_ensemble(pot, x0, cfg, max_steps=200,
+                      constraints=make_cons(1.0), comparators=("gt",))
+    conv = np.asarray(st.converged)
+    assert conv.sum() == Bsz, conv
+    bl = np.linalg.norm(
+        np.asarray(st.x).reshape(-1, 4, 3)[:, 0]
+        - np.asarray(st.x).reshape(-1, 4, 3)[:, 1], axis=1,
+    )
+    assert np.allclose(bl, 2.0 ** (1 / 6), atol=1e-3), bl
+
+
+def test_ensemble_diag_budget():
+    """Compacted re-diagonalization (diag_budget) preserves convergence
+    quality while bounding per-step Davidson work."""
+    from sella_tpu.potentials import LennardJones
+
+    pot = LennardJones()
+    Bsz = 16
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(7)
+    x0 = jnp.asarray(
+        (tet[None] + 0.1 * rng.normal(size=(Bsz, 4, 3))).reshape(Bsz, 12)
+    )
+    cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3,
+                         diag_budget=max(2, Bsz // 8))
+    st = run_ensemble(pot, x0, cfg, max_steps=300)
+    conv = np.asarray(st.converged)
+    assert conv.sum() >= Bsz - 3, (conv, np.asarray(st.nsteps))
+    cell = jnp.zeros((3, 3))
+    for b in range(Bsz):
+        if not conv[b]:
+            continue
+        H = np.asarray(pot.hessian(st.x[b], cell))
+        U = np.asarray(free_basis(st.x[b], 6))
+        evals = np.linalg.eigvalsh(U.T @ H @ U)
+        assert np.sum(evals < -1e-6) == 1, (b, evals)
+
+
+def test_init_state_does_not_alias_x0():
+    """run loops donate state buffers; init_state must copy x0 so the
+    caller's array survives a second run (regression: donated-buffer
+    error on back-to-back run_ensemble calls with the same x0)."""
+    from sella_tpu.potentials import LennardJones
+
+    pot = LennardJones()
+    x0 = jnp.asarray(np.random.RandomState(0).normal(size=(4, 12)))
+    cfg = EnsembleConfig(natoms=4, order=0, eig=False, method="qn")
+    run_ensemble(pot, x0, cfg, max_steps=3)
+    st = run_ensemble(pot, x0, cfg, max_steps=3)  # must not raise
+    assert st.x.shape == (4, 12)
