@@ -6,9 +6,9 @@ backend, so we never pin the platform; we do enable x64 by default because
 the trust-region / Davidson machinery relies on tolerances down to 1e-15
 (e.g. ``/root/reference/sella/optimize/restricted_step.py:64-66``). On TPU
 f64 is emulated, but every f64 op in this framework acts on tiny (d x d)
-ensemble-batched matrices, so the cost is acceptable; the hot potential
-evaluations can run in f32/bf16 independently (see
-``sella_tpu.potentials.base.Potential.dtype``).
+ensemble-batched matrices, so the cost is acceptable; individual
+potentials are free to compute internally in f32/bf16 and cast at their
+``energy`` boundary.
 
 Set ``SELLA_TPU_X64=0`` to disable f64 (the batched ensemble path is
 validated in f32 as well).

@@ -19,7 +19,7 @@ from ..atoms import Atoms, as_atoms
 from ..coords.constraints import Constraints
 from ..pes.cartesian import PES
 from .driver import Optimizer
-from .restricted_step import get_restricted_step
+from .restricted_step import MaxInternalStep, get_restricted_step
 
 _default_kwargs = dict(
     minimum=dict(
@@ -47,9 +47,11 @@ class Sella(Optimizer):
     def __init__(
         self,
         atoms: Atoms,
+        restart: Optional[str] = None,
         logfile: str = "-",
         trajectory=None,
         master: Optional[bool] = None,
+        append_trajectory: bool = False,
         delta0: Optional[float] = None,
         sigma_inc: Optional[float] = None,
         sigma_dec: Optional[float] = None,
@@ -83,6 +85,18 @@ class Sella(Optimizer):
     ) -> None:
         atoms = as_atoms(atoms)
         default = _default_kwargs["minimum" if order == 0 else "saddle"]
+
+        # ``master=False`` silences file output (the reference forwards
+        # this to ASE for non-master MPI ranks, ``optimize.py:49,148``).
+        if master is False:
+            logfile = None
+            trajectory = None
+        if isinstance(trajectory, str):
+            from ..utils.trajectory import TrajectoryWriter
+
+            mode = "a" if append_trajectory else "w"
+            trajectory = TrajectoryWriter(trajectory, atoms, mode=mode)
+        self.restart = restart
 
         # cell-optimization validation (``optimize.py:127-142``)
         self.optimize_cell = optimize_cell
@@ -125,6 +139,9 @@ class Sella(Optimizer):
             self.delta = delta0
         else:
             self.delta = delta0 * self.pes.get_Ufree().shape[1]
+        # Cell DOF get their own trust radius, coupled into the MIS norm
+        # via wc = delta/delta_cell (reference ``optimize.py:187,333-337``)
+        self.delta_cell = delta0
 
         self.sigma_inc = sigma_inc if sigma_inc is not None else default["sigma_inc"]
         self.sigma_dec = sigma_dec if sigma_dec is not None else default["sigma_dec"]
@@ -153,6 +170,8 @@ class Sella(Optimizer):
         self.nsteps_since_diag = 0
         self.diag_every_n = np.inf if diag_every_n is None else diag_every_n
         self._last_converged = None
+        if self.restart is not None:
+            self._load_restart()
 
     def initialize_pes(
         self,
@@ -274,11 +293,18 @@ class Sella(Optimizer):
         self.pes.save()
         x0 = self.pes.get_x()
 
+        rs_kwargs = {}
+        if self.optimize_cell and isinstance(self.rs, type) and issubclass(
+            self.rs, MaxInternalStep
+        ):
+            rs_kwargs["wc"] = self.delta / self.delta_cell
+
         if self.pes.cons.has_inequalities():
             all_valid = False
             while not all_valid:
                 s, smag = self.rs(
-                    self.pes, self.ord, self.delta, method=self.method
+                    self.pes, self.ord, self.delta, method=self.method,
+                    **rs_kwargs
                 ).get_s()
                 self.pes.set_x(x0 + s)
                 all_valid = self.pes.cons.validate_inequalities()
@@ -287,7 +313,8 @@ class Sella(Optimizer):
             self.pes._update_basis()
         else:
             s, smag = self.rs(
-                self.pes, self.ord, self.delta, method=self.method
+                self.pes, self.ord, self.delta, method=self.method,
+                **rs_kwargs
             ).get_s()
         return s, smag
 
@@ -318,9 +345,22 @@ class Sella(Optimizer):
 
         rho = self.pes.kick(s, ev, **self.diagkwargs)
 
-        # Bad internals: rebuild the PES, skip the trust update
+        # Bad internals: rebuild the PES, skip the trust update.
+        # All cell-path kwargs must survive the rebuild or a
+        # CellInternalPES would silently degrade to a plain InternalPES
+        # (reference ``optimize.py:384-410``).
         if self.internal is not None and self.pes.int is not None:
             if self.pes.int.check_for_bad_internals():
+                cell_kwargs = {}
+                if self.optimize_cell:
+                    cell_kwargs = dict(
+                        cell_mask=self.pes.cell_mask,
+                        exp_cell_factor=self.pes.exp_cell_factor,
+                        scalar_pressure=self.pes.scalar_pressure,
+                        rigid_fragments=getattr(
+                            self.pes, "rigid_fragments", False
+                        ),
+                    )
                 self.initialize_pes(
                     atoms=self.pes.atoms,
                     trajectory=self.pes.traj,
@@ -330,17 +370,42 @@ class Sella(Optimizer):
                     v0=None,
                     internal=self.user_internal,
                     hessian_function=self.pes.hessian_function,
+                    optimize_cell=self.optimize_cell,
+                    allow_fragments=self.allow_fragments,
+                    **cell_kwargs,
+                    **self.peskwargs,
                 )
                 self.initialized = False
                 self.rho = 1.0
+                self._dump_restart()
                 return
 
-        # Trust-radius update from the prediction ratio
+        # Trust-radius update from the prediction ratio; cell DOF use
+        # their own radius (reference ``optimize.py:412-431``)
         if rho is not None:
+            n_int = getattr(self.pes, "n_internal", None)
+            if self.optimize_cell and n_int is not None:
+                smag_int = float(np.max(np.abs(s[:n_int]))) if n_int else 0.0
+                smag_cell = (
+                    float(np.max(np.abs(s[n_int:]))) if len(s) > n_int
+                    else 0.0
+                )
+            else:
+                smag_int = smag
+                smag_cell = 0.0
+
             if rho < 1.0 / self.rho_dec or rho > self.rho_dec:
-                self.delta = max(smag * self.sigma_dec, self.delta_min)
+                self.delta = max(smag_int * self.sigma_dec, self.delta_min)
+                if smag_cell > 0:
+                    self.delta_cell = max(
+                        self.delta_cell * self.sigma_dec, self.delta_min
+                    )
             elif 1.0 / self.rho_inc < rho < self.rho_inc:
-                self.delta = max(self.sigma_inc * smag, self.delta)
+                self.delta = max(self.sigma_inc * smag_int, self.delta)
+                if smag_cell > 0:
+                    self.delta_cell = max(
+                        self.sigma_inc * smag_cell, self.delta_cell
+                    )
             self.rho = rho
         else:
             self.rho = 1.0
@@ -352,6 +417,49 @@ class Sella(Optimizer):
         ):
             self.initialized = False
             self.rho = 1.0
+
+        self._dump_restart()
+
+    # -- restart payload ------------------------------------------------------
+    # The reference forwards ``restart`` to the ASE Optimizer base
+    # (pickle of optimizer internals, ``optimize.py:45,177``) but
+    # defines no custom payload. Here the payload is explicit: the
+    # quantities that are expensive to regenerate (the quasi-Newton
+    # Hessian) plus the trust/diag-schedule state.
+    def _dump_restart(self) -> None:
+        if self.restart is None:
+            return
+        payload = dict(
+            delta=self.delta,
+            delta_cell=self.delta_cell,
+            rho=self.rho,
+            nsteps_since_diag=self.nsteps_since_diag,
+            positions=np.asarray(self.pes.atoms.positions),
+        )
+        H = getattr(self.pes, "H", None)
+        if H is not None and getattr(H, "B", None) is not None:
+            payload["B"] = np.asarray(H.B)
+        tmp = self.restart + ".tmp"
+        with open(tmp, "wb") as fh:  # np.savez(str) would append .npz
+            np.savez(fh, **payload)
+        import os
+
+        os.replace(tmp, self.restart)
+
+    def _load_restart(self) -> None:
+        import os
+
+        if not os.path.exists(self.restart):
+            return
+        with np.load(self.restart) as data:
+            self.delta = float(data["delta"])
+            self.delta_cell = float(data["delta_cell"])
+            self.rho = float(data["rho"])
+            self.nsteps_since_diag = int(data["nsteps_since_diag"])
+            if "B" in data:
+                self.pes.H.set_B(data["B"])
+                # the restored Hessian replaces the initial diag
+                self.initialized = True
 
     def converged(self, forces=None) -> bool:
         fmax = self.fmax if self.fmax is not None else 0.05

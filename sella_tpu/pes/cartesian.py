@@ -197,6 +197,7 @@ class PES:
 
             # NB: always the Cartesian geometry — get_x() is overridden
             # to internal coordinates in InternalPES
+            self._potential.validate_cell(self.atoms.cell)
             f, g = self._potential.energy_and_grad(
                 jnp.asarray(self.atoms.positions.ravel()),
                 jnp.asarray(self.atoms.cell),

@@ -39,6 +39,11 @@ class Potential:
     def energy(self, x: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
 
+    def validate_cell(self, cell) -> None:
+        """Host-side sanity check of a concrete cell (e.g. minimum image
+        shell validity). No-op by default; called once per force call
+        from the PES wrappers with the current cell."""
+
     # -- derived, jitted entry points ---------------------------------------
     @partial(jax.jit, static_argnums=0)
     def energy_and_grad(

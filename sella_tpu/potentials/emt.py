@@ -104,6 +104,27 @@ class EMT(Potential):
         )
         self.n = n
 
+    def validate_cell(self, cell) -> None:
+        """The periodic path sums ONE shell of images (+-1), which is
+        only exact when the cutoff fits within the cell: every
+        perpendicular cell height must be >= rc (~4.8 A for Cu)."""
+        if not self.pbc:
+            return
+        c = np.asarray(cell, dtype=float)
+        vol = abs(float(np.linalg.det(c)))
+        if vol <= 0.0:
+            raise ValueError("EMT with pbc=True requires a full-rank cell")
+        heights = [
+            vol / np.linalg.norm(np.cross(c[(i + 1) % 3], c[(i + 2) % 3]))
+            for i in range(3)
+        ]
+        if min(heights) < self.rc:
+            raise ValueError(
+                f"EMT one-image-shell cutoff rc={self.rc:.3f} A exceeds "
+                f"the minimum cell height {min(heights):.3f} A; enlarge "
+                "the cell (supercell) or the interaction sum is wrong."
+            )
+
     def energy(self, x, cell):
         E0, s0, V0, eta2, kappa, lam, n0, gamma1, gamma2 = self._arrs
         pos = x.reshape(self.n, 3)
