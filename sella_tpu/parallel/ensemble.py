@@ -965,8 +965,11 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             need_init_diag, jax.random.fold_in(key, 0),
             cons_active_=a_cur, tang_proj_=Ip_cur,
         )
+        # HVP matvecs are exact jvp's, not force calls: they count in
+        # nmatvec only (the reference's FD matvecs cost one force call
+        # each — neval comparisons across tiers must not conflate them)
         nmv = state.nmatvec + jnp.where(need_init_diag, k_init, 0)
-        neval = state.neval + jnp.where(need_init_diag, k_init, 0)
+        neval = state.neval
         # bootstrap for non-eig (minimization) searches happens via the
         # first step's secant below (reference: ApproximateHessian.update
         # bootstrap, ``linalg.py:274-289``)
@@ -1099,7 +1102,6 @@ def make_step_fn(potential, cfg: EnsembleConfig,
                 cons_active_=a_new, tang_proj_=Ip_new,
             )
             nmv = nmv + jnp.where(served, k_ev, 0)
-            neval = neval + jnp.where(served, k_ev, 0)
         else:
             # run Davidson only on the compacted sub-batch
             ev_g = ev[sel]
@@ -1117,7 +1119,6 @@ def make_step_fn(potential, cfg: EnsembleConfig,
                 jnp.where(ev_g, k_g, 0)
             )
             nmv = nmv + k_full
-            neval = neval + k_full
 
         # ---- trust radius update (``optimize.py:412-432``) ----
         bad = (ratio < 1.0 / cfg.rho_dec) | (ratio > cfg.rho_dec)
@@ -1131,7 +1132,10 @@ def make_step_fn(potential, cfg: EnsembleConfig,
                 state.delta,
             ),
         )
-        delta_new = jnp.where(act, delta_new, state.delta)
+        # no meaningful prediction without an initialized Hessian: the
+        # reference returns ratio=None and SKIPS the trust update
+        # (``peswrapper.py:399-402`` + ``optimize.py:412-432``)
+        delta_new = jnp.where(act & B_init1, delta_new, state.delta)
 
         # ---- convergence: max projected per-atom force ----
         gfree_new = jnp.einsum("bij,bi->bj", Ufree_new, g_new)
@@ -1217,12 +1221,18 @@ def refill_converged(state: SearchState, x_new: jnp.ndarray,
 
 
 def refresh_fg(state: SearchState, potential, cfg: EnsembleConfig,
-               cell: Optional[jnp.ndarray] = None) -> SearchState:
-    """Recompute (f, g) for all lanes — call once after refill."""
+               cell: Optional[jnp.ndarray] = None,
+               mask: Optional[jnp.ndarray] = None) -> SearchState:
+    """Recompute (f, g) for all lanes — call once after refill.
+
+    ``mask`` marks the lanes whose geometry actually changed (the refill
+    mask): only those lanes' neval counters advance, so per-search force
+    accounting stays exact."""
     if cell is None:
         cell = jnp.zeros((3, 3), state.x.dtype)
     f, g = _batched_eval(potential, cell)(state.x)
-    return state._replace(f=f, g=g, neval=state.neval + 1)
+    inc = 1 if mask is None else mask.astype(state.neval.dtype)
+    return state._replace(f=f, g=g, neval=state.neval + inc)
 
 
 def run_ensemble(
@@ -1350,7 +1360,8 @@ def run_ensemble_queue(
         origin = new_origin
 
         state, _ = refill(state, jnp.asarray(x_new), jnp.asarray(avail))
-        state = refresh_fg(state, potential, cfg, cell)
+        state = refresh_fg(state, potential, cfg, cell,
+                           mask=jnp.asarray(avail))
         # idle lanes stay marked converged so they are skipped
         idle = jnp.asarray(origin < 0)
         state = state._replace(converged=state.converged | idle)

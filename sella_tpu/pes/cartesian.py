@@ -79,6 +79,8 @@ class PES:
         self.traj = trajectory
 
         self.neval = 0
+        self.nmatvec = 0  # Davidson matvecs (FD probes), for cross-tier
+        #                   accounting against the batched tier's nmatvec
         self.curr = dict(x=None, f=None, g=None)
         self.last = self.curr.copy()
 
@@ -368,6 +370,7 @@ class PES:
         Vs = Vs @ X
         AVs = AVs @ X
         self.H.update(Vs, AVs)
+        self.nmatvec += Hproj.calls
         self.first_diag = False
 
     def calculate_hessian(self) -> None:
