@@ -218,6 +218,14 @@ class Constraints:
         self._fix_internal("dihedral", "dihedrals", np.pi / 180.0, indices,
                            target, comparator, ncvecs)
 
+    def rebase_cell(self, Minv: np.ndarray) -> None:
+        """Remap record ncvecs after ``new_cell = M @ old_cell`` (see
+        ``Internals.rebase_cell``)."""
+        Minv = np.asarray(np.rint(Minv), dtype=np.int64)
+        for rec in self._iter_records(only_active=False):
+            if rec.ncvecs is not None:
+                rec.ncvecs = np.asarray(rec.ncvecs) @ Minv
+
     # -- bookkeeping ---------------------------------------------------------
     def _iter_records(self, only_active: bool = True):
         for g in GROUPS:

@@ -200,6 +200,27 @@ class Internals:
         )
         self._engine = None
 
+    def rebase_cell(self, Minv: np.ndarray) -> None:
+        """Remap integer cell-offset vectors after a lattice rebase
+        ``new_cell = M @ old_cell`` with positions unchanged: every
+        ncvec maps ``n -> n @ M^{-1}`` so each bonded displacement
+        ``r_j - r_i + n @ cell`` — and hence every internal value,
+        Jacobian and Hessian — is preserved exactly (the role ASE's
+        Niggli remap plays for the reference, ``peswrapper.py:1521-1567``).
+        """
+        Minv = np.asarray(np.rint(Minv), dtype=np.int64)
+        self.bonds = [(i, j, nc @ Minv) for i, j, nc in self.bonds]
+        self.angles = [
+            (a, j, b, ncs @ Minv) for a, j, b, ncs in self.angles
+        ]
+        self.dihedrals = [
+            (i, j, k, l, ncs @ Minv)
+            for i, j, k, l, ncs in self.dihedrals
+        ]
+        if self.cons is not None:
+            self.cons.rebase_cell(Minv)
+        self._engine = None
+
     # -- topology auto-discovery ----------------------------------------------
     def find_all_bonds(self, scale: float = 1.25) -> None:
         t = topo_mod.find_bonds(

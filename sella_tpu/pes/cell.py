@@ -924,4 +924,56 @@ class CellInternalPES:
         )
 
     def maybe_niggli_reduce(self, angle_threshold: float = 30.0) -> bool:
-        return False
+        """Rebase onto a compact reduced cell when angles skew too far
+        from 90 deg (reference ``peswrapper.py:1521-1567``).
+
+        Atom positions are left untouched and every internal's integer
+        image vector is remapped ``n -> n @ M^{-1}``
+        (:meth:`Internals.rebase_cell`), so all internal values /
+        Jacobians — and therefore the internal Hessian block — are
+        preserved exactly; only the cell-parameter blocks transform, by
+        ``T = J_old^{-1} J_new`` of the log-deformation map."""
+        cell = self.atoms.cell
+
+        def angle(u, v):
+            c = u @ v / (np.linalg.norm(u) * np.linalg.norm(v))
+            return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+        devs = [
+            abs(angle(cell[i], cell[j]) - 90.0)
+            for i, j in ((0, 1), (0, 2), (1, 2))
+        ]
+        if max(devs) <= angle_threshold:
+            return False
+
+        J_old = _cell_param_jacobian(
+            self._L, self.orig_cell, self.exp_cell_factor
+        )
+
+        new_cell, M = reduce_cell_basis(cell)
+        Minv = np.rint(np.linalg.inv(M)).astype(np.int64)
+        self.atoms.cell = new_cell
+        self.int.rebase_cell(Minv)
+
+        J_new = _cell_param_jacobian(
+            np.zeros((3, 3)), new_cell, self.exp_cell_factor
+        )
+        T_full = np.linalg.solve(J_old, J_new)
+        midx = np.where(self.cell_mask.ravel())[0]
+        T = T_full[np.ix_(midx, midx)]
+
+        H = self.H.asarray().copy()
+        n = self.n_internal
+        H[n:, n:] = T.T @ H[n:, n:] @ T
+        H[:n, n:] = H[:n, n:] @ T
+        H[n:, :n] = T.T @ H[n:, :n]
+
+        self.orig_cell = new_cell.copy()
+        self._L = np.zeros((3, 3))
+        self.set_H(H)
+        self.curr = dict(x=None, f=None, g=None)
+        self.last = dict(self.curr)
+        self._ipes.curr = dict(x=None, f=None, g=None)
+        self._ipes.last = dict(self._ipes.curr)
+        self._ipes._invalidate()
+        return True

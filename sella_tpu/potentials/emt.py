@@ -25,6 +25,7 @@ for Cu) — use a 2x2x2 conventional supercell or larger.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..utils.units import Bohr
@@ -155,7 +156,11 @@ class EMT(Potential):
         # gradient — so compute everything at a safe r and mask after
         mask = r2 < (self.rc + 1.5) ** 2
         r = jnp.sqrt(jnp.where(mask, r2, 1.0))
-        theta = 1.0 / (1.0 + jnp.exp(self.acut * (r - self.rc)))
+        # stable sigmoid: the naive 1/(1+exp(z)) overflows in HVPs under
+        # TPU's emulated f64 (powers of exp(acut*1.5)~e40 appear in the
+        # 2nd-derivative graph and NaN out); lax.logistic keeps every
+        # intermediate bounded at any derivative order
+        theta = jax.nn.sigmoid(-self.acut * (r - self.rc))
         mask_f = mask.astype(x.dtype)
         theta = theta * mask_f
 
