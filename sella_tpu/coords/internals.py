@@ -79,6 +79,11 @@ class Internals:
 
         self._engine = None
         self._bond_keys = set()
+        # reversal-invariant canonical keys of coordinates the user has
+        # banned from auto-discovery (reference forbid_* API,
+        # ``internal.py:3190-3245``)
+        self.forbidden = {"bonds": set(), "angles": set(),
+                          "dihedrals": set()}
 
     # -- counts (reference property names) -----------------------------------
     @property
@@ -129,30 +134,106 @@ class Internals:
         return self.atoms.positions
 
     # -- registration ---------------------------------------------------------
-    def add_bond(self, indices, ncvec=(0, 0, 0)) -> None:
+    def _get_ncvecs(self, indices, ncvecs, mic: bool) -> np.ndarray:
+        """Resolve integer image vectors: explicit, zero, or
+        minimum-image through the reduced basis (reference
+        ``internal.py:2670-2691``)."""
+        k = len(indices)
+        if ncvecs is None:
+            if not mic:
+                return np.zeros((k - 1, 3), dtype=np.int64)
+            from ..utils.lattice import mic_ncvec
+
+            pos = self.all_positions()
+            return np.array([
+                mic_ncvec(pos[int(b)] - pos[int(a)], self.atoms.cell,
+                          self.atoms.pbc)
+                for a, b in zip(indices[:-1], indices[1:])
+            ], dtype=np.int64)
+        if mic:
+            raise ValueError(
+                "mic=True and explicit ncvecs are mutually exclusive"
+            )
+        return np.asarray(ncvecs, dtype=np.int64).reshape(k - 1, 3)
+
+    def add_bond(self, indices, ncvec=None, mic: bool = False) -> None:
         i, j = int(indices[0]), int(indices[1])
+        ncvec = self._get_ncvecs((i, j),
+                                 None if ncvec is None else [ncvec],
+                                 mic)[0]
         key = topo_mod._bond_key(i, j, np.asarray(ncvec))
         if key in self._bond_keys:
             raise DuplicateInternalError(f"bond {indices} exists")
+        if key in self.forbidden["bonds"]:
+            raise DuplicateInternalError(f"bond {indices} is forbidden")
         self._bond_keys.add(key)
         self.bonds.append((i, j, np.asarray(ncvec, dtype=np.int64)))
         self._engine = None
 
-    def add_angle(self, indices, ncvecs=None) -> None:
+    def add_angle(self, indices, ncvecs=None, mic: bool = False) -> None:
         i, j, k = map(int, indices)
-        if ncvecs is None:
-            ncvecs = np.zeros((2, 3), dtype=np.int64)
-        self.angles.append((i, j, k, np.asarray(ncvecs, dtype=np.int64)))
+        ncvecs = self._get_ncvecs((i, j, k), ncvecs, mic)
+        if topo_mod._angle_key(i, j, k, ncvecs) in self.forbidden["angles"]:
+            raise DuplicateInternalError(f"angle {indices} is forbidden")
+        self.angles.append((i, j, k, ncvecs))
         self._engine = None
 
-    def add_dihedral(self, indices, ncvecs=None) -> None:
+    def add_dihedral(self, indices, ncvecs=None, mic: bool = False) -> None:
         i, j, k, l = map(int, indices)
-        if ncvecs is None:
-            ncvecs = np.zeros((3, 3), dtype=np.int64)
-        self.dihedrals.append(
-            (i, j, k, l, np.asarray(ncvecs, dtype=np.int64))
-        )
+        ncvecs = self._get_ncvecs((i, j, k, l), ncvecs, mic)
+        if (topo_mod._dihedral_key(i, j, k, l, ncvecs)
+                in self.forbidden["dihedrals"]):
+            raise DuplicateInternalError(
+                f"dihedral {indices} is forbidden"
+            )
+        self.dihedrals.append((i, j, k, l, ncvecs))
         self._engine = None
+
+    # -- forbid API (reference ``internal.py:3190-3245``) ----------------------
+    def forbid_bond(self, indices, ncvec=None, mic: bool = False) -> None:
+        """Ban a bond from auto-discovery (and drop it if present)."""
+        i, j = int(indices[0]), int(indices[1])
+        ncvec = self._get_ncvecs((i, j),
+                                 None if ncvec is None else [ncvec],
+                                 mic)[0]
+        key = topo_mod._bond_key(i, j, ncvec)
+        self.forbidden["bonds"].add(key)
+        if key in self._bond_keys:
+            self._bond_keys.discard(key)
+            self.bonds = [
+                b for b in self.bonds
+                if topo_mod._bond_key(b[0], b[1], b[2]) != key
+            ]
+            self._engine = None
+
+    def forbid_angle(self, indices, ncvecs=None, mic: bool = False) -> None:
+        i, j, k = map(int, indices)
+        key = topo_mod._angle_key(
+            i, j, k, self._get_ncvecs((i, j, k), ncvecs, mic)
+        )
+        self.forbidden["angles"].add(key)
+        kept = [
+            a for a in self.angles
+            if topo_mod._angle_key(*a) != key
+        ]
+        if len(kept) != len(self.angles):
+            self.angles = kept
+            self._engine = None
+
+    def forbid_dihedral(self, indices, ncvecs=None,
+                        mic: bool = False) -> None:
+        i, j, k, l = map(int, indices)
+        key = topo_mod._dihedral_key(
+            i, j, k, l, self._get_ncvecs((i, j, k, l), ncvecs, mic)
+        )
+        self.forbidden["dihedrals"].add(key)
+        kept = [
+            d for d in self.dihedrals
+            if topo_mod._dihedral_key(*d) != key
+        ]
+        if len(kept) != len(self.dihedrals):
+            self.dihedrals = kept
+            self._engine = None
 
     def add_translation(self, indices, axis=None) -> None:
         indices = np.atleast_1d(np.asarray(indices, dtype=np.int64))
@@ -217,6 +298,25 @@ class Internals:
             (i, j, k, l, ncs @ Minv)
             for i, j, k, l, ncs in self.dihedrals
         ]
+        self._bond_keys = {
+            topo_mod._bond_key(i, j, nc) for i, j, nc in self.bonds
+        }
+        self.forbidden = {
+            "bonds": {
+                topo_mod._bond_key(i, j, np.asarray(nc) @ Minv)
+                for i, j, nc in self.forbidden["bonds"]
+            },
+            "angles": {
+                topo_mod._angle_key(k[0], k[1], k[2],
+                                    np.asarray(k[3:]) @ Minv)
+                for k in self.forbidden["angles"]
+            },
+            "dihedrals": {
+                topo_mod._dihedral_key(k[0], k[1], k[2], k[3],
+                                       np.asarray(k[4:]) @ Minv)
+                for k in self.forbidden["dihedrals"]
+            },
+        }
         if self.cons is not None:
             self.cons.rebase_cell(Minv)
         self._engine = None
@@ -249,9 +349,15 @@ class Internals:
         linear_centers = topo_mod.find_angles(
             t, self.all_positions(), self.atoms.cell, self.atol
         )
-        self.angles.extend(t.angles)
+        self.angles.extend(
+            a for a in t.angles
+            if topo_mod._angle_key(*a) not in self.forbidden["angles"]
+        )
         # linear-angle improper replacements land in t.dihedrals
-        self.dihedrals.extend(t.dihedrals)
+        self.dihedrals.extend(
+            d for d in t.dihedrals
+            if topo_mod._dihedral_key(*d) not in self.forbidden["dihedrals"]
+        )
         for j, (a, nca), (b, ncb) in linear_centers:
             self._add_dummy_for_linear_center(j, a, nca, b, ncb)
         self._engine = None
@@ -318,9 +424,11 @@ class Internals:
         t.bonds = self.bonds
         t.angles = self.angles
         t.dihedrals = list(self.dihedrals)
-        n_pre = len(t.dihedrals)
         topo_mod.find_dihedrals(t)
-        self.dihedrals = t.dihedrals
+        self.dihedrals = [
+            d for d in t.dihedrals
+            if topo_mod._dihedral_key(*d) not in self.forbidden["dihedrals"]
+        ]
         self._engine = None
 
     def validate_basis(self) -> None:
@@ -375,6 +483,7 @@ class Internals:
         new.others = list(self.others)
         new.fragment_atom_groups = list(self.fragment_atom_groups)
         new._bond_keys = set(self._bond_keys)
+        new.forbidden = {g: set(s) for g, s in self.forbidden.items()}
         return new
 
     # -- evaluation engine -----------------------------------------------------

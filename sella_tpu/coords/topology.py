@@ -59,14 +59,41 @@ def _bond_key(i, j, ncvec):
     return (i, j, tuple(int(c) for c in ncvec))
 
 
+def _angle_key(a, j, b, ncvs):
+    """Reversal-invariant canonical key of an angle record."""
+    ncvs = np.asarray(ncvs, dtype=np.int64)
+    fwd = (a, j, b) + tuple(map(tuple, ncvs.tolist()))
+    rev = (b, j, a) + tuple(map(tuple, (-ncvs[::-1]).tolist()))
+    return min(fwd, rev)
+
+
+def _dihedral_key(i, j, k, l, ncvs):
+    """Reversal-invariant canonical key of a dihedral record."""
+    ncvs = np.asarray(ncvs, dtype=np.int64)
+    fwd = (i, j, k, l) + tuple(map(tuple, ncvs.tolist()))
+    rev = (l, k, j, i) + tuple(map(tuple, (-ncvs[::-1]).tolist()))
+    return min(fwd, rev)
+
+
 def _candidate_bonds(positions, cell, pbc, labels, scale, rcov):
     """All atom pairs (across fragments) within the covalent threshold,
     including periodic images (``internal.py:3260-3332``).
 
+    The image search runs in the Minkowski-reduced basis (one +-1 shell
+    is exhaustive there; on the raw basis a skewed cell can hide a
+    closer image — reference ``internal.py:2638,3274``) and the found
+    offsets are mapped back to the caller's basis.
+
     Dispatches to the native C++ kernel (csrc/topology.cpp) when
     available; the numpy path below is the reference fallback.
     """
+    from ..utils.lattice import reduce_cell_basis
     from ..utils.native import find_candidate_bonds_native
+
+    any_pbc0 = bool(np.any(pbc))
+    M = np.eye(3, dtype=np.int64)
+    if any_pbc0:
+        cell, M = reduce_cell_basis(cell, pbc)
 
     native = find_candidate_bonds_native(
         np.asarray(positions), np.asarray(cell),
@@ -75,6 +102,8 @@ def _candidate_bonds(positions, cell, pbc, labels, scale, rcov):
         float(scale),
     )
     if native is not None:
+        if any_pbc0:
+            native = [(i, j, np.asarray(n) @ M) for i, j, n in native]
         return native
 
     n = len(positions)
@@ -108,7 +137,9 @@ def _candidate_bonds(positions, cell, pbc, labels, scale, rcov):
     out = []
     pi, ti = np.nonzero(mask)
     for p, t in zip(pi, ti):
-        out.append((int(ii[p]), int(jj[p]), shifted[p, t].astype(np.int64)))
+        n_red = shifted[p, t].astype(np.int64)
+        out.append((int(ii[p]), int(jj[p]),
+                    n_red @ M if any_pbc0 else n_red))
     return out
 
 

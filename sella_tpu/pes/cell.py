@@ -39,38 +39,9 @@ def full_3x3_to_voigt_6_stress(s: np.ndarray) -> np.ndarray:
     )
 
 
-def reduce_cell_basis(cell: np.ndarray):
-    """Greedy (Minkowski-style) lattice basis reduction.
-
-    Returns ``(new_cell, M)`` with integer unimodular M such that
-    ``new_cell = M @ cell`` and the rows of new_cell are as short/compact
-    as a greedy pairwise reduction achieves — the role ASE's
-    ``niggli_reduce`` plays for the reference (``peswrapper.py:194-196``).
-    """
-    cell = np.asarray(cell, dtype=np.float64).copy()
-    M = np.eye(3, dtype=np.int64)
-    for _ in range(100):
-        changed = False
-        for i in range(3):
-            others = [j for j in range(3) if j != i]
-            Bo = cell[others]
-            # best integer combination of the other two vectors
-            coef, *_ = np.linalg.lstsq(Bo.T, cell[i], rcond=None)
-            r = np.round(coef).astype(np.int64)
-            if np.any(r != 0):
-                new_vec = cell[i] - r @ Bo
-                if (np.linalg.norm(new_vec)
-                        < np.linalg.norm(cell[i]) - 1e-12):
-                    cell[i] = new_vec
-                    M[i] -= r @ M[others]
-                    changed = True
-        if not changed:
-            break
-    # canonical orientation: keep determinant sign
-    if np.linalg.det(cell) < 0:
-        cell[2] *= -1
-        M[2] *= -1
-    return cell, M
+from ..utils.lattice import reduce_cell_basis  # noqa: F401  (re-export;
+#   the implementation moved to utils.lattice so topology discovery can
+#   share it without a coords -> pes dependency)
 
 
 def _cell_param_jacobian(L: np.ndarray, cell0: np.ndarray,
