@@ -352,12 +352,12 @@ class Constraints:
         cell = self.atoms.cell
         Hc = np.zeros((3 * n, 3 * n))
         for lk, rec in zip(np.asarray(L), self._iter_records()):
-            # |L_k| ~ 0 terms contribute nothing; skipping them also
-            # avoids evaluating the rotation second derivative at
-            # symmetric fragments (degenerate Kearsley spectrum =>
-            # eigh-JVP NaN), where the multiplier is always roundoff
-            # for rigid-invariant potentials.
-            if abs(lk) < 1e-10 or rec.kind == "translation":
+            # exactly-zero multipliers contribute nothing (translations
+            # are linear: identically zero curvature). Rotation second
+            # derivatives are safe at degenerate (symmetric-fragment)
+            # Kearsley spectra via the closed-form resolvent rule in
+            # primitives._dq_jvp — no |L| threshold needed.
+            if lk == 0.0 or rec.kind == "translation":
                 continue
             if rec.kind == "rotation":
                 H = np.asarray(

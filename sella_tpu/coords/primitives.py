@@ -107,9 +107,22 @@ def _leading_evec_jvp(primals, tangents):
     This is the pseudo-inverse eigenvector perturbation the reference
     encodes in its closed-form rotation Jacobian
     (``/root/reference/sella/internal.py:601-648``); expressing it as a
-    jvp rule lets jacfwd build Jacobians and jacfwd(jacfwd) Hessians.
+    jvp rule lets jacfwd build Jacobians. The tangent map ``_dq`` has
+    its OWN closed-form jvp rule (below), so jacfwd(jacfwd) Hessians
+    never differentiate an eigendecomposition — the route by which the
+    reference's closed-form second derivative (``internal.py:706-798``)
+    avoids eigh-AD NaNs on degenerate (symmetric-fragment) spectra.
     """
     (K,), (dK,) = primals, tangents
+    return _leading_evec(K), _dq(K, dK)
+
+
+def _resolvent_parts(K):
+    """Primal spectral pieces of A = lam_max I - K: the canonical q and
+    an ``apply(x) = A^+ x`` in the non-leading eigenbasis. Thresholded
+    gaps make this the pseudo-inverted resolvent — smooth under interior
+    (non-leading) degeneracies, which only reshuffle the eigenbasis of a
+    subspace the projector sums over."""
     lams, V = jnp.linalg.eigh(K)
     q = V[:, -1]
     pick = jnp.argmax(jnp.abs(q))
@@ -118,9 +131,51 @@ def _leading_evec_jvp(primals, tangents):
     scale = jnp.maximum(jnp.abs(lams[-1]), 1.0)
     ok = gap > 1e-10 * scale
     inv_gap = jnp.where(ok, 1.0 / jnp.where(ok, gap, 1.0), 0.0)
-    Vrest = V[:, :-1]  # projector V V^T is sign-invariant
-    dq = Vrest @ (inv_gap * (Vrest.T @ (dK @ q)))
-    return q, dq
+    Vrest = V[:, :-1]
+
+    def apinv(x):
+        return Vrest @ (inv_gap * (Vrest.T @ x))
+
+    return q, apinv
+
+
+@jax.custom_jvp
+def _dq(K: jnp.ndarray, dK: jnp.ndarray) -> jnp.ndarray:
+    """First-order eigenvector perturbation dq = A^+ dK q."""
+    q, apinv = _resolvent_parts(K)
+    return apinv(dK @ q)
+
+
+@_dq.defjvp
+def _dq_jvp(primals, tangents):
+    """Closed-form derivative of dq(K, dK) = A^+(K) dK q(K).
+
+    With A = lam I - K symmetric, null(A) = span(q) (lam simple), the
+    pinv differential reduces to
+      dA^+ = -A^+ dA A^+ + A^+A^+ dA qq^T + qq^T dA A^+A^+,
+    dA = dlam I - dK2, dlam = q^T dK2 q, and dq/dK2 = A^+ dK2 q. Every
+    factor uses only primal eigh results, so nothing differentiates an
+    eigendecomposition (reference closed form, ``internal.py:706-798``).
+    """
+    (K, dK), (dK2, ddK) = primals, tangents
+    q, apinv = _resolvent_parts(K)
+
+    y = dK @ q                       # A^+ y = primal output
+    dq_p = apinv(y)
+
+    dlam = q @ (dK2 @ q)
+    dq2 = apinv(dK2 @ q)             # perturbation of q along dK2
+
+    def dA(x):                       # (dlam I - dK2) x
+        return dlam * x - dK2 @ x
+
+    # dA^+ applied to y
+    t1 = -apinv(dA(apinv(y)))
+    t2 = apinv(apinv(dA(q))) * (q @ y)
+    t3 = q * (q @ dA(apinv(apinv(y))))
+    # product-rule remainder: A^+ d(dK q)
+    t4 = apinv(ddK @ q + dK @ dq2)
+    return dq_p, t1 + t2 + t3 + t4
 
 
 def _quat_to_rotvec(q: jnp.ndarray) -> jnp.ndarray:

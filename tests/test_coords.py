@@ -214,3 +214,81 @@ def test_merge_ase_constraint_ducktyped():
     assert len(cons.records["bonds"]) == 1
     with pytest.raises(RuntimeError):
         cons.merge_ase_constraint(Unknown())
+
+
+def test_rotation_hessian_degenerate_spectrum():
+    """Closed-form rotation second derivatives (primitives._dq_jvp,
+    reference internal.py:706-798) must be finite and FD-exact on
+    symmetric fragments whose Kearsley spectrum is degenerate — the
+    square and the identity-aligned tetrahedron NaN'd under plain
+    eigh-AD."""
+    import jax.numpy as jnp
+
+    from sella_tpu.coords import primitives as prim
+
+    def fd_hess(pos, ref, h=1e-6):
+        n = pos.shape[0]
+        H = np.zeros((3, n, 3, n, 3))
+        for a in range(n):
+            for c in range(3):
+                pp = pos.copy(); pp[a, c] += h
+                pm = pos.copy(); pm[a, c] -= h
+                Jp = np.asarray(prim.rotation_jac(jnp.asarray(pp),
+                                                  jnp.asarray(ref)))
+                Jm = np.asarray(prim.rotation_jac(jnp.asarray(pm),
+                                                  jnp.asarray(ref)))
+                H[:, :, :, a, c] = (Jp - Jm) / (2 * h)
+        return H
+
+    cases = {}
+    # square, rotated 0.3 rad in-plane
+    ref = np.array([[1.0, 0, 0], [0, 1, 0], [-1, 0, 0], [0, -1, 0]])
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    cases["square"] = (ref @ R.T, ref)
+    # tetrahedron at the identity rotation
+    tet = np.array([[1.0, 1, 1], [1, -1, -1], [-1, 1, -1],
+                    [-1, -1, 1]]) / np.sqrt(3)
+    cases["tetrahedron"] = (tet.copy(), tet)
+
+    for name, (pos, ref) in cases.items():
+        H = np.asarray(prim.rotation_hess(jnp.asarray(pos),
+                                          jnp.asarray(ref)))
+        assert np.all(np.isfinite(H)), name
+        np.testing.assert_allclose(H, fd_hess(pos, ref), atol=5e-9,
+                                   err_msg=name)
+
+
+def test_constraint_hessian_ldot_symmetric_fragment():
+    """hessian_ldot with a non-zero rotation multiplier on a symmetric
+    (square) fragment: previously skipped via an |L| threshold, now
+    evaluated exactly. FD of L^T jacobian(x) is the ground truth."""
+    from sella_tpu.atoms import Atoms
+    from sella_tpu.coords.constraints import Constraints
+
+    pos = np.array([
+        [1.0, 0, 0], [0, 1, 0], [-1, 0, 0], [0, -1, 0],   # square
+        [2.5, 0.3, 0.7],                                   # spectator
+    ])
+    atoms = Atoms(["C"] * 5, pos)
+    cons = Constraints(atoms)
+    cons.fix_rotation(indices=[0, 1, 2, 3])
+    L = np.array([0.7, -0.3, 1.1])  # deliberately non-zero multipliers
+
+    Hc = cons.hessian_ldot(L)
+    assert np.all(np.isfinite(Hc))
+
+    h = 1e-6
+    n = len(atoms)
+    Hfd = np.zeros((3 * n, 3 * n))
+    for a in range(3 * n):
+        pp = pos.copy().ravel(); pp[a] += h
+        pm = pos.copy().ravel(); pm[a] -= h
+        atoms.positions = pp.reshape(-1, 3)
+        gp = L @ cons.jacobian()
+        atoms.positions = pm.reshape(-1, 3)
+        gm = L @ cons.jacobian()
+        Hfd[:, a] = (gp - gm) / (2 * h)
+    atoms.positions = pos
+    np.testing.assert_allclose(Hc, Hfd, atol=5e-9)
