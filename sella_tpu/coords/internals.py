@@ -842,8 +842,10 @@ class _Engine:
         H = jnp.zeros((3 * n, 3 * n), pos.dtype)
         off = len(self.trans)
 
-        # One-hot contraction per kind: O(nint * n^2) einsum, fine for
-        # the sequential tier (nint and n are small per structure).
+        # Scatter-add assembly per kind: O(nint * (3 arity)^2) elements,
+        # linear in the coordinate count (the reference's bincount-ldot
+        # pattern, ``linalg.py:601-618``; replaces an O(nint * (3n)^2)
+        # one-hot einsum that was hopeless past ~100 atoms).
         def add_kind2(H, fn, idxs, ncv, count, padded, off):
             tv = ncv @ cell
             hess = jax.vmap(jax.jacfwd(jax.grad(fn)))(pos[idxs], tv)
@@ -860,10 +862,15 @@ class _Engine:
                 0.0,
             )
             arity = idxs.shape[1]
-            onehot = jax.nn.one_hot(idxs, n, dtype=pos.dtype)  # (p, arity, n)
-            # contract: H[a,x,b,y] += sum_k onehot[k,i,a] hessw[k,i,x,j,y] onehot[k,j,b]
-            Hk = jnp.einsum("kia,kixjy,kjb->axby", onehot, hessw, onehot)
-            return H + Hk.reshape(3 * n, 3 * n), off + count
+            # flat DOF indices per coordinate: (p, 3*arity)
+            dof = (3 * idxs[:, :, None]
+                   + jnp.arange(3)[None, None, :]).reshape(padded,
+                                                           3 * arity)
+            flat = dof[:, :, None] * (3 * n) + dof[:, None, :]
+            Hf = H.reshape(-1).at[flat.reshape(-1)].add(
+                hessw.reshape(-1)
+            )
+            return Hf.reshape(3 * n, 3 * n), off + count
 
         if self.nb:
             H, off = add_kind2(H, prim.bond_value, self.bond_idx,
