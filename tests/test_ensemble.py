@@ -146,7 +146,12 @@ def test_ensemble_saddle():
     cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3)
     state = run_ensemble(pot, x0, cfg, max_steps=300)
     conv = np.asarray(state.converged)
-    assert conv.sum() >= 7, (conv, np.asarray(state.nsteps))
+    # pinned per-seed outcome: lane 2 of this seed walks to a flat
+    # region and never converges; every other lane must (a drop below
+    # 7/8 is a quality regression, not noise)
+    assert conv.sum() == 7 and not conv[2], (
+        conv, np.asarray(state.nsteps)
+    )
 
     cell = jnp.zeros((3, 3))
     for b in range(Bsz):
@@ -352,7 +357,8 @@ def test_ensemble_constrained_saddle():
     cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, ncons=1)
     state = run_ensemble(pot, x0, cfg, max_steps=200, constraints=cons)
     conv = np.asarray(state.converged)
-    assert conv.sum() >= Bsz // 2, (conv, np.asarray(state.nsteps))
+    # pinned per-seed outcome: every lane of this seed converges
+    assert conv.sum() == Bsz, (conv, np.asarray(state.nsteps))
 
     cell = jnp.zeros((3, 3))
     cj = jax.jacfwd(cons)
@@ -445,7 +451,9 @@ def test_ensemble_diag_budget():
                          diag_budget=max(2, Bsz // 8))
     st = run_ensemble(pot, x0, cfg, max_steps=300)
     conv = np.asarray(st.converged)
-    assert conv.sum() >= Bsz - 3, (conv, np.asarray(st.nsteps))
+    # pinned per-seed outcome (13/16): compaction may starve no more
+    # lanes than the unbudgeted run of this seed leaves unconverged
+    assert conv.sum() == 13, (conv, np.asarray(st.nsteps))
     cell = jnp.zeros((3, 3))
     for b in range(Bsz):
         if not conv[b]:
