@@ -438,12 +438,17 @@ def _step_norm(s_full, ds_full, rs: str, natoms: int):
 
 
 def restricted_step_batched(
-    g_free, Hproj, Ufree, delta, cfg: EnsembleConfig, prep=None
+    g_free, Hproj, Ufree, delta, cfg: EnsembleConfig, prep=None,
+    norm_fn=None,
 ):
     """Map per-search trust radii to steps: masked Newton/bisection on
     ||s(alpha)|| = delta (``restricted_step.py:78-120``), all searches
     advancing one alpha-evaluation (one batched small-eigh) per loop
-    iteration."""
+    iteration.
+
+    ``norm_fn(s_full, ds_full) -> (val, dval)`` overrides the step norm
+    (the internal-coordinate tier passes the weighted max-internal-step
+    norm); default is cfg.rs ('ras'/'tr') on Cartesian geometry."""
     stepper = prfo_step_batched if cfg.method == "prfo" else qn_step_batched
     Bsz = g_free.shape[0]
     dtype = g_free.dtype
@@ -462,7 +467,10 @@ def restricted_step_batched(
         s_free, ds_free = stepper(prep, cfg.order, alpha)
         s_full = jnp.einsum("bij,bj->bi", Ufree, s_free)
         ds_full = jnp.einsum("bij,bj->bi", Ufree, ds_free)
-        val, dval = _step_norm(s_full, ds_full, cfg.rs, cfg.natoms)
+        if norm_fn is not None:
+            val, dval = norm_fn(s_full, ds_full)
+        else:
+            val, dval = _step_norm(s_full, ds_full, cfg.rs, cfg.natoms)
         return s_full, val, dval
 
     alpha = jnp.full((Bsz,), alpha0, dtype)

@@ -1,0 +1,540 @@
+"""Batched ensemble saddle search in redundant internal coordinates.
+
+Extends the Cartesian batched tier (:mod:`sella_tpu.parallel.ensemble`)
+with the machinery that gives the reference its convergence advantage on
+molecules (``/root/reference/sella/internal.py:1209-2745``,
+``peswrapper.py:749-880``): a Lindh-style guess Hessian, P-RFO steps
+taken in the nonredundant internal subspace with the weighted
+max-internal-step (`mis`) trust norm, and a masked Newton back-transform
+realizing each internal step in Cartesian space — all inside ONE jitted
+XLA program over the whole ensemble.
+
+Design (TPU-first, not a port):
+
+* ONE topology, shared by every lane (the ensemble refines perturbations
+  of the same structure — per-lane topologies would break shape
+  staticity). Built host-side by :class:`~sella_tpu.coords.internals.
+  Internals`; the compiled ``_Engine`` evaluates q/B/dB as pure jnp and
+  vmaps over the batch.
+* The nonredundant subspace comes from one batched eigh of the Gram
+  matrix G = B B^T per geometry: its top ``3 natoms - nproj``
+  eigenvectors span range(B) with a STATIC width (replacing the
+  reference's rank-revealing QR of B, ``peswrapper.py:674-736``), and
+  the same eigendecomposition provides every pseudo-inverse application
+  (B^+ r = B^T G^+ r).
+* Rigid modes never appear: internal coordinates are translation/
+  rotation invariant, so the q-space needs no projection machinery.
+* The Davidson operator is the exact internal-coordinate Lagrangian
+  Hessian action W v = G^+ B (H_x u - dB[u]^T g_q), u = B^T G^+ v —
+  one potential HVP plus one Jacobian-JVP per matvec, never a dense
+  Hessian (the curvilinear correction term is the reference's
+  ``peswrapper.py:1011-1031`` get_Hc, evaluated matrix-free).
+* ``set_x`` is a masked Newton iteration on q(x) = q_target with
+  dihedral residuals wrapped into (-pi, pi] and best-iterate tracking
+  (the reference's Newton fast path, ``peswrapper.py:749-839``; the
+  geodesic ODE fallback stays sequential-tier-only).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ensemble import (
+    _davidson_loop,
+    _masked_ritz,
+    free_basis,
+    prfo_prepare_batched,
+    restricted_step_batched,
+    ts_bfgs_update_batched,
+)
+
+
+class InternalEnsembleConfig(NamedTuple):
+    """Static (trace-time) configuration of a batched internal search."""
+
+    natoms: int
+    nint: int                      # number of internal coordinates
+    order: int = 1
+    nproj: int = 6                 # rigid modes absent from range(B)
+    fmax: float = 1e-3
+    gamma: float = 0.1
+    delta0: float = 0.1
+    delta_min: float = 1e-4
+    sigma_inc: float = 1.15
+    sigma_dec: float = 0.65
+    rho_inc: float = 1.035
+    rho_dec: float = 5.0
+    nsteps_per_diag: int = 3
+    diag_every_n: int = 0
+    davidson_max: int = 0
+    rs_maxiter: int = 100
+    rs_tol: float = 1e-8
+    method: str = "prfo"
+    rs: str = "mis"                # fixed: weighted max internal step
+    eig: bool = True
+    newton_maxiter: int = 20
+    newton_tol: float = 1e-10
+    # mis weights per coordinate kind (``restricted_step.py:186-243``)
+    wx: float = 1.0                # translations
+    wb: float = 1.0                # bonds
+    wa: float = 1.0                # angles
+    wd: float = 1.0                # dihedrals
+    wo: float = 1.0                # user coords / rotations
+
+    @property
+    def dim(self) -> int:
+        return 3 * self.natoms
+
+    @property
+    def nfree(self) -> int:
+        return 3 * self.natoms - self.nproj
+
+    @property
+    def subspace_max(self) -> int:
+        m = self.nfree
+        k = self.davidson_max if self.davidson_max > 0 else 2 * m + 1
+        return min(m, k)
+
+
+class InternalSearchState(NamedTuple):
+    """Per-search state; every leaf has a leading batch axis."""
+
+    x: jnp.ndarray            # (B, 3n) Cartesian positions
+    q: jnp.ndarray            # (B, nint) internal values (continuous)
+    f: jnp.ndarray            # (B,)
+    g: jnp.ndarray            # (B, 3n) Cartesian gradient
+    gq: jnp.ndarray           # (B, nint) internal gradient B^+T g
+    H: jnp.ndarray            # (B, nint, nint) quasi-Newton Hessian
+    delta: jnp.ndarray        # (B,) trust radius (mis norm)
+    rho: jnp.ndarray
+    nsteps_since_diag: jnp.ndarray
+    converged: jnp.ndarray
+    nsteps: jnp.ndarray
+    neval: jnp.ndarray
+    nmatvec: jnp.ndarray
+
+
+def _kind_weights(ints, cfg: InternalEnsembleConfig) -> np.ndarray:
+    return np.concatenate([
+        np.full(ints.ntrans, cfg.wx),
+        np.full(ints.nbonds, cfg.wb),
+        np.full(ints.nangles, cfg.wa),
+        np.full(ints.ndihedrals, cfg.wd),
+        np.full(ints.nother, cfg.wo),
+        np.full(ints.nrotations, cfg.wo),
+    ])
+
+
+def _dihedral_mask(ints) -> np.ndarray:
+    m = np.zeros(ints.nint, dtype=bool)
+    a0 = ints.ntrans + ints.nbonds + ints.nangles
+    m[a0:a0 + ints.ndihedrals] = True
+    return m
+
+
+def _gram_pinv(Bm: jnp.ndarray, nfree: int):
+    """Batched eigh of G = B B^T: returns (apply_pinv, Ufree_q).
+
+    The top ``nfree`` eigenvectors span range(B) (static width — the
+    rank of a connected molecule's B is always 3n - 6); thresholded
+    inverse eigenvalues give the pseudo-inverse application."""
+    G = jnp.einsum("bik,bjk->bij", Bm, Bm)
+    lams, V = jnp.linalg.eigh(G)
+    lmax = jnp.maximum(lams[:, -1:], 1e-300)
+    keep = lams > 1e-10 * lmax
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)
+
+    def apply_pinv(x):
+        return jnp.einsum("bij,bj,bkj,bk->bi", V, inv, V, x)
+
+    Ufree_q = V[:, :, -nfree:]
+    return apply_pinv, Ufree_q
+
+
+def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
+                          cell: Optional[jnp.ndarray] = None):
+    """Build the jittable batched internal-coordinate RS-P-RFO step.
+
+    ``ints``: a host-side :class:`Internals` container defining the
+    (shared, fixed) topology. Dummy atoms are not supported in the
+    batched tier (their insertion is a topology-mutation event)."""
+    if ints.ndummies:
+        raise NotImplementedError(
+            "dummy atoms are not supported in the batched tier"
+        )
+    if ints.nint != cfg.nint:
+        raise ValueError(
+            f"cfg.nint={cfg.nint} != topology nint={ints.nint}"
+        )
+    if cell is None:
+        cell = jnp.zeros((3, 3))
+
+    engine = ints._get_engine()
+    n = cfg.natoms
+
+    def calc_q(x):
+        return engine._calc_impl(x.reshape(n, 3), cell)
+
+    def calc_B(x):
+        return engine._jac_impl(x.reshape(n, 3), cell)
+
+    def calc_dB(x, u):
+        return engine._hrdot_impl(x.reshape(n, 3), cell,
+                                  u.reshape(n, 3))
+
+    batch_q = jax.vmap(calc_q)
+    batch_B = jax.vmap(calc_B)
+    batch_dB = jax.vmap(calc_dB)
+
+    def batch_eval(x):
+        return jax.vmap(
+            lambda xx: jax.value_and_grad(potential.energy)(xx, cell)
+        )(x)
+
+    def batch_hvp(x, u):
+        def one(x1, u1):
+            gfun = lambda y: jax.grad(potential.energy)(y, cell)
+            return jax.jvp(gfun, (x1,), (u1,))[1]
+
+        return jax.vmap(one)(x, u)
+
+    dih = jnp.asarray(_dihedral_mask(ints))
+    w_mis = jnp.asarray(_kind_weights(ints, cfg))
+
+    def wrap_dq(r):
+        """Wrap dihedral components of an internal-space difference
+        into (-pi, pi] (``internal.py:2577-2627``)."""
+        wrapped = r - 2 * jnp.pi * jnp.round(r / (2 * jnp.pi))
+        return jnp.where(dih[None, :], wrapped, r)
+
+    def mis_norm(s_full, ds_full):
+        """Weighted max-internal-step norm with analytic alpha
+        derivative (``restricted_step.py:186-243``)."""
+        ws = w_mis[None, :] * jnp.abs(s_full)
+        idx = jnp.argmax(ws, axis=1)
+        b = jnp.arange(s_full.shape[0])
+        val = ws[b, idx]
+        sgn = jnp.sign(s_full[b, idx])
+        dval = w_mis[idx] * sgn * ds_full[b, idx]
+        return val, dval
+
+    K = cfg.subspace_max
+
+    def davidson_absorb(x, gq, Bm, apply_pinv, Ufree_q, H, active, key):
+        """Batched Davidson on the internal-coordinate Lagrangian
+        Hessian; every probe pair is absorbed into H (TS-BFGS) —
+        'full exploitation of partial diagonalization'
+        (``peswrapper.py:508-556``)."""
+
+        def hvp_free(v_free):
+            v_q = jnp.einsum("bij,bj->bi", Ufree_q, v_free)
+            u = jnp.einsum("bki,bk->bi", Bm, apply_pinv(v_q))  # B^+ v
+            w_x = batch_hvp(x, u)
+            # curvilinear correction: - dB[u]^T g_q  (matrix-free Hc,
+            # ``peswrapper.py:1011-1031``)
+            dB = batch_dB(x, u)                        # (B, nint, 3n)
+            w_x = w_x - jnp.einsum("bkj,bk->bj", dB, gq)
+            w_q = apply_pinv(jnp.einsum("bij,bj->bi", Bm, w_x))
+            w_free = jnp.einsum("bij,bi->bj", Ufree_q, w_q)
+            return w_free, w_q
+
+        UT = jnp.swapaxes(Ufree_q, 1, 2)
+        P = jnp.einsum("bij,bjk,bkl->bil", UT, H, Ufree_q)
+        v0 = jnp.einsum("bij,bi->bj", Ufree_q, gq)
+
+        V, AVp, YF, k = _davidson_loop(
+            hvp_free, P, v0, cfg.gamma, K, active, key
+        )
+        lams, W, colmask = _masked_ritz(V, AVp, k, K)
+        Vr = jnp.einsum("bik,bkl->bil", V, W)
+        YFr = jnp.einsum("bik,bkl->bil", YF, W)
+        S_full = jnp.einsum("bij,bjk->bik", Ufree_q, Vr)
+        H_new = ts_bfgs_update_batched(H, S_full, YFr, colmask)
+        H_out = jnp.where(active[:, None, None], H_new, H)
+        return H_out, k
+
+    def newton_set_x(x0, q0, dq_target):
+        """Realize the internal step: find x with q(x) = q0 + dq_target
+        (masked Newton with best-iterate tracking). Returns
+        (x_new, dq_realized)."""
+        q_target = q0 + dq_target
+
+        class _NS(NamedTuple):
+            x: jnp.ndarray
+            x_best: jnp.ndarray
+            r_best: jnp.ndarray
+            it: jnp.ndarray
+            done: jnp.ndarray
+
+        def resid(x):
+            return wrap_dq(q_target - batch_q(x))
+
+        r0 = resid(x0)
+        st = _NS(x0, x0, jnp.max(jnp.abs(r0), axis=1), jnp.int32(0),
+                 jnp.zeros(x0.shape[0], bool))
+
+        def cond(st):
+            return jnp.any(~st.done) & (st.it < cfg.newton_maxiter)
+
+        def body(st):
+            r = resid(st.x)
+            rinf = jnp.max(jnp.abs(r), axis=1)
+            better = rinf < st.r_best
+            x_best = jnp.where(better[:, None], st.x, st.x_best)
+            r_best = jnp.where(better, rinf, st.r_best)
+            done = st.done | (rinf < cfg.newton_tol)
+
+            Bm = batch_B(st.x)
+            apply_pinv, _ = _gram_pinv(Bm, cfg.nfree)
+            dx = jnp.einsum("bki,bk->bi", Bm, apply_pinv(r))
+            x_new = jnp.where(done[:, None], st.x, st.x + dx)
+            return _NS(x_new, x_best, r_best, st.it + 1, done)
+
+        st = jax.lax.while_loop(cond, body, st)
+        # one last residual check on the final iterate
+        r_fin = resid(st.x)
+        rinf_fin = jnp.max(jnp.abs(r_fin), axis=1)
+        better = rinf_fin < st.r_best
+        x_new = jnp.where(better[:, None], st.x, st.x_best)
+        dq_real = wrap_dq(batch_q(x_new) - q0)
+        return x_new, dq_real
+
+    def step(state: InternalSearchState, key) -> InternalSearchState:
+        Bsz = state.x.shape[0]
+        act = ~state.converged
+
+        Bm = batch_B(state.x)
+        apply_pinv, Ufree_q = _gram_pinv(Bm, cfg.nfree)
+        gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, state.g))
+
+        # ---- projected quantities + diag scheduling ----
+        UT = jnp.swapaxes(Ufree_q, 1, 2)
+        Hproj = jnp.einsum("bij,bjk,bkl->bil", UT, state.H, Ufree_q)
+        g_free = jnp.einsum("bij,bi->bj", Ufree_q, gq)
+        prep = prfo_prepare_batched(g_free, Hproj, cfg.order)
+
+        if cfg.eig and cfg.order > 0:
+            lams_proj = prep[0]
+            too_few = jnp.any(lams_proj[:, : cfg.order] > 0, axis=1)
+            too_many = (
+                lams_proj[:, cfg.order] < 0
+                if cfg.order < cfg.nfree
+                else jnp.zeros(Bsz, bool)
+            )
+            ev = act & (state.nsteps_since_diag >= cfg.nsteps_per_diag) & (
+                too_few | too_many
+            )
+            # bootstrap diag on the very first step (reference
+            # ``optimize.py:317-325``: eig -> diag before stepping)
+            ev = ev | (act & (state.nsteps == 0))
+        else:
+            ev = jnp.zeros(Bsz, bool)
+        if cfg.diag_every_n > 0:
+            ev = ev | (act & (state.nsteps_since_diag >= cfg.diag_every_n))
+
+        def run_diag(_):
+            return davidson_absorb(
+                state.x, gq, Bm, apply_pinv, Ufree_q, state.H, ev,
+                jax.random.fold_in(key, 0),
+            )
+
+        def skip_diag(_):
+            return state.H, jnp.zeros(Bsz, state.nsteps.dtype)
+
+        H1, k_diag = jax.lax.cond(jnp.any(ev), run_diag, skip_diag, None)
+        nmv = state.nmatvec + jnp.where(ev, k_diag, 0)
+        nsd = jnp.where(ev, 0, state.nsteps_since_diag + 1)
+
+        # ---- trust-region step in the free internal subspace ----
+        Hproj1 = jnp.einsum("bij,bjk,bkl->bil", UT, H1, Ufree_q)
+        prep1 = prfo_prepare_batched(g_free, Hproj1, cfg.order)
+        dq_pred, smag = restricted_step_batched(
+            g_free, Hproj1, Ufree_q, state.delta, cfg, prep=prep1,
+            norm_fn=mis_norm,
+        )
+        dq_pred = jnp.where(act[:, None], dq_pred, 0.0)
+
+        # ---- realize the step + evaluate ----
+        x_new, dq_real = newton_set_x(state.x, state.q, dq_pred)
+        x_new = jnp.where(act[:, None], x_new, state.x)
+        dq_real = jnp.where(act[:, None], dq_real, 0.0)
+        f_new, g_new = batch_eval(x_new)
+        neval = state.neval + act.astype(jnp.int32)
+
+        Bm_new = batch_B(x_new)
+        apply_pinv_new, Ufree_q_new = _gram_pinv(Bm_new, cfg.nfree)
+        gq_new = apply_pinv_new(
+            jnp.einsum("bij,bj->bi", Bm_new, g_new)
+        )
+
+        # ---- trust ratio (prediction with the PREDICTED step) ----
+        df_pred = jnp.einsum("bi,bi->b", gq, dq_pred) + 0.5 * jnp.einsum(
+            "bi,bij,bj->b", dq_pred, H1, dq_pred
+        )
+        df_actual = f_new - state.f
+        pred_ok = jnp.abs(df_pred) > 1e-14
+        ratio = jnp.where(
+            pred_ok, df_actual / jnp.where(pred_ok, df_pred, 1.0), 1.0
+        )
+
+        # ---- quasi-Newton update with the REALIZED secant ----
+        dgq = gq_new - gq
+        m1 = (jnp.linalg.norm(dq_real, axis=1) > 1e-10)[:, None]
+        H2 = ts_bfgs_update_batched(
+            H1, dq_real[:, :, None], dgq[:, :, None], m1 & act[:, None]
+        )
+        H2 = jnp.where((act & m1[:, 0])[:, None, None], H2, H1)
+
+        # ---- trust update ----
+        bad = (ratio < 1.0 / cfg.rho_dec) | (ratio > cfg.rho_dec)
+        good = (1.0 / cfg.rho_inc < ratio) & (ratio < cfg.rho_inc)
+        delta_new = jnp.where(
+            bad,
+            jnp.maximum(smag * cfg.sigma_dec, cfg.delta_min),
+            jnp.where(
+                good,
+                jnp.maximum(cfg.sigma_inc * smag, state.delta),
+                state.delta,
+            ),
+        )
+        delta_new = jnp.where(act, delta_new, state.delta)
+
+        # ---- convergence: Cartesian projected per-atom forces ----
+        Ux = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(x_new)
+        gfree_x = jnp.einsum("bij,bi->bj", Ux, g_new)
+        gp = jnp.einsum("bij,bj->bi", Ux, gfree_x)
+        fmax_now = jnp.max(
+            jnp.linalg.norm(gp.reshape(Bsz, n, 3), axis=2), axis=1
+        )
+        conv_new = state.converged | (act & (fmax_now < cfg.fmax))
+
+        return InternalSearchState(
+            x=jnp.where(act[:, None], x_new, state.x),
+            q=jnp.where(act[:, None], state.q + dq_real, state.q),
+            f=jnp.where(act, f_new, state.f),
+            g=jnp.where(act[:, None], g_new, state.g),
+            gq=jnp.where(act[:, None], gq_new, state.gq),
+            H=H2,
+            delta=delta_new,
+            rho=jnp.where(act, ratio, state.rho),
+            nsteps_since_diag=nsd,
+            converged=conv_new,
+            nsteps=state.nsteps + act.astype(jnp.int32),
+            neval=neval,
+            nmatvec=nmv,
+        )
+
+    return step
+
+
+def init_internal_state(
+    potential, ints, x0: jnp.ndarray, cfg: InternalEnsembleConfig,
+    cell: Optional[jnp.ndarray] = None,
+) -> InternalSearchState:
+    """Initialize the batched internal-coordinate state: the quasi-Newton
+    Hessian starts from the Lindh-style diagonal guess of the shared
+    topology (``internal.py:3738-3820``) — the second pillar of the
+    internal tier's convergence advantage."""
+    if cell is None:
+        cell = jnp.zeros((3, 3))
+    x0 = jnp.asarray(x0).copy()
+    Bsz = x0.shape[0]
+    dtype = x0.dtype
+    n = cfg.natoms
+
+    engine = ints._get_engine()
+    batch_q = jax.vmap(lambda x: engine._calc_impl(x.reshape(n, 3), cell))
+    batch_B = jax.vmap(lambda x: engine._jac_impl(x.reshape(n, 3), cell))
+
+    f, g = jax.vmap(
+        lambda xx: jax.value_and_grad(potential.energy)(xx, cell)
+    )(x0)
+    q = batch_q(x0)
+    Bm = batch_B(x0)
+    apply_pinv, _ = _gram_pinv(Bm, cfg.nfree)
+    gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, g))
+
+    H0 = jnp.asarray(ints.guess_hessian())
+    return InternalSearchState(
+        x=x0,
+        q=q,
+        f=f,
+        g=g,
+        gq=gq,
+        H=jnp.broadcast_to(H0[None], (Bsz, cfg.nint, cfg.nint)).copy(),
+        delta=jnp.full((Bsz,), cfg.delta0, dtype),
+        rho=jnp.ones((Bsz,), dtype),
+        nsteps_since_diag=jnp.zeros(Bsz, jnp.int32),
+        converged=jnp.zeros(Bsz, bool),
+        nsteps=jnp.zeros(Bsz, jnp.int32),
+        neval=jnp.ones(Bsz, jnp.int32),
+        nmatvec=jnp.zeros(Bsz, jnp.int32),
+    )
+
+
+def bad_internals_mask(state: InternalSearchState, ints,
+                       atol_deg: float = 0.5) -> jnp.ndarray:
+    """Per-lane mask of searches whose angles reached the singular
+    0/180-deg points where the B matrix loses rank (reference
+    ``internal.py:3704-3736``; the default window is much tighter than
+    the sequential tier's 15 deg because cluster saddles legitimately
+    converge with nearly-linear angles). Topology is shared across lanes
+    (static shapes), so the reference's rebuild event has no in-jit
+    analogue — spill flagged lanes to the Cartesian tier (or re-seed
+    them) instead."""
+    a0 = ints.ntrans + ints.nbonds
+    ang = state.q[:, a0:a0 + ints.nangles]
+    if ang.shape[1] == 0:
+        return jnp.zeros(state.q.shape[0], bool)
+    atol = np.radians(atol_deg)
+    return jnp.any((ang < atol) | (ang > np.pi - atol), axis=1)
+
+
+def run_internal_ensemble(
+    potential,
+    ints,
+    x0: jnp.ndarray,
+    cfg: InternalEnsembleConfig,
+    max_steps: int = 100,
+    cell: Optional[jnp.ndarray] = None,
+    mesh=None,
+    seed: int = 0,
+    steps_per_call: int = 1,
+):
+    """Host loop driving the jitted batched internal step (mirror of
+    :func:`sella_tpu.parallel.ensemble.run_ensemble`)."""
+    step = make_internal_step_fn(potential, ints, cfg, cell)
+
+    def multi_step(state, key):
+        def body(i, st):
+            return step(st, jax.random.fold_in(key, i))
+
+        return jax.lax.fori_loop(0, steps_per_call, body, state)
+
+    state = init_internal_state(potential, ints, jnp.asarray(x0), cfg,
+                                cell)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = jax.tree.map(
+            lambda a: jax.device_put(
+                a,
+                NamedSharding(
+                    mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+                ),
+            ),
+            state,
+        )
+
+    multi_jit = jax.jit(multi_step, donate_argnums=0)
+    key = jax.random.PRNGKey(seed)
+    n_calls = (max_steps + steps_per_call - 1) // steps_per_call
+    for i in range(n_calls):
+        state = multi_jit(state, jax.random.fold_in(key, i))
+        if bool(jnp.all(state.converged)):
+            break
+    return state
