@@ -565,15 +565,36 @@ class Internals:
         out[d0:d1] = (out[d0:d1] + np.pi) % (2 * np.pi) - np.pi
         if self.nrotations:
             r0 = self.nint - self.nrotations
-            # rotations are stored per axis but grouped in triples
-            for k in range(r0, self.nint - 2, 3):
-                v = out[k:k + 3]
+            # a 2 pi wrap needs the full rotation VECTOR: only complete
+            # same-fragment axis triples are wrapped; an isolated
+            # single-axis registration (add_rotation(idx, axis=1)) has
+            # no well-defined scalar period and is left untouched
+            for k in self._rotation_triples():
+                v = out[r0 + k:r0 + k + 3]
                 nrm = np.linalg.norm(v)
                 while nrm > np.pi:
                     v -= 2 * np.pi * v / nrm
                     nrm = np.linalg.norm(v)
-                out[k:k + 3] = v
+                out[r0 + k:r0 + k + 3] = v
         return out
+
+    def _rotation_triples(self) -> list:
+        """Offsets (within the rotation block) of complete axis triples
+        (0, 1, 2) registered for one fragment."""
+        trips = []
+        rots = self.rotations
+        k = 0
+        while k < len(rots):
+            if k + 2 < len(rots):
+                (i0, a0, _), (i1, a1, _), (i2, a2, _) = rots[k:k + 3]
+                if ((a0, a1, a2) == (0, 1, 2)
+                        and np.array_equal(i0, i1)
+                        and np.array_equal(i0, i2)):
+                    trips.append(k)
+                    k += 3
+                    continue
+            k += 1
+        return trips
 
     # -- Lindh-style diagonal guess Hessian -------------------------------------
     def guess_hessian(self, h0cart: float = 70.0) -> np.ndarray:

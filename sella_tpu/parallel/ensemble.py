@@ -785,10 +785,33 @@ def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key):
     return st.V, st.AVp, st.YF, st.k
 
 
+def _validate_rigid_rank(x0: np.ndarray, nproj: int) -> None:
+    """Warn when the rigid generators are rank-deficient (linear/planar
+    cluster): the complete-QR ``free_basis`` then silently keeps a rigid
+    direction in the 'free' subspace. Host-side, init-time only."""
+    if nproj != 6:
+        return
+    import warnings
+
+    for b in range(x0.shape[0]):
+        pos = np.asarray(x0[b]).reshape(-1, 3)
+        rel = pos - pos.mean(axis=0)
+        gens = [np.cross(e, rel).ravel() for e in np.eye(3)]
+        rank = np.linalg.matrix_rank(np.stack(gens), tol=1e-8)
+        if rank < 3:
+            warnings.warn(
+                f"lane {b}: rigid rotation generators are rank-{rank} "
+                "(linear geometry) — free_basis will retain a rigid "
+                "direction; use nproj appropriate for the geometry"
+            )
+            return  # one warning is enough
+
+
 def init_state(potential, x0: jnp.ndarray, cfg: EnsembleConfig,
                cell: Optional[jnp.ndarray] = None,
                key: Optional[jnp.ndarray] = None) -> SearchState:
     """Initialize the batched search state (pre-step, no diag yet)."""
+    _validate_rigid_rank(np.asarray(x0), cfg.nproj)
     # private copy: run loops donate the state buffers (donate_argnums),
     # and aliasing the caller's x0 would invalidate it for reuse
     x0 = jnp.asarray(x0).copy()
