@@ -20,6 +20,19 @@ search at a time, same convergence criteria:
   2026-08-16 on this host, see tests/test_tier_parity.py for the
   cross-tier trajectory/matvec parity evidence)
 * LJ4 (fmax=1e-3): ~0.03 searches/s (round-1 measurement)
+
+Profile record (v5e, EMT batch=256, f64, 2026-08-16 — per-op timing
+with random inputs; see the round-2 history for the script): before
+optimization the step was 3814 ms of which the trust-region alpha
+root-find was 2766 ms (a batched (B, 72, 72) arrowhead eigh per alpha
+evaluation). Replacing that eigh with the closed-form secular-equation
+solve (ensemble._rfo_secular) brought the root-find to ~230 ms and the
+step to 667 ms; the remaining budget is the hoisted projected eigh
+(82 ms), TS-BFGS absorb incl. |B| eigh (133 ms), the compacted Davidson
+(~200 ms), and the potential itself (6-10 ms). Conclusion recorded per
+SURVEY §7 stage 9: the hot ops are XLA-batched eighs, which a Pallas
+kernel would not beat meaningfully at these sizes; algorithmic
+restructuring (hoisting + secular solves) was the win.
 """
 import json
 import os

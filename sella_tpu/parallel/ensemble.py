@@ -307,47 +307,78 @@ def bootstrap_B_batched(S, Y, mask, dim):
 # ---------------------------------------------------------------------------
 # Batched P-RFO / QN trust-region step
 # ---------------------------------------------------------------------------
-def _rfo_sub(gsub, Hsub, alpha, which: int):
-    """Batched RFO on a (B, q) / (B, q, q) subproblem at per-search alpha.
+def _rfo_secular(gsub, d, alpha, highest: bool, niter: int = 56):
+    """Batched RFO subproblem via the arrowhead secular equation.
 
-    which: eigenvector index of the alpha-scaled augmented matrix
-    (q for the uphill subproblem maximizing along all q modes, 0 for the
-    downhill one), mirroring ``stepper.py:114-157``.
+    The alpha-scaled augmented matrix [[a^2 D, a g], [a g^T, 0]] is an
+    arrowhead with KNOWN diagonal (D comes pre-diagonalized from the
+    hoisted eigh in :func:`prfo_prepare_batched`), so the one extreme
+    eigenpair the step needs solves the scalar secular equation
+    ``f(lam) = lam - sum_i a^2 g_i^2 / (lam - a^2 d_i) = 0`` on a known
+    bracket — a safeguarded Newton/bisection of elementwise O(B q) work
+    per iteration. This replaces a full batched (B, q+1, q+1) eigh PER
+    ALPHA EVALUATION of the trust root-find, which profiling showed was
+    ~73% of the EMT ensemble step (2.77 s of 3.81 s at batch=256 on
+    v5e). The step and its alpha derivative come out in closed form:
+    ``s_i = a^2 g_i / (lam - a^2 d_i)`` (the eigenvector's last
+    component cancels), with dlam/dalpha by implicit differentiation.
     """
-    Bsz, q = gsub.shape
-    dtype = gsub.dtype
-    A = jnp.zeros((Bsz, q + 1, q + 1), dtype)
-    A = A.at[:, :q, :q].set(Hsub * alpha[:, None, None] ** 2)
-    A = A.at[:, :q, q].set(gsub * alpha[:, None])
-    A = A.at[:, q, :q].set(gsub * alpha[:, None])
-    L, V = jnp.linalg.eigh(A)
-    vk = V[:, :, which]
-    denom = vk[:, -1]
-    denom = jnp.where(
-        jnp.abs(denom) < 1e-12,
-        jnp.where(denom != 0, jnp.sign(denom) * 1e-12, 1e-12),
-        denom,
-    )
-    s = vk[:, :q] * (alpha / denom)[:, None]
+    a2 = alpha[:, None] ** 2
+    p = a2 * d                         # poles (B, q)
+    num = a2 * gsub                    # a^2 g_i
+    g2 = num * gsub                    # a^2 g_i^2 >= 0
+    coupled = g2 > 0.0
+    gnorm = jnp.sqrt(jnp.sum(g2, axis=1))      # |a g|_2
 
-    # d/dalpha via eigenvector perturbation (correct-sign variant of
-    # ``stepper.py:139-157``)
-    dA = jnp.zeros_like(A)
-    dA = dA.at[:, :q, :q].set(Hsub * 2 * alpha[:, None, None])
-    dA = dA.at[:, :q, q].set(gsub)
-    dA = dA.at[:, q, :q].set(gsub)
-    Ldiff = L[:, which][:, None] - L
-    Ldiff = jnp.where(
-        Ldiff >= 0, jnp.maximum(Ldiff, 1e-12), jnp.minimum(Ldiff, -1e-12)
+    big = jnp.asarray(BIG, gsub.dtype)
+    if highest:
+        p_eff = jnp.where(coupled, p, -big)
+        edge = jnp.maximum(jnp.max(p_eff, axis=1), 0.0)
+        lo, hi = edge, edge + gnorm + 1e-30
+    else:
+        p_eff = jnp.where(coupled, p, big)
+        edge = jnp.minimum(jnp.min(p_eff, axis=1), 0.0)
+        lo, hi = edge - gnorm - 1e-30, edge
+
+    def f_and_df(lam):
+        den = lam[:, None] - p
+        ok = jnp.abs(den) > 1e-300
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, den, 1.0), 0.0)
+        f = lam - jnp.sum(g2 * inv, axis=1)
+        df = 1.0 + jnp.sum(g2 * inv * inv, axis=1)
+        return f, df
+
+    def body(_, st):
+        lam, lo, hi = st
+        f, df = f_and_df(lam)
+        # f is increasing in lam between the bracketing pole and the
+        # root on both sides, so the sign of f picks the half-interval
+        lo = jnp.where(f < 0, lam, lo)
+        hi = jnp.where(f < 0, hi, lam)
+        newt = lam - f / df
+        bad = (newt <= lo) | (newt >= hi) | ~jnp.isfinite(newt)
+        lam_new = jnp.where(bad, 0.5 * (lo + hi), newt)
+        return lam_new, lo, hi
+
+    lam0 = 0.5 * (lo + hi)
+    lam, _, _ = jax.lax.fori_loop(0, niter, body, (lam0, lo, hi))
+
+    den = lam[:, None] - p
+    ok = jnp.abs(den) > 1e-300
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, den, 1.0), 0.0)
+    s = num * inv
+
+    # dlam/dalpha by implicit differentiation of f(lam, alpha) = 0
+    _, df_dlam = f_and_df(lam)
+    a = alpha[:, None]
+    df_dalpha = -jnp.sum(
+        2 * a * gsub**2 * inv + 2 * a**3 * d * gsub**2 * inv * inv,
+        axis=1,
     )
-    coef = jnp.einsum("bij,bi->bj", V, jnp.einsum("bij,bj->bi", dA, vk))
-    coef = coef / Ldiff
-    coef = coef.at[:, which].set(0.0)
-    dV = jnp.einsum("bij,bj->bi", V, coef)
+    dlam = -df_dalpha / df_dlam
     ds = (
-        vk[:, :q] / denom[:, None]
-        + dV[:, :q] * (alpha / denom)[:, None]
-        - vk[:, :q] * (alpha / denom**2 * dV[:, -1])[:, None]
+        2 * a * gsub * inv
+        - num * (dlam[:, None] - 2 * a * d) * inv * inv
     )
     return s, ds
 
@@ -366,16 +397,13 @@ def prfo_step_batched(prep, order: int, alpha):
     (``stepper.py:160-185``)."""
     lams, V, gV = prep
     if order > 0:
-        smax, dsmax = _rfo_sub(
-            gV[:, :order],
-            _diag_embed(lams[:, :order]),
-            alpha,
-            order,
+        smax, dsmax = _rfo_secular(
+            gV[:, :order], lams[:, :order], alpha, highest=True
         )
     else:
         smax = dsmax = None
-    smin, dsmin = _rfo_sub(
-        gV[:, order:], _diag_embed(lams[:, order:]), alpha, 0
+    smin, dsmin = _rfo_secular(
+        gV[:, order:], lams[:, order:], alpha, highest=False
     )
     if order > 0:
         s = jnp.einsum("bij,bj->bi", V[:, :, :order], smax) + jnp.einsum(
@@ -401,10 +429,6 @@ def qn_step_batched(prep, order: int, alpha):
     s = -jnp.einsum("bij,bj->bi", V, sproj)
     ds = jnp.einsum("bij,bj->bi", V, sproj * sign / denom)
     return s, ds
-
-
-def _diag_embed(v):
-    return v[:, :, None] * jnp.eye(v.shape[-1], dtype=v.dtype)[None]
 
 
 class _RSState(NamedTuple):

@@ -219,7 +219,6 @@ class InternalPES(PES):
         gt = Binv0 @ g_int
 
         nsub = int(np.clip(np.ceil(np.linalg.norm(dq) / 0.05), 8, 64))
-        h = 1.0 / nsub
 
         def rhs(state):
             x_, xd_, gt_ = state
@@ -229,19 +228,36 @@ class InternalPES(PES):
             both = Binv @ (D_rdot @ np.column_stack((xd_, gt_)))
             return (xd_, -both[:, 0], -both[:, 1])
 
-        state = (x, xd, gt)
-        for _ in range(nsub):
-            k1 = rhs(state)
-            k2 = rhs(tuple(s + 0.5 * h * k for s, k in zip(state, k1)))
-            k3 = rhs(tuple(s + 0.5 * h * k for s, k in zip(state, k2)))
-            k4 = rhs(tuple(s + h * k for s, k in zip(state, k3)))
-            state = tuple(
-                s + (h / 6.0) * (a + 2 * b + 2 * c + d)
-                for s, a, b, c, d in zip(state, k1, k2, k3, k4)
-            )
-            self._set_flat_pos(state[0])
-            self.bad_int = self.int.check_for_bad_internals()
+        def integrate(nsub_):
+            h = 1.0 / nsub_
+            st = (x, xd, gt)
+            for _ in range(nsub_):
+                k1 = rhs(st)
+                k2 = rhs(tuple(s + 0.5 * h * k for s, k in zip(st, k1)))
+                k3 = rhs(tuple(s + 0.5 * h * k for s, k in zip(st, k2)))
+                k4 = rhs(tuple(s + h * k for s, k in zip(st, k3)))
+                st = tuple(
+                    s + (h / 6.0) * (a + 2 * b + 2 * c + d)
+                    for s, a, b, c, d in zip(st, k1, k2, k3, k4)
+                )
+                self._set_flat_pos(st[0])
+                self.bad_int = self.int.check_for_bad_internals()
+                if self.bad_int is not None:
+                    return st  # partial; caller rebuilds topology
+            return st
+
+        # Divergence control replacing LSODA's adaptivity
+        # (``peswrapper.py:841-880``): step-doubling — accept when the
+        # nsub and 2*nsub endpoints agree, otherwise refine (cap 256).
+        state = integrate(nsub)
+        while self.bad_int is None and nsub < 256:
+            fine = integrate(2 * nsub)
+            err = float(np.linalg.norm(state[0] - fine[0], ord=np.inf))
+            state = fine
+            nsub *= 2
             if self.bad_int is not None:
+                break
+            if err < 1e-8 * max(1.0, float(np.linalg.norm(dq))):
                 break
 
         x_, xd_, gt_ = state
