@@ -33,6 +33,21 @@ Design (TPU-first, not a port):
   dihedral residuals wrapped into (-pi, pi] and best-iterate tracking
   (the reference's Newton fast path, ``peswrapper.py:749-839``; the
   geodesic ODE fallback stays sequential-tier-only).
+* Dummy atoms and fixed internal coordinates (reference
+  ``internal.py:3483-3573`` dummies, ``internal.py:2748-3030``
+  constraints) ARE supported, because both reduce to *linear*
+  constraints in q-space when each constrained coordinate is a member
+  of the q-vector: the constrained free subspace is a static-width
+  complete-QR split of range(B) against the constrained rows of U, the
+  Lagrangian curvature correction reduces to zeroing the constrained
+  components of g_q inside the dB[u]^T g_q term (the constraints have
+  no q-space curvature), and constraint restoration is free — the
+  Newton back-transform simply pins the constrained components of
+  q_target to their targets (the reference's manifold projection,
+  ``peswrapper.py:928-994``, collapses into the same Newton solve).
+  Dummy atoms extend the DOF vector; the potential sees only the real
+  atoms (dummy forces are identically zero, as in the reference where
+  dummies are spectators held by their constrained bond + angle).
 """
 from __future__ import annotations
 
@@ -53,12 +68,21 @@ from .ensemble import (
 
 
 class InternalEnsembleConfig(NamedTuple):
-    """Static (trace-time) configuration of a batched internal search."""
+    """Static (trace-time) configuration of a batched internal search.
+
+    ``natoms`` counts REAL atoms; ``ndummies`` extends the DOF vector
+    with dummy-atom coordinates (linear-center dummies from
+    :class:`Internals`); ``ncons`` is the number of fixed internal
+    coordinates (dummy bond/angle constraints plus any user
+    ``fix_bond``/``fix_angle``/... that maps onto a q-vector member).
+    """
 
     natoms: int
     nint: int                      # number of internal coordinates
     order: int = 1
     nproj: int = 6                 # rigid modes absent from range(B)
+    ndummies: int = 0              # dummy atoms appended to the DOF
+    ncons: int = 0                 # fixed internal coordinates
     fmax: float = 1e-3
     gamma: float = 0.1
     delta0: float = 0.1
@@ -86,11 +110,17 @@ class InternalEnsembleConfig(NamedTuple):
 
     @property
     def dim(self) -> int:
-        return 3 * self.natoms
+        return 3 * (self.natoms + self.ndummies)
+
+    @property
+    def nred(self) -> int:
+        """Width of range(B) — the nonredundant subspace."""
+        return self.dim - self.nproj
 
     @property
     def nfree(self) -> int:
-        return 3 * self.natoms - self.nproj
+        """Width of the constrained free subspace."""
+        return self.nred - self.ncons
 
     @property
     def subspace_max(self) -> int:
@@ -135,6 +165,111 @@ def _dihedral_mask(ints) -> np.ndarray:
     return m
 
 
+def fixed_internal_constraints(ints):
+    """Map every active equality constraint of ``ints.cons`` onto its
+    member coordinate in the q-vector.
+
+    Returns ``(idx, targets)`` int/float arrays of length ncons. The
+    batched tier supports exactly the constraints that are *linear in
+    q* — i.e. each constrained coordinate must itself be an internal
+    coordinate of ``ints`` (always true for dummy-atom constraints,
+    which constrain the dummy bond and one dummy angle that
+    ``_add_dummy_for_linear_center`` also adds to the q-vector).
+    Raises ``ValueError`` for constraints with no q-vector member
+    (use the sequential tier or the Cartesian ensemble's residual
+    constraints for those)."""
+    idx, targets = [], []
+    off_b = ints.ntrans
+    off_a = off_b + ints.nbonds
+    off_d = off_a + ints.nangles
+
+    def _nc_eq(a, b):
+        return np.array_equal(np.asarray(a), np.asarray(b))
+
+    for rec in ints.cons._iter_records(only_active=False):
+        if rec.comparator != "eq":
+            raise ValueError(
+                "batched tier supports equality constraints only "
+                f"(got {rec.comparator} {rec.kind})"
+            )
+        found = None
+        ii = [int(v) for v in np.atleast_1d(rec.indices)]
+        nc = rec.ncvecs
+        if rec.kind == "bond":
+            z = np.zeros((1, 3)) if nc is None else nc
+            for m, (i, j, bnc) in enumerate(ints.bonds):
+                if [i, j] == ii and _nc_eq(bnc, z[0]):
+                    found = off_b + m
+                elif [j, i] == ii and _nc_eq(-bnc, z[0]):
+                    found = off_b + m
+                if found is not None:
+                    break
+        elif rec.kind == "angle":
+            z = np.zeros((2, 3)) if nc is None else nc
+            for m, (i, j, k, anc) in enumerate(ints.angles):
+                if [i, j, k] == ii and _nc_eq(anc, z):
+                    found = off_a + m
+                elif [k, j, i] == ii and _nc_eq(anc[::-1], z):
+                    found = off_a + m
+                if found is not None:
+                    break
+        elif rec.kind == "dihedral":
+            z = np.zeros((3, 3)) if nc is None else nc
+            for m, (i, j, k, l, dnc) in enumerate(ints.dihedrals):
+                if [i, j, k, l] == ii and _nc_eq(dnc, z):
+                    found = off_d + m
+                elif [l, k, j, i] == ii and _nc_eq(-dnc[::-1], z):
+                    found = off_d + m
+                if found is not None:
+                    break
+        elif rec.kind == "translation":
+            for m, (tind, tax) in enumerate(zip(ints.trans,
+                                                ints.trans_axes)):
+                if tax == rec.axis and len(tind) == len(ii) and \
+                        np.array_equal(np.sort(tind), np.sort(ii)):
+                    found = m
+                    break
+        else:
+            raise ValueError(
+                f"batched tier cannot map a {rec.kind} constraint "
+                "onto the q-vector"
+            )
+        if found is None:
+            raise ValueError(
+                f"constraint {rec.kind}{ii} has no matching internal "
+                "coordinate; add it to the Internals first"
+            )
+        idx.append(found)
+        targets.append(float(rec.target))
+    return (np.asarray(idx, dtype=np.int64),
+            np.asarray(targets, dtype=np.float64))
+
+
+def extend_with_dummies(ints, x0: jnp.ndarray) -> jnp.ndarray:
+    """Append per-lane dummy-atom coordinates to a (B, 3*natoms) batch.
+
+    Each lane's dummy is placed at its center atom plus the base
+    geometry's center->dummy offset; the first Newton back-transform
+    (whose q_target pins the constrained dummy bond/angle) snaps it
+    onto the constraint manifold exactly."""
+    nd = ints.ndummies
+    if nd == 0:
+        return x0
+    n = ints.natoms
+    centers = np.full(nd, -1, dtype=np.int64)
+    for j, dind in enumerate(np.asarray(ints.dinds)):
+        if dind >= 0:
+            centers[int(dind) - n] = j
+    if np.any(centers < 0):
+        raise ValueError("dummy atom with no recorded center")
+    offsets = ints.dummies.positions - ints.atoms.positions[centers]
+    pos = x0.reshape(x0.shape[0], n, 3)
+    dpos = pos[:, centers, :] + jnp.asarray(offsets)[None]
+    return jnp.concatenate(
+        [pos, dpos], axis=1
+    ).reshape(x0.shape[0], 3 * (n + nd))
+
+
 def _gram_pinv(Bm: jnp.ndarray, nfree: int):
     """Batched eigh of G = B B^T: returns (apply_pinv, Ufree_q).
 
@@ -154,26 +289,55 @@ def _gram_pinv(Bm: jnp.ndarray, nfree: int):
     return apply_pinv, Ufree_q
 
 
+def _split_fixed(Ured: jnp.ndarray, cons_idx: jnp.ndarray,
+                 ncons: int) -> jnp.ndarray:
+    """Constrained free subspace: the orthogonal complement, inside
+    range(B), of the fixed-coordinate directions.
+
+    A fixed internal ``q_i = t`` has q-space gradient ``P_range e_i``;
+    in the U-coordinates of range(B) that is row i of U, so a complete
+    QR of W = U[cons_idx]^T (static shape (nred, ncons)) yields the
+    free columns directly (the reference's rank-revealing
+    ``_split_cons_subspace``, ``peswrapper.py:51-69``, with the rank
+    static by construction)."""
+    if ncons == 0:
+        return Ured
+    W = jnp.swapaxes(Ured[:, cons_idx, :], 1, 2)       # (B, nred, nc)
+    Q = jnp.linalg.qr(W, mode="complete")[0]           # (B, nred, nred)
+    return jnp.einsum("bij,bjk->bik", Ured, Q[:, :, ncons:])
+
+
 def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
                           cell: Optional[jnp.ndarray] = None):
     """Build the jittable batched internal-coordinate RS-P-RFO step.
 
     ``ints``: a host-side :class:`Internals` container defining the
-    (shared, fixed) topology. Dummy atoms are not supported in the
-    batched tier (their insertion is a topology-mutation event)."""
-    if ints.ndummies:
-        raise NotImplementedError(
-            "dummy atoms are not supported in the batched tier"
+    (shared, fixed) topology — including dummy atoms and fixed internal
+    coordinates (``cfg.ndummies``/``cfg.ncons`` must match)."""
+    if ints.ndummies != cfg.ndummies:
+        raise ValueError(
+            f"cfg.ndummies={cfg.ndummies} != topology "
+            f"ndummies={ints.ndummies}"
         )
     if ints.nint != cfg.nint:
         raise ValueError(
             f"cfg.nint={cfg.nint} != topology nint={ints.nint}"
         )
+    cons_idx, cons_target = fixed_internal_constraints(ints)
+    if len(cons_idx) != cfg.ncons:
+        raise ValueError(
+            f"cfg.ncons={cfg.ncons} != mapped constraints "
+            f"{len(cons_idx)}"
+        )
     if cell is None:
         cell = jnp.zeros((3, 3))
 
     engine = ints._get_engine()
-    n = cfg.natoms
+    n = cfg.natoms + cfg.ndummies          # extended atom count
+    nr3 = 3 * cfg.natoms                   # real-atom DOF
+    ncons = cfg.ncons
+    cons_idx = jnp.asarray(cons_idx)
+    cons_target = jnp.asarray(cons_target)
 
     def calc_q(x):
         return engine._calc_impl(x.reshape(n, 3), cell)
@@ -189,17 +353,38 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
     batch_B = jax.vmap(calc_B)
     batch_dB = jax.vmap(calc_dB)
 
+    def _pad_dummy(g_real):
+        """Zero-pad real-atom gradients/tangents to the extended DOF."""
+        if cfg.ndummies == 0:
+            return g_real
+        pad = jnp.zeros(g_real.shape[:-1] + (3 * cfg.ndummies,),
+                        g_real.dtype)
+        return jnp.concatenate([g_real, pad], axis=-1)
+
     def batch_eval(x):
-        return jax.vmap(
-            lambda xx: jax.value_and_grad(potential.energy)(xx, cell)
+        f, gr = jax.vmap(
+            lambda xx: jax.value_and_grad(potential.energy)(
+                xx[:nr3], cell
+            )
         )(x)
+        return f, _pad_dummy(gr)
 
     def batch_hvp(x, u):
         def one(x1, u1):
             gfun = lambda y: jax.grad(potential.energy)(y, cell)
-            return jax.jvp(gfun, (x1,), (u1,))[1]
+            return jax.jvp(gfun, (x1[:nr3],), (u1[:nr3],))[1]
 
-        return jax.vmap(one)(x, u)
+        return _pad_dummy(jax.vmap(one)(x, u))
+
+    def lagrangian_gq(gq):
+        """Zero the constrained components: the multiplier of a fixed
+        internal is exactly its g_q component, and its q-Hessian is
+        zero, so the Lagrangian curvilinear term uses g_q with those
+        rows removed (reference get_Hc, ``peswrapper.py:1011-1031``,
+        specialized to member-coordinate constraints)."""
+        if ncons == 0:
+            return gq
+        return gq.at[:, cons_idx].set(0.0)
 
     dih = jnp.asarray(_dihedral_mask(ints))
     w_mis = jnp.asarray(_kind_weights(ints, cfg))
@@ -229,14 +414,16 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         'full exploitation of partial diagonalization'
         (``peswrapper.py:508-556``)."""
 
+        gLq = lagrangian_gq(gq)
+
         def hvp_free(v_free):
             v_q = jnp.einsum("bij,bj->bi", Ufree_q, v_free)
             u = jnp.einsum("bki,bk->bi", Bm, apply_pinv(v_q))  # B^+ v
             w_x = batch_hvp(x, u)
-            # curvilinear correction: - dB[u]^T g_q  (matrix-free Hc,
-            # ``peswrapper.py:1011-1031``)
+            # curvilinear correction: - dB[u]^T g_Lq (matrix-free Hc of
+            # the LAGRANGIAN, ``peswrapper.py:1011-1031``)
             dB = batch_dB(x, u)                        # (B, nint, 3n)
-            w_x = w_x - jnp.einsum("bkj,bk->bj", dB, gq)
+            w_x = w_x - jnp.einsum("bkj,bk->bj", dB, gLq)
             w_q = apply_pinv(jnp.einsum("bij,bj->bi", Bm, w_x))
             w_free = jnp.einsum("bij,bi->bj", Ufree_q, w_q)
             return w_free, w_q
@@ -259,8 +446,13 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
     def newton_set_x(x0, q0, dq_target):
         """Realize the internal step: find x with q(x) = q0 + dq_target
         (masked Newton with best-iterate tracking). Returns
-        (x_new, dq_realized)."""
+        (x_new, dq_realized). Constrained components of the target are
+        pinned to their fixed values, so the same Newton solve performs
+        the reference's constraint-manifold projection
+        (``peswrapper.py:928-994``) at zero extra cost."""
         q_target = q0 + dq_target
+        if ncons:
+            q_target = q_target.at[:, cons_idx].set(cons_target[None])
 
         class _NS(NamedTuple):
             x: jnp.ndarray
@@ -288,7 +480,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             done = st.done | (rinf < cfg.newton_tol)
 
             Bm = batch_B(st.x)
-            apply_pinv, _ = _gram_pinv(Bm, cfg.nfree)
+            apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
             dx = jnp.einsum("bki,bk->bi", Bm, apply_pinv(r))
             x_new = jnp.where(done[:, None], st.x, st.x + dx)
             return _NS(x_new, x_best, r_best, st.it + 1, done)
@@ -307,7 +499,8 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         act = ~state.converged
 
         Bm = batch_B(state.x)
-        apply_pinv, Ufree_q = _gram_pinv(Bm, cfg.nfree)
+        apply_pinv, Ured_q = _gram_pinv(Bm, cfg.nred)
+        Ufree_q = _split_fixed(Ured_q, cons_idx, ncons)
         gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, state.g))
 
         # ---- projected quantities + diag scheduling ----
@@ -365,7 +558,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         neval = state.neval + act.astype(jnp.int32)
 
         Bm_new = batch_B(x_new)
-        apply_pinv_new, Ufree_q_new = _gram_pinv(Bm_new, cfg.nfree)
+        apply_pinv_new, Ured_q_new = _gram_pinv(Bm_new, cfg.nred)
         gq_new = apply_pinv_new(
             jnp.einsum("bij,bj->bi", Bm_new, g_new)
         )
@@ -402,13 +595,29 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         )
         delta_new = jnp.where(act, delta_new, state.delta)
 
-        # ---- convergence: Cartesian projected per-atom forces ----
-        Ux = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(x_new)
-        gfree_x = jnp.einsum("bij,bi->bj", Ux, g_new)
-        gp = jnp.einsum("bij,bj->bi", Ux, gfree_x)
-        fmax_now = jnp.max(
-            jnp.linalg.norm(gp.reshape(Bsz, n, 3), axis=2), axis=1
-        )
+        # ---- convergence: projected per-atom forces on REAL atoms ----
+        if ncons or cfg.ndummies:
+            # constrained/dummy case: project g_q into the constrained
+            # free subspace and map back through B (the sequential
+            # tier's get_projected_forces with dummy rows dropped)
+            Ufree_new = _split_fixed(Ured_q_new, cons_idx, ncons)
+            gqp = jnp.einsum(
+                "bij,bj->bi", Ufree_new,
+                jnp.einsum("bij,bi->bj", Ufree_new, gq_new),
+            )
+            gp = jnp.einsum("bi,bij->bj", gqp, Bm_new)[:, :nr3]
+            fmax_now = jnp.max(
+                jnp.linalg.norm(
+                    gp.reshape(Bsz, cfg.natoms, 3), axis=2
+                ), axis=1,
+            )
+        else:
+            Ux = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(x_new)
+            gfree_x = jnp.einsum("bij,bi->bj", Ux, g_new)
+            gp = jnp.einsum("bij,bj->bi", Ux, gfree_x)
+            fmax_now = jnp.max(
+                jnp.linalg.norm(gp.reshape(Bsz, n, 3), axis=2), axis=1
+            )
         conv_new = state.converged | (act & (fmax_now < cfg.fmax))
 
         return InternalSearchState(
@@ -441,20 +650,27 @@ def init_internal_state(
     if cell is None:
         cell = jnp.zeros((3, 3))
     x0 = jnp.asarray(x0).copy()
+    if cfg.ndummies and x0.shape[1] == 3 * cfg.natoms:
+        x0 = extend_with_dummies(ints, x0)
     Bsz = x0.shape[0]
     dtype = x0.dtype
-    n = cfg.natoms
+    n = cfg.natoms + cfg.ndummies
+    nr3 = 3 * cfg.natoms
 
     engine = ints._get_engine()
     batch_q = jax.vmap(lambda x: engine._calc_impl(x.reshape(n, 3), cell))
     batch_B = jax.vmap(lambda x: engine._jac_impl(x.reshape(n, 3), cell))
 
     f, g = jax.vmap(
-        lambda xx: jax.value_and_grad(potential.energy)(xx, cell)
+        lambda xx: jax.value_and_grad(potential.energy)(xx[:nr3], cell)
     )(x0)
+    if cfg.ndummies:
+        g = jnp.concatenate(
+            [g, jnp.zeros((Bsz, 3 * cfg.ndummies), g.dtype)], axis=1
+        )
     q = batch_q(x0)
     Bm = batch_B(x0)
-    apply_pinv, _ = _gram_pinv(Bm, cfg.nfree)
+    apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
     gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, g))
 
     H0 = jnp.asarray(ints.guess_hessian())

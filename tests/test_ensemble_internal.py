@@ -121,6 +121,111 @@ def test_internal_ensemble_sharded():
     assert int(st.converged.sum()) >= 14
 
 
+def test_internal_ensemble_dummy_atoms():
+    """A linear Xe3 chain gets a dummy atom at its 2-coordinate linear
+    center; the batched tier carries the dummy DOF, pins its
+    constrained bond/angle inside the Newton back-transform, and
+    converges every lane with the constraints satisfied to machine
+    precision (reference ``internal.py:3483-3573``)."""
+    from sella_tpu.parallel.ensemble_internal import (
+        fixed_internal_constraints,
+    )
+
+    r0 = 4.73
+    pot = MorsePotential(epsilon=226.9 * kB, r0=r0, rho0=r0 * 1.099)
+    pos0 = np.array([[0.0, 0, 0], [r0, 0, 0], [2 * r0, 0, 0]])
+    atoms = Atoms(["Xe"] * 3, pos0)
+    ints = Internals(atoms)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    assert ints.ndummies == 1          # linear center found
+    idx, tgt = fixed_internal_constraints(ints)
+    assert len(idx) == 2               # dummy bond + one dummy angle
+    np.testing.assert_allclose(tgt, [1.0, np.pi / 2], atol=1e-12)
+
+    Bsz = 8
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(
+        (pos0[None] + 0.2 * rng.normal(size=(Bsz, 3, 3))).reshape(Bsz, 9)
+    )
+    cfg = InternalEnsembleConfig(
+        natoms=3, nint=ints.nint, order=0, fmax=1e-3,
+        ndummies=1, ncons=2, delta0=0.05,
+    )
+    st = run_internal_ensemble(pot, ints, x0, cfg, max_steps=200)
+    assert bool(st.converged.all()), np.asarray(st.nsteps)
+    assert int(np.asarray(st.nsteps).max()) <= 20
+
+    x = np.asarray(st.x)
+    for b in range(Bsz):
+        p = x[b].reshape(-1, 3)        # 3 real + 1 dummy
+        # real bonds relax to the Morse minimum distance
+        assert abs(np.linalg.norm(p[1] - p[0]) - r0) < 0.05
+        assert abs(np.linalg.norm(p[2] - p[1]) - r0) < 0.05
+        # dummy constraints exact: |d - center| = 1, angle(0,1,d) = 90
+        dvec = p[3] - p[1]
+        np.testing.assert_allclose(np.linalg.norm(dvec), 1.0, atol=1e-8)
+        cosang = np.dot(p[0] - p[1], dvec) / np.linalg.norm(p[0] - p[1])
+        np.testing.assert_allclose(cosang, 0.0, atol=1e-8)
+
+
+def test_internal_ensemble_fixed_bond_constraint():
+    """Batched constrained minimization: one bond fixed at a stretched
+    target; every lane converges with the bond pinned to the target and
+    a consistent nonzero constraint force (the g_q component at the
+    fixed coordinate)."""
+    from sella_tpu.coords.constraints import DuplicateInternalError
+    from sella_tpu.parallel.ensemble_internal import (
+        fixed_internal_constraints,
+    )
+
+    r0 = 4.73
+    pot = MorsePotential(epsilon=226.9 * kB, r0=r0, rho0=r0 * 1.099)
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * r0
+    atoms = Atoms(["Xe"] * 4, tet)
+    ints = Internals(atoms)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    try:
+        ints.add_bond((0, 1))
+    except DuplicateInternalError:
+        pass
+    target = 1.15 * r0
+    ints.cons.fix_bond((0, 1), target=target)
+    idx, tgt = fixed_internal_constraints(ints)
+    assert len(idx) == 1 and abs(tgt[0] - target) < 1e-12
+
+    Bsz = 8
+    rng = np.random.RandomState(1)
+    x0 = jnp.asarray(
+        (tet[None] + 0.15 * rng.normal(size=(Bsz, 4, 3))).reshape(Bsz, 12)
+    )
+    cfg = InternalEnsembleConfig(
+        natoms=4, nint=ints.nint, order=0, fmax=1e-3, ncons=1,
+        delta0=0.05,
+    )
+    st = run_internal_ensemble(pot, ints, x0, cfg, max_steps=200)
+    assert bool(st.converged.all()), np.asarray(st.nsteps)
+
+    x = np.asarray(st.x)
+    d01 = np.linalg.norm(
+        x[:, 3:6] - x[:, 0:3], axis=1
+    )
+    np.testing.assert_allclose(d01, target, atol=1e-4)
+    # unconstrained pairs relax to ~r0
+    d23 = np.linalg.norm(x[:, 9:12] - x[:, 6:9], axis=1)
+    assert np.all(np.abs(d23 - r0) < 0.1)
+    # constraint force: nonzero, same sign and magnitude across lanes
+    lam = np.asarray(st.gq)[:, idx[0]]
+    assert np.all(lam > 1e-3), lam
+    assert lam.std() < 0.2 * lam.mean()
+
+
 def test_internal_newton_set_x_roundtrip():
     """newton_set_x realizes a requested internal displacement exactly
     (dq_real == dq_target when representable)."""
