@@ -1,0 +1,426 @@
+"""Batched ensemble optimization of atoms + cell (variable-cell tier).
+
+Extends the Cartesian batched tier with the coupled atom+cell DOF of
+``CellCartesianPES`` (reference ``/root/reference/sella/peswrapper.py:
+2376-2933``): each lane's DOF vector is ``z = [x_cart (3n), s (ncell)]``
+where ``s`` holds the masked entries of the scaled log-deformation L
+and ``cell = expm(L / factor) @ cell0`` — the enthalpy ``E + P V`` is
+one differentiable jax scalar, so gradients (atom forces AND the full
+stress -> cell-gradient pipeline) and exact Hessian-vector products for
+the Davidson diagonalization all come from autodiff through
+:func:`sella_tpu.ops.linalg.expm`, batched over the ensemble inside one
+jitted XLA program.
+
+Design notes (TPU-first):
+
+* One reference cell ``cell0`` shared by every lane (the ensemble
+  refines perturbations of one structure); per-lane cells differ
+  through the per-lane ``s`` parameters, which are ordinary DOF.
+* The rigid-mode projection is CONSTANT: under periodic boundary
+  conditions only the 3 atom translations are free (rotations are not,
+  the cell fixes orientation), and their generators do not depend on
+  the geometry — the free basis is one host-side complete QR, reused
+  by every lane and every step (no per-lane basis work at all).
+* Convergence mirrors ``CellCartesianPES.converged``
+  (``peswrapper.py:2867-2910``): max per-atom projected force < fmax
+  AND max |dE/ds| < smax.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.linalg import expm
+from .ensemble import (
+    _davidson_loop,
+    _masked_ritz,
+    prfo_prepare_batched,
+    restricted_step_batched,
+    ts_bfgs_update_batched,
+)
+
+
+class CellEnsembleConfig(NamedTuple):
+    """Static (trace-time) configuration of a batched atom+cell search.
+
+    ``ncell`` is the number of free cell parameters (the True count of
+    the 3x3 ``cell_mask``); ``exp_cell_factor`` <= 0 means the
+    reference default ``float(natoms)`` (``peswrapper.py:2442``)."""
+
+    natoms: int
+    ncell: int = 9
+    order: int = 0
+    nproj: int = 3                 # atom translations only (PBC)
+    fmax: float = 1e-3
+    smax: float = 0.0              # 0 -> use fmax (reference default)
+    gamma: float = 0.1
+    delta0: float = 0.1
+    delta_min: float = 1e-4
+    sigma_inc: float = 1.15
+    sigma_dec: float = 0.65
+    rho_inc: float = 1.035
+    rho_dec: float = 5.0
+    nsteps_per_diag: int = 3
+    diag_every_n: int = 0
+    davidson_max: int = 0
+    rs_maxiter: int = 100
+    rs_tol: float = 1e-8
+    method: str = "prfo"
+    rs: str = "tr"
+    eig: bool = False              # minima by default (order=0)
+    exp_cell_factor: float = 0.0
+    scalar_pressure: float = 0.0
+
+    @property
+    def dim(self) -> int:
+        return 3 * self.natoms + self.ncell
+
+    @property
+    def nfree(self) -> int:
+        return self.dim - self.nproj
+
+    @property
+    def subspace_max(self) -> int:
+        m = self.nfree
+        k = self.davidson_max if self.davidson_max > 0 else 2 * m + 1
+        return min(m, k)
+
+
+class CellSearchState(NamedTuple):
+    """Per-search state; every leaf has a leading batch axis."""
+
+    z: jnp.ndarray            # (B, 3n + ncell) positions + cell params
+    f: jnp.ndarray            # (B,) enthalpy E + PV
+    g: jnp.ndarray            # (B, 3n + ncell) gradient
+    H: jnp.ndarray            # (B, dim, dim) quasi-Newton Hessian
+    delta: jnp.ndarray
+    rho: jnp.ndarray
+    nsteps_since_diag: jnp.ndarray
+    converged: jnp.ndarray
+    nsteps: jnp.ndarray
+    neval: jnp.ndarray
+    nmatvec: jnp.ndarray
+
+
+def _const_free_basis(natoms: int, ncell: int, nproj: int) -> np.ndarray:
+    """Orthonormal complement of the (constant) translation generators:
+    (dim, dim - nproj), shared by all lanes and steps."""
+    dim = 3 * natoms + ncell
+    if nproj == 0:
+        return np.eye(dim)
+    if nproj != 3:
+        raise ValueError("cell tier supports nproj in (0, 3)")
+    T = np.zeros((dim, 3))
+    for a in range(3):
+        T[np.arange(natoms) * 3 + a, a] = 1.0 / np.sqrt(natoms)
+    Q = np.linalg.qr(T, mode="complete")[0]
+    return Q[:, 3:]
+
+
+def make_ext_energy(potential, cfg: CellEnsembleConfig,
+                    cell0: jnp.ndarray, cell_mask: np.ndarray):
+    """The differentiable extended objective z -> E + PV (one scalar;
+    gradients give forces and the cell gradient simultaneously —
+    the TPU-native collapse of ``peswrapper.py:2752-2819``)."""
+    nr3 = 3 * cfg.natoms
+    factor = (cfg.exp_cell_factor if cfg.exp_cell_factor > 0
+              else float(cfg.natoms))
+    mask_flat = jnp.asarray(np.where(np.asarray(
+        cell_mask, dtype=bool).ravel())[0])
+    if mask_flat.shape[0] != cfg.ncell:
+        raise ValueError(
+            f"cell_mask has {mask_flat.shape[0]} free entries, "
+            f"cfg.ncell={cfg.ncell}"
+        )
+    pressure = cfg.scalar_pressure
+    cell0 = jnp.asarray(cell0)
+
+    def cell_of(s):
+        L = jnp.zeros(9, s.dtype).at[mask_flat].set(s).reshape(3, 3)
+        return expm(L / factor) @ cell0
+
+    def ext_energy(z):
+        x, s = z[:nr3], z[nr3:]
+        cell = cell_of(s)
+        e = potential.energy(x, cell)
+        if pressure != 0.0:
+            e = e + pressure * jnp.abs(jnp.linalg.det(cell))
+        return e
+
+    return ext_energy, cell_of
+
+
+def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
+                      cell0, cell_mask: Optional[np.ndarray] = None):
+    """Build the jittable batched atom+cell RS-(P-)RFO step."""
+    if cell_mask is None:
+        cell_mask = np.ones((3, 3), dtype=bool)
+    ext_energy, _ = make_ext_energy(potential, cfg, cell0, cell_mask)
+    nr3 = 3 * cfg.natoms
+    n = cfg.natoms
+
+    batch_eval = jax.vmap(jax.value_and_grad(ext_energy))
+
+    def batch_hvp(z, u):
+        def one(z1, u1):
+            return jax.jvp(jax.grad(ext_energy), (z1,), (u1,))[1]
+
+        return jax.vmap(one)(z, u)
+
+    Ufree_np = _const_free_basis(cfg.natoms, cfg.ncell, cfg.nproj)
+    Ufree = jnp.asarray(Ufree_np)               # (dim, nfree) constant
+    smax = cfg.smax if cfg.smax > 0 else cfg.fmax
+    K = cfg.subspace_max
+
+    def to_free(v):                              # (B, dim) -> (B, nfree)
+        return v @ Ufree
+
+    def to_full(v):                              # (B, nfree) -> (B, dim)
+        return v @ Ufree.T
+
+    def davidson_absorb(z, g, H, active, key):
+        """Batched Davidson with exact extended-objective HVPs; every
+        probe absorbed into H (TS-BFGS, ``peswrapper.py:508-556``)."""
+
+        def hvp_free(v_free):
+            u = to_full(v_free)
+            w = batch_hvp(z, u)
+            return to_free(w), w
+
+        P = jnp.einsum("ij,bjk,kl->bil", Ufree.T, H, Ufree)
+        v0 = to_free(g)
+
+        V, AVp, YF, k = _davidson_loop(
+            hvp_free, P, v0, cfg.gamma, K, active, key
+        )
+        lams, W, colmask = _masked_ritz(V, AVp, k, K)
+        Vr = jnp.einsum("bik,bkl->bil", V, W)
+        YFr = jnp.einsum("bik,bkl->bil", YF, W)
+        S_full = jnp.einsum("ij,bjk->bik", Ufree, Vr)
+        H_new = ts_bfgs_update_batched(H, S_full, YFr, colmask)
+        return jnp.where(active[:, None, None], H_new, H), k
+
+    def step(state: CellSearchState, key) -> CellSearchState:
+        Bsz = state.z.shape[0]
+        act = ~state.converged
+
+        g_free = to_free(state.g)
+        Hproj = jnp.einsum("ij,bjk,kl->bil", Ufree.T, state.H, Ufree)
+        prep = prfo_prepare_batched(g_free, Hproj, cfg.order)
+
+        # ---- diag scheduling (saddles only) ----
+        if cfg.eig and cfg.order > 0:
+            lams_proj = prep[0]
+            too_few = jnp.any(lams_proj[:, : cfg.order] > 0, axis=1)
+            too_many = (
+                lams_proj[:, cfg.order] < 0
+                if cfg.order < cfg.nfree
+                else jnp.zeros(Bsz, bool)
+            )
+            ev = act & (state.nsteps_since_diag >= cfg.nsteps_per_diag) & (
+                too_few | too_many
+            )
+            ev = ev | (act & (state.nsteps == 0))
+        else:
+            ev = jnp.zeros(Bsz, bool)
+        if cfg.diag_every_n > 0:
+            ev = ev | (act & (state.nsteps_since_diag >= cfg.diag_every_n))
+
+        def run_diag(_):
+            return davidson_absorb(
+                state.z, state.g, state.H, ev,
+                jax.random.fold_in(key, 0),
+            )
+
+        def skip_diag(_):
+            return state.H, jnp.zeros(Bsz, state.nsteps.dtype)
+
+        H1, k_diag = jax.lax.cond(jnp.any(ev), run_diag, skip_diag, None)
+        nmv = state.nmatvec + jnp.where(ev, k_diag, 0)
+        nsd = jnp.where(ev, 0, state.nsteps_since_diag + 1)
+
+        # ---- trust-region step ----
+        Hproj1 = jnp.einsum("ij,bjk,kl->bil", Ufree.T, H1, Ufree)
+        prep1 = prfo_prepare_batched(g_free, Hproj1, cfg.order)
+        Ufree_b = jnp.broadcast_to(
+            Ufree[None], (Bsz,) + Ufree.shape
+        )
+        dz, smag = restricted_step_batched(
+            g_free, Hproj1, Ufree_b, state.delta, cfg, prep=prep1
+        )
+        dz = jnp.where(act[:, None], dz, 0.0)
+
+        z_new = state.z + dz
+        f_new, g_new = batch_eval(z_new)
+        neval = state.neval + act.astype(jnp.int32)
+
+        # ---- trust ratio ----
+        df_pred = jnp.einsum("bi,bi->b", state.g, dz) + 0.5 * jnp.einsum(
+            "bi,bij,bj->b", dz, H1, dz
+        )
+        df_actual = f_new - state.f
+        pred_ok = jnp.abs(df_pred) > 1e-14
+        ratio = jnp.where(
+            pred_ok, df_actual / jnp.where(pred_ok, df_pred, 1.0), 1.0
+        )
+
+        # ---- quasi-Newton update with the realized secant ----
+        dg = g_new - state.g
+        m1 = (jnp.linalg.norm(dz, axis=1) > 1e-10)[:, None]
+        H2 = ts_bfgs_update_batched(
+            H1, dz[:, :, None], dg[:, :, None], m1 & act[:, None]
+        )
+        H2 = jnp.where((act & m1[:, 0])[:, None, None], H2, H1)
+
+        # ---- trust update ----
+        bad = (ratio < 1.0 / cfg.rho_dec) | (ratio > cfg.rho_dec)
+        good = (1.0 / cfg.rho_inc < ratio) & (ratio < cfg.rho_inc)
+        delta_new = jnp.where(
+            bad,
+            jnp.maximum(smag * cfg.sigma_dec, cfg.delta_min),
+            jnp.where(
+                good,
+                jnp.maximum(cfg.sigma_inc * smag, state.delta),
+                state.delta,
+            ),
+        )
+        delta_new = jnp.where(act, delta_new, state.delta)
+
+        # ---- convergence (``peswrapper.py:2867-2910``) ----
+        gp = to_full(to_free(g_new))
+        fmax_now = jnp.max(
+            jnp.linalg.norm(gp[:, :nr3].reshape(Bsz, n, 3), axis=2),
+            axis=1,
+        )
+        smax_now = (
+            jnp.max(jnp.abs(g_new[:, nr3:]), axis=1)
+            if cfg.ncell else jnp.zeros(Bsz)
+        )
+        conv_new = state.converged | (
+            act & (fmax_now < cfg.fmax) & (smax_now < smax)
+        )
+
+        return CellSearchState(
+            z=jnp.where(act[:, None], z_new, state.z),
+            f=jnp.where(act, f_new, state.f),
+            g=jnp.where(act[:, None], g_new, state.g),
+            H=H2,
+            delta=delta_new,
+            rho=jnp.where(act, ratio, state.rho),
+            nsteps_since_diag=nsd,
+            converged=conv_new,
+            nsteps=state.nsteps + act.astype(jnp.int32),
+            neval=neval,
+            nmatvec=nmv,
+        )
+
+    return step
+
+
+def init_cell_state(
+    potential, x0: jnp.ndarray, cfg: CellEnsembleConfig, cell0,
+    cell_mask: Optional[np.ndarray] = None,
+    s0: Optional[jnp.ndarray] = None,
+) -> CellSearchState:
+    """Initialize the batched atom+cell state. ``x0`` is (B, 3n)
+    Cartesian positions; ``s0`` optional (B, ncell) initial cell
+    parameters (zeros = the reference cell). The initial Hessian is the
+    reference's block-diagonal bootstrap: 70 eV/A^2 on the Cartesian
+    block, identity on the cell block (``peswrapper.py:2470-2509``)."""
+    if cell_mask is None:
+        cell_mask = np.ones((3, 3), dtype=bool)
+    ext_energy, _ = make_ext_energy(potential, cfg, cell0, cell_mask)
+    x0 = jnp.asarray(x0)
+    Bsz = x0.shape[0]
+    dtype = x0.dtype
+    if s0 is None:
+        s0 = jnp.zeros((Bsz, cfg.ncell), dtype)
+    z0 = jnp.concatenate([x0, jnp.asarray(s0, dtype)], axis=1)
+
+    f, g = jax.vmap(jax.value_and_grad(ext_energy))(z0)
+
+    H0 = np.zeros((cfg.dim, cfg.dim))
+    H0[: 3 * cfg.natoms, : 3 * cfg.natoms] = 70.0 * np.eye(3 * cfg.natoms)
+    H0[3 * cfg.natoms:, 3 * cfg.natoms:] = np.eye(cfg.ncell)
+    return CellSearchState(
+        z=z0,
+        f=f,
+        g=g,
+        H=jnp.broadcast_to(
+            jnp.asarray(H0, dtype)[None], (Bsz, cfg.dim, cfg.dim)
+        ).copy(),
+        delta=jnp.full((Bsz,), cfg.delta0, dtype),
+        rho=jnp.ones((Bsz,), dtype),
+        nsteps_since_diag=jnp.zeros(Bsz, jnp.int32),
+        converged=jnp.zeros(Bsz, bool),
+        nsteps=jnp.zeros(Bsz, jnp.int32),
+        neval=jnp.ones(Bsz, jnp.int32),
+        nmatvec=jnp.zeros(Bsz, jnp.int32),
+    )
+
+
+def cells_of(state: CellSearchState, cfg: CellEnsembleConfig, cell0,
+             cell_mask: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Per-lane 3x3 cells realized from the state's cell parameters."""
+    if cell_mask is None:
+        cell_mask = np.ones((3, 3), dtype=bool)
+    _, cell_of = make_ext_energy(
+        _NullPotential(), cfg, cell0, cell_mask
+    )
+    return jax.vmap(cell_of)(state.z[:, 3 * cfg.natoms:])
+
+
+class _NullPotential:
+    def energy(self, x, cell):
+        return 0.0
+
+
+def run_cell_ensemble(
+    potential,
+    x0: jnp.ndarray,
+    cfg: CellEnsembleConfig,
+    cell0,
+    cell_mask: Optional[np.ndarray] = None,
+    s0: Optional[jnp.ndarray] = None,
+    max_steps: int = 100,
+    mesh=None,
+    seed: int = 0,
+    steps_per_call: int = 1,
+) -> CellSearchState:
+    """Host loop driving the jitted batched atom+cell step (mirror of
+    :func:`sella_tpu.parallel.ensemble.run_ensemble`)."""
+    step = make_cell_step_fn(potential, cfg, cell0, cell_mask)
+
+    def multi_step(state, key):
+        def body(i, st):
+            return step(st, jax.random.fold_in(key, i))
+
+        return jax.lax.fori_loop(0, steps_per_call, body, state)
+
+    state = init_cell_state(potential, jnp.asarray(x0), cfg, cell0,
+                            cell_mask, s0)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = jax.tree.map(
+            lambda a: jax.device_put(
+                a,
+                NamedSharding(
+                    mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+                ),
+            ),
+            state,
+        )
+
+    multi_jit = jax.jit(multi_step, donate_argnums=0)
+    key = jax.random.PRNGKey(seed)
+    n_calls = (max_steps + steps_per_call - 1) // steps_per_call
+    for i in range(n_calls):
+        state = multi_jit(state, jax.random.fold_in(key, i))
+        if bool(jnp.all(state.converged)):
+            break
+    return state
