@@ -463,7 +463,7 @@ def _step_norm(s_full, ds_full, rs: str, natoms: int):
 
 def restricted_step_batched(
     g_free, Hproj, Ufree, delta, cfg: EnsembleConfig, prep=None,
-    norm_fn=None,
+    norm_fn=None, stepper_fn=None,
 ):
     """Map per-search trust radii to steps: masked Newton/bisection on
     ||s(alpha)|| = delta (``restricted_step.py:78-120``), all searches
@@ -472,8 +472,14 @@ def restricted_step_batched(
 
     ``norm_fn(s_full, ds_full) -> (val, dval)`` overrides the step norm
     (the internal-coordinate tier passes the weighted max-internal-step
-    norm); default is cfg.rs ('ras'/'tr') on Cartesian geometry."""
+    norm); default is cfg.rs ('ras'/'tr') on Cartesian geometry.
+    ``stepper_fn(prep, order, alpha) -> (s_free, ds_free)`` overrides
+    the step family (the IRC tier passes the mass-weighted qn_irc
+    stepper); it uses the qn alpha schedule unless cfg.method is
+    'prfo'."""
     stepper = prfo_step_batched if cfg.method == "prfo" else qn_step_batched
+    if stepper_fn is not None:
+        stepper = stepper_fn
     Bsz = g_free.shape[0]
     dtype = g_free.dtype
 
