@@ -15,8 +15,10 @@ import numpy as np
 from .ensemble import SearchState
 
 
-def save_state(path: str, state: SearchState, step: Optional[int] = None):
-    """Save the ensemble state pytree with orbax."""
+def save_state(path: str, state, step: Optional[int] = None):
+    """Save an ensemble state pytree with orbax. Works for every tier's
+    NamedTuple state (SearchState, InternalSearchState, CellSearchState,
+    IRCState, ...)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -28,13 +30,14 @@ def save_state(path: str, state: SearchState, step: Optional[int] = None):
     ckptr.wait_until_finished()
 
 
-def load_state(path: str) -> tuple:
-    """Restore (state, step) saved by :func:`save_state`."""
+def load_state(path: str, state_cls=SearchState) -> tuple:
+    """Restore (state, step) saved by :func:`save_state`; pass the
+    tier's state class via ``state_cls``."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path)
     step = payload.pop("_step", None)
-    state = SearchState(**{k: payload[k] for k in SearchState._fields})
+    state = state_cls(**{k: payload[k] for k in state_cls._fields})
     return state, (int(step) if step is not None else None)

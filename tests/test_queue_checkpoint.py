@@ -67,3 +67,40 @@ def test_checkpoint_roundtrip(tmp_path):
     s1 = step(state, jax.random.fold_in(key, 3))
     s2 = step(restored, jax.random.fold_in(key, 3))
     np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
+
+
+def test_checkpoint_roundtrip_other_tiers(tmp_path):
+    """save_state/load_state are tier-generic: cell and IRC states
+    round-trip with their own state classes."""
+    from sella_tpu.parallel.ensemble_cell import (
+        CellEnsembleConfig,
+        CellSearchState,
+        init_cell_state,
+    )
+    from sella_tpu.parallel.ensemble_irc import (
+        IRCEnsembleConfig,
+        IRCState,
+        init_irc_state,
+    )
+    from sella_tpu.potentials.emt import fcc_bulk
+
+    atoms = fcc_bulk("Cu", 1.55, reps=(2, 2, 2))
+    pot = LennardJones(pbc=True)
+    x0 = jnp.asarray(atoms.positions.ravel())[None]
+    ccfg = CellEnsembleConfig(natoms=len(atoms), ncell=9)
+    cst = init_cell_state(pot, x0, ccfg, jnp.asarray(atoms.cell))
+    p1 = os.path.join(tmp_path, "cell")
+    save_state(p1, cst, step=1)
+    rst, n = load_state(p1, state_cls=CellSearchState)
+    assert n == 1
+    np.testing.assert_array_equal(np.asarray(cst.z), np.asarray(rst.z))
+
+    pot2 = LennardJones()
+    icfg = IRCEnsembleConfig(natoms=4)
+    H = jnp.broadcast_to(jnp.eye(12)[None], (2, 12, 12)).copy()
+    ist = init_irc_state(pot2, _x0_batch(2), H, icfg,
+                         np.full(4, 39.948))
+    p2 = os.path.join(tmp_path, "irc")
+    save_state(p2, ist)
+    rst2, _ = load_state(p2, state_cls=IRCState)
+    np.testing.assert_array_equal(np.asarray(ist.d1), np.asarray(rst2.d1))
