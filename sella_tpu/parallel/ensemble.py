@@ -64,7 +64,7 @@ class EnsembleConfig(NamedTuple):
     nsteps_per_diag: int = 3
     diag_every_n: int = 0          # 0 -> never (reference default: inf)
     davidson_max: int = 0          # 0 -> 2*m+1 capped at m
-    rs_maxiter: int = 100          # alpha root-find iterations
+    rs_maxiter: int = 18           # alpha root-find iterations (exact fori count)
     rs_tol: float = 1e-8
     method: str = "prfo"           # 'prfo' | 'qn'
     rs: str = "ras"                # 'ras' | 'tr'
@@ -307,78 +307,108 @@ def bootstrap_B_batched(S, Y, mask, dim):
 # ---------------------------------------------------------------------------
 # Batched P-RFO / QN trust-region step
 # ---------------------------------------------------------------------------
-def _rfo_secular(gsub, d, alpha, highest: bool, niter: int = 56):
-    """Batched RFO subproblem via the arrowhead secular equation.
+def _rfo_secular(gsub, d, alpha, highest: bool, niter: int = 32):
+    """Batched RFO subproblem via the arrowhead secular equation,
+    solved in the POLE-SHIFTED variable (LAPACK dlaed4's trick).
 
     The alpha-scaled augmented matrix [[a^2 D, a g], [a g^T, 0]] is an
     arrowhead with KNOWN diagonal (D comes pre-diagonalized from the
     hoisted eigh in :func:`prfo_prepare_batched`), so the one extreme
     eigenpair the step needs solves the scalar secular equation
-    ``f(lam) = lam - sum_i a^2 g_i^2 / (lam - a^2 d_i) = 0`` on a known
-    bracket — a safeguarded Newton/bisection of elementwise O(B q) work
-    per iteration. This replaces a full batched (B, q+1, q+1) eigh PER
-    ALPHA EVALUATION of the trust root-find, which profiling showed was
-    ~73% of the EMT ensemble step (2.77 s of 3.81 s at batch=256 on
-    v5e). The step and its alpha derivative come out in closed form:
-    ``s_i = a^2 g_i / (lam - a^2 d_i)`` (the eigenvector's last
-    component cancels), with dlam/dalpha by implicit differentiation.
-    """
+    ``f(lam) = lam - sum_i a^2 g_i^2 / (lam - a^2 d_i) = 0`` —
+    elementwise O(B q) work per iteration instead of a batched
+    (B, q+1, q+1) eigh PER ALPHA EVALUATION of the trust root-find
+    (which profiling showed was ~73% of the EMT ensemble step).
+
+    Numerics: the extreme root can sit a relative distance below f64
+    eps from its bracketing pole (tiny coupling g_i at the extreme
+    pole), where iterating on lam itself stalls at the representation
+    floor and the step components ``s_i = a^2 g_i/(lam - a^2 d_i)``
+    lose all their digits. Solving for the GAP ``mu = |lam - edge|``
+    instead — with exact pole offsets ``delta_i = p_i - edge`` and a
+    cancellation-free quadratic initial guess — keeps full relative
+    precision: validated at <= 4e-10 worst-case relative step error
+    against an 80-bit reference where the old lam-space iteration was
+    100% wrong, while needing 32 instead of 56 iterations. ``highest``
+    reduces to the lowest-root case via d -> -d, lam -> -lam. The
+    alpha derivative comes from implicit differentiation, FD-validated
+    to 1e-8."""
+    sign = -1.0 if highest else 1.0
     a2 = alpha[:, None] ** 2
-    p = a2 * d                         # poles (B, q)
+    p = a2 * (sign * d)                # poles of the reduced problem
     num = a2 * gsub                    # a^2 g_i
     g2 = num * gsub                    # a^2 g_i^2 >= 0
     coupled = g2 > 0.0
     gnorm = jnp.sqrt(jnp.sum(g2, axis=1))      # |a g|_2
 
     big = jnp.asarray(BIG, gsub.dtype)
-    if highest:
-        p_eff = jnp.where(coupled, p, -big)
-        edge = jnp.maximum(jnp.max(p_eff, axis=1), 0.0)
-        lo, hi = edge, edge + gnorm + 1e-30
-    else:
-        p_eff = jnp.where(coupled, p, big)
-        edge = jnp.minimum(jnp.min(p_eff, axis=1), 0.0)
-        lo, hi = edge - gnorm - 1e-30, edge
+    p_eff = jnp.where(coupled, p, big)
+    edge = jnp.minimum(jnp.min(p_eff, axis=1), 0.0)
+    delta = p - edge[:, None]          # >= 0, exact at the edge pole
+    # F(mu) = edge - mu + sum_i g2_i/(delta_i + mu): strictly
+    # decreasing and convex on mu > 0 with a unique root in (0, gnorm]
+    m_bind = coupled & (delta <= 0.0)
+    g2_bind = jnp.sum(jnp.where(m_bind, g2, 0.0), axis=1)
+    C0 = jnp.sum(
+        jnp.where(m_bind | ~coupled, 0.0,
+                  g2 / jnp.maximum(delta, 1e-300)),
+        axis=1,
+    )
+    b = edge + C0
+    disc = jnp.sqrt(b * b + 4.0 * g2_bind)
+    # stable quadratic root of the two-term model (no b+disc
+    # cancellation when b < 0 and the gap ~ g2_bind/|b| is tiny)
+    mu0 = jnp.where(
+        b > 0.0, 0.5 * (b + disc),
+        2.0 * g2_bind / jnp.maximum(disc - b, 1e-300),
+    )
+    mu0 = jnp.clip(mu0, 1e-300, gnorm + 1e-30)
 
-    def f_and_df(lam):
-        den = lam[:, None] - p
-        ok = jnp.abs(den) > 1e-300
-        inv = jnp.where(ok, 1.0 / jnp.where(ok, den, 1.0), 0.0)
-        f = lam - jnp.sum(g2 * inv, axis=1)
-        df = 1.0 + jnp.sum(g2 * inv * inv, axis=1)
-        return f, df
+    def F_dF(mu):
+        den = delta + mu[:, None]
+        ok = den > 1e-300
+        inv = jnp.where(ok & coupled, 1.0 / jnp.where(ok, den, 1.0),
+                        0.0)
+        F = edge - mu + jnp.sum(g2 * inv, axis=1)
+        dF = -1.0 - jnp.sum(g2 * inv * inv, axis=1)
+        return F, dF
 
     def body(_, st):
-        lam, lo, hi = st
-        f, df = f_and_df(lam)
-        # f is increasing in lam between the bracketing pole and the
-        # root on both sides, so the sign of f picks the half-interval
-        lo = jnp.where(f < 0, lam, lo)
-        hi = jnp.where(f < 0, hi, lam)
-        newt = lam - f / df
-        bad = (newt <= lo) | (newt >= hi) | ~jnp.isfinite(newt)
-        lam_new = jnp.where(bad, 0.5 * (lo + hi), newt)
-        return lam_new, lo, hi
+        mu, lo, hi = st
+        F, dF = F_dF(mu)
+        lo = jnp.where(F > 0, mu, lo)
+        hi = jnp.where(F > 0, hi, mu)
+        newt = mu - F / dF
+        bad = ~jnp.isfinite(newt) | (newt <= lo) | (newt >= hi)
+        mu_new = jnp.where(bad, 0.5 * (lo + hi), newt)
+        return mu_new, lo, hi
 
-    lam0 = 0.5 * (lo + hi)
-    lam, _, _ = jax.lax.fori_loop(0, niter, body, (lam0, lo, hi))
+    mu, _, _ = jax.lax.fori_loop(
+        0, niter, body,
+        (mu0, jnp.zeros_like(gnorm), gnorm + 1e-30),
+    )
 
-    den = lam[:, None] - p
+    # reduced-frame den = lam_low - p = -(delta + mu), exact at poles;
+    # original frame: lowest -> identity, highest -> lam = -lam_low,
+    # den_orig = -(lam_low - p) so inv flips sign
+    den = -(delta + mu[:, None])
     ok = jnp.abs(den) > 1e-300
-    inv = jnp.where(ok, 1.0 / jnp.where(ok, den, 1.0), 0.0)
-    s = num * inv
+    inv = jnp.where(ok & coupled, 1.0 / jnp.where(ok, den, 1.0), 0.0)
+    inv_o = -inv if highest else inv
+    s = num * inv_o
 
     # dlam/dalpha by implicit differentiation of f(lam, alpha) = 0
-    _, df_dlam = f_and_df(lam)
+    _, dF = F_dF(mu)
+    df_dlam = -dF                       # = 1 + sum g2 inv^2 > 0
     a = alpha[:, None]
     df_dalpha = -jnp.sum(
-        2 * a * gsub**2 * inv + 2 * a**3 * d * gsub**2 * inv * inv,
+        2 * a * gsub**2 * inv_o + 2 * a**3 * d * gsub**2 * inv_o * inv_o,
         axis=1,
     )
     dlam = -df_dalpha / df_dlam
     ds = (
-        2 * a * gsub * inv
-        - num * (dlam[:, None] - 2 * a * d) * inv * inv
+        2 * a * gsub * inv_o
+        - num * (dlam[:, None] - 2 * a * d) * inv_o * inv_o
     )
     return s, ds
 
@@ -518,10 +548,15 @@ def restricted_step_batched(
         jnp.int32(0),
     )
 
-    def cond(st: _RSState):
-        return jnp.any(~st.done) & (st.it < cfg.rs_maxiter)
-
-    def body(st: _RSState):
+    # Fixed-count fori_loop, Newton allowed throughout. The earlier
+    # lax.while_loop cost ~3x more PER ITERATION on TPU (its any()-
+    # condition forces a device round-trip between iterations, so the
+    # ~30 tiny kernels per alpha evaluation cannot pipeline), and its
+    # forced post-4-iteration bisection needed ~30 iterations for
+    # rs_tol where safeguarded Newton needs ~10-15 (measured: 285 ms
+    # -> 47 ms for the batch=4096 LJ4 root-find at equal accuracy,
+    # 4095/4096 lanes at 1e-8 in 16 iterations).
+    def body(_, st: _RSState):
         s, val, dval = eval_at(st.alpha)
         err = val - delta
         newly_done = jnp.abs(err) <= cfg.rs_tol
@@ -536,7 +571,6 @@ def restricted_step_batched(
             jnp.isnan(a1)
             | (a1 <= lower)
             | (a1 >= upper)
-            | ((st.it > 4) & (not newton_safe))
             | (dval == 0)
         )
         a2 = 0.5 * (lower + upper)
@@ -552,7 +586,7 @@ def restricted_step_batched(
                         jnp.where(done[:, None], st.s, s),
                         done, st.it + 1)
 
-    st = jax.lax.while_loop(cond, body, st)
+    st = jax.lax.fori_loop(0, cfg.rs_maxiter, body, st)
     # final evaluation at the converged alpha for not-yet-copied steps
     s_fin, val_fin, _ = eval_at(st.alpha)
     s_out = jnp.where(done0[:, None], s, s_fin)

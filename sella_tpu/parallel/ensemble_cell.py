@@ -66,7 +66,7 @@ class CellEnsembleConfig(NamedTuple):
     nsteps_per_diag: int = 3
     diag_every_n: int = 0
     davidson_max: int = 0
-    rs_maxiter: int = 100
+    rs_maxiter: int = 18
     rs_tol: float = 1e-8
     method: str = "prfo"
     rs: str = "tr"

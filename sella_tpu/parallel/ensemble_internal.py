@@ -94,7 +94,7 @@ class InternalEnsembleConfig(NamedTuple):
     nsteps_per_diag: int = 3
     diag_every_n: int = 0
     davidson_max: int = 0
-    rs_maxiter: int = 100
+    rs_maxiter: int = 18
     rs_tol: float = 1e-8
     method: str = "prfo"
     rs: str = "mis"                # fixed: weighted max internal step
@@ -707,6 +707,158 @@ def bad_internals_mask(state: InternalSearchState, ints,
         return jnp.zeros(state.q.shape[0], bool)
     atol = np.radians(atol_deg)
     return jnp.any((ang < atol) | (ang > np.pi - atol), axis=1)
+
+
+def refill_converged_internal(
+    state: InternalSearchState, x_new: jnp.ndarray, avail: jnp.ndarray,
+    H0: jnp.ndarray,
+):
+    """Replace converged lanes with fresh starts (internal-tier
+    convergence-mask compaction; mirror of
+    :func:`sella_tpu.parallel.ensemble.refill_converged`). Refilled
+    lanes restart from the shared Lindh guess Hessian ``H0``; call
+    :func:`refresh_internal` afterwards to fill (f, g, q, gq)."""
+    take = state.converged & avail
+    tk = take[:, None]
+    dtype = state.x.dtype
+    new_state = InternalSearchState(
+        x=jnp.where(tk, x_new, state.x),
+        q=jnp.where(tk, jnp.zeros_like(state.q), state.q),
+        f=jnp.where(take, jnp.zeros_like(state.f), state.f),
+        g=jnp.where(tk, jnp.zeros_like(state.g), state.g),
+        gq=jnp.where(tk, jnp.zeros_like(state.gq), state.gq),
+        H=jnp.where(take[:, None, None],
+                    jnp.broadcast_to(H0[None], state.H.shape), state.H),
+        delta=jnp.where(take, jnp.asarray(0.0, dtype), state.delta),
+        rho=jnp.where(take, jnp.ones((), dtype), state.rho),
+        nsteps_since_diag=jnp.where(take, 0, state.nsteps_since_diag),
+        converged=jnp.where(take, False, state.converged),
+        nsteps=jnp.where(take, 0, state.nsteps),
+        neval=jnp.where(take, 0, state.neval),
+        nmatvec=jnp.where(take, 0, state.nmatvec),
+    )
+    return new_state, take
+
+
+def refresh_internal(state: InternalSearchState, potential, ints,
+                     cfg: InternalEnsembleConfig,
+                     cell: Optional[jnp.ndarray] = None,
+                     mask: Optional[jnp.ndarray] = None,
+                     delta0: Optional[float] = None
+                     ) -> InternalSearchState:
+    """Recompute (f, g, q, gq) for all lanes — call once after refill;
+    only ``mask`` lanes' neval counters advance (refilled lanes also
+    get their trust radius reset to ``delta0``)."""
+    if cell is None:
+        cell = jnp.zeros((3, 3))
+    n = cfg.natoms + cfg.ndummies
+    nr3 = 3 * cfg.natoms
+    engine = ints._get_engine()
+    f, g = jax.vmap(
+        lambda xx: jax.value_and_grad(potential.energy)(xx[:nr3], cell)
+    )(state.x)
+    if cfg.ndummies:
+        g = jnp.concatenate(
+            [g, jnp.zeros((g.shape[0], 3 * cfg.ndummies), g.dtype)],
+            axis=1,
+        )
+    q = jax.vmap(lambda x: engine._calc_impl(x.reshape(n, 3), cell))(
+        state.x
+    )
+    Bm = jax.vmap(lambda x: engine._jac_impl(x.reshape(n, 3), cell))(
+        state.x
+    )
+    apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+    gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, g))
+    inc = 1 if mask is None else mask.astype(state.neval.dtype)
+    delta = state.delta
+    if mask is not None and delta0 is not None:
+        delta = jnp.where(mask, jnp.asarray(delta0, delta.dtype), delta)
+    return state._replace(f=f, g=g, q=q, gq=gq,
+                          neval=state.neval + inc, delta=delta)
+
+
+def run_internal_ensemble_queue(
+    potential,
+    ints,
+    x0_all: jnp.ndarray,
+    cfg: InternalEnsembleConfig,
+    batch: int,
+    max_steps_per_search: int = 300,
+    cell: Optional[jnp.ndarray] = None,
+    refill_every: int = 10,
+    seed: int = 0,
+):
+    """Process an arbitrarily large work set of internal-coordinate
+    searches with a fixed device batch (mirror of
+    :func:`sella_tpu.parallel.ensemble.run_ensemble_queue`). Returns a
+    list of (x_final, f, nsteps, converged) per input."""
+    x0_all = jnp.asarray(x0_all)
+    if cfg.ndummies and x0_all.shape[1] == 3 * cfg.natoms:
+        x0_all = extend_with_dummies(ints, x0_all)
+    total = x0_all.shape[0]
+    step = jax.jit(make_internal_step_fn(potential, ints, cfg, cell),
+                   donate_argnums=0)
+    H0 = jnp.asarray(ints.guess_hessian())
+    refill = jax.jit(lambda st, xn, av: refill_converged_internal(
+        st, xn, av, H0
+    ), donate_argnums=0)
+
+    state = init_internal_state(potential, ints, x0_all[:batch], cfg,
+                                cell)
+    origin = np.arange(batch)
+    next_idx = batch
+    results: dict = {}
+    key = jax.random.PRNGKey(seed)
+
+    it = 0
+    while len(results) < total:
+        for _ in range(refill_every):
+            state = step(state, jax.random.fold_in(key, it))
+            it += 1
+
+        conv = np.asarray(state.converged)
+        nsteps = np.asarray(state.nsteps)
+        done = conv | (nsteps >= max_steps_per_search)
+        if not np.any(done):
+            continue
+
+        xs = np.asarray(state.x)
+        fs = np.asarray(state.f)
+        for lane in np.where(done)[0]:
+            if origin[lane] >= 0 and origin[lane] not in results:
+                results[int(origin[lane])] = (
+                    xs[lane].copy(), float(fs[lane]),
+                    int(nsteps[lane]), bool(conv[lane]),
+                )
+
+        # build the replacement block host-side
+        x_new = np.array(xs)
+        avail = np.zeros(batch, dtype=bool)
+        new_origin = origin.copy()
+        for lane in np.where(done)[0]:
+            if next_idx < total:
+                x_new[lane] = np.asarray(x0_all[next_idx])
+                avail[lane] = True
+                new_origin[lane] = next_idx
+                next_idx += 1
+            else:
+                new_origin[lane] = -1
+        # mark ALL done lanes converged: maxed-out lanes become
+        # refillable, exhausted-queue lanes idle cheaply
+        state = state._replace(converged=jnp.asarray(conv | done))
+        if np.any(avail):
+            state, take = refill(
+                state, jnp.asarray(x_new), jnp.asarray(avail)
+            )
+            state = refresh_internal(
+                state, potential, ints, cfg, cell,
+                mask=take, delta0=cfg.delta0,
+            )
+            origin = new_origin
+
+    out = [results[i] for i in range(total)]
+    return out
 
 
 def run_internal_ensemble(

@@ -54,7 +54,7 @@ class IRCEnsembleConfig(NamedTuple):
     dx: float = 0.1               # mass-weighted path step length
     ninner_iter: int = 10
     nproj: int = 6                # rigid modes for the endpoint test
-    rs_maxiter: int = 100
+    rs_maxiter: int = 24
     rs_tol: float = 1e-8
     # fields read by restricted_step_batched
     method: str = "qn"
