@@ -845,7 +845,17 @@ def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key):
         active_in,
         jnp.int32(0),
     )
-    st = jax.lax.while_loop(cond, body, st)
+    # Chunked while_loop: the any()-condition costs a device round-trip
+    # per check, which at ~25 tiny-kernel iterations dominates the
+    # loop's wall clock (same pathology as the alpha root-find); running
+    # CHUNK fully-masked body iterations per check keeps the early exit
+    # (granularity CHUNK) at a quarter of the sync cost.
+    CHUNK = 4
+
+    def chunked(st):
+        return jax.lax.fori_loop(0, CHUNK, lambda i, s: body(s), st)
+
+    st = jax.lax.while_loop(cond, chunked, st)
     return st.V, st.AVp, st.YF, st.k
 
 

@@ -788,11 +788,21 @@ def run_internal_ensemble_queue(
     cell: Optional[jnp.ndarray] = None,
     refill_every: int = 10,
     seed: int = 0,
+    spill: Optional[str] = "cartesian",
 ):
     """Process an arbitrarily large work set of internal-coordinate
     searches with a fixed device batch (mirror of
     :func:`sella_tpu.parallel.ensemble.run_ensemble_queue`). Returns a
-    list of (x_final, f, nsteps, converged) per input."""
+    list of (x_final, f, nsteps, converged) per input.
+
+    ``spill='cartesian'`` is the batched analogue of the reference's
+    bad-internal topology-rebuild event (``optimize.py:384-410``):
+    lanes whose angles hit the singular 0/180-deg points (where the
+    shared-topology B matrix loses rank) are harvested early and —
+    together with any other unconverged inputs — finished by one
+    Cartesian ensemble run, whose coordinates need no topology at all.
+    Pass ``spill=None`` to record them unconverged instead. Requires
+    ``ndummies == 0`` (dummy constraints have no Cartesian analogue)."""
     x0_all = jnp.asarray(x0_all)
     if cfg.ndummies and x0_all.shape[1] == 3 * cfg.natoms:
         x0_all = extend_with_dummies(ints, x0_all)
@@ -820,6 +830,10 @@ def run_internal_ensemble_queue(
         conv = np.asarray(state.converged)
         nsteps = np.asarray(state.nsteps)
         done = conv | (nsteps >= max_steps_per_search)
+        if spill is not None:
+            # harvest singular-topology lanes early; the Cartesian
+            # pass below finishes them
+            done = done | np.asarray(bad_internals_mask(state, ints))
         if not np.any(done):
             continue
 
@@ -856,6 +870,31 @@ def run_internal_ensemble_queue(
                 mask=take, delta0=cfg.delta0,
             )
             origin = new_origin
+
+    if spill == "cartesian":
+        todo = [i for i in range(total) if not results[i][3]]
+        if todo and cfg.ndummies == 0:
+            from .ensemble import EnsembleConfig
+            from .ensemble import run_ensemble as _run_cart
+
+            x_spill = jnp.asarray(
+                np.stack([results[i][0] for i in todo])
+            )
+            ccfg = EnsembleConfig(
+                natoms=cfg.natoms, order=cfg.order, fmax=cfg.fmax,
+                gamma=cfg.gamma, nproj=cfg.nproj,
+            )
+            cst = _run_cart(potential, x_spill, ccfg,
+                            max_steps=max_steps_per_search, cell=cell)
+            cxs = np.asarray(cst.x)
+            cfs = np.asarray(cst.f)
+            cconv = np.asarray(cst.converged)
+            cns = np.asarray(cst.nsteps)
+            for j, i in enumerate(todo):
+                results[i] = (
+                    cxs[j].copy(), float(cfs[j]),
+                    results[i][2] + int(cns[j]), bool(cconv[j]),
+                )
 
     out = [results[i] for i in range(total)]
     return out

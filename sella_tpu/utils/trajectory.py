@@ -41,6 +41,43 @@ class TrajectoryWriter:
             self._fh = None
 
 
+def write_ensemble_xyz(filename: str, numbers, x_batch,
+                       cell=None, pbc=(False, False, False),
+                       mask=None, energies=None, mode: str = "w"):
+    """Dump batched ensemble geometries as extended-XYZ frames (one
+    frame per lane; lanes selected by ``mask``). ``x_batch`` is the
+    (B, 3n) position block of any tier's state (pass
+    ``state.x[:, :3*natoms]`` / ``state.z[:, :3*natoms]``); per-lane
+    ``energies`` land in the comment line. The batched analogue of the
+    reference's per-force-call trajectory files — here the product is
+    the harvest of an ensemble run, written host-side in one pass."""
+    x_batch = np.asarray(x_batch)
+    numbers = np.asarray(numbers)
+    n = len(numbers)
+    cellv = (np.zeros((3, 3)) if cell is None
+             else np.asarray(cell)).ravel()
+    lattice = " ".join(f"{c:.10f}" for c in cellv)
+    pbc_str = " ".join("T" if p else "F" for p in pbc)
+    sel = (range(x_batch.shape[0]) if mask is None
+           else np.where(np.asarray(mask))[0])
+    with open(filename, mode) as fh:
+        for b in sel:
+            fh.write(f"{n}\n")
+            extra = ""
+            if energies is not None:
+                extra = f" energy={float(np.asarray(energies)[b]):.10f}"
+            fh.write(
+                f'Lattice="{lattice}" pbc="{pbc_str}" lane={b}{extra} '
+                f"Properties=species:S:1:pos:R:3\n"
+            )
+            pos = x_batch[b][: 3 * n].reshape(n, 3)
+            for z, p in zip(numbers, pos):
+                sym = chemical_symbols[z]
+                fh.write(
+                    f"{sym} {p[0]:.10f} {p[1]:.10f} {p[2]:.10f}\n"
+                )
+
+
 def read_trajectory(filename: str):
     """Read all frames of an extended-XYZ trajectory written by
     :class:`TrajectoryWriter`. Returns a list of Atoms."""

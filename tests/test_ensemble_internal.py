@@ -292,3 +292,25 @@ def test_internal_ensemble_queue():
             # bound Xe4 isomer (tetrahedron -0.118, rhombus ~ -0.080;
             # random starts legitimately reach different minima)
             assert f < -0.05
+
+
+def test_internal_queue_cartesian_spill():
+    """The queue's spill pass: this seed set contains a lane that walks
+    into a 180-deg angle (singular shared topology); the queue harvests
+    it early and the Cartesian pass converges it, so every input
+    finishes (the batched analogue of the reference's bad-internal
+    rebuild, ``optimize.py:384-410``)."""
+    from sella_tpu.parallel.ensemble_internal import (
+        run_internal_ensemble_queue,
+    )
+
+    pot, ints, x0 = _setup()        # Bsz=8, scale=0.3: one bad lane
+    cfg = InternalEnsembleConfig(
+        natoms=4, nint=ints.nint, order=1, fmax=1e-3, gamma=1e-3
+    )
+    results = run_internal_ensemble_queue(
+        pot, ints, x0, cfg, batch=4, max_steps_per_search=300,
+        refill_every=20, spill="cartesian",
+    )
+    assert len(results) == 8
+    assert all(c for *_, c in results), [r[2:] for r in results]

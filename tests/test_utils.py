@@ -43,3 +43,20 @@ class Polynomial:
 
     def fg(self, x):
         return self.f(x), self.g(x)
+
+
+def test_write_ensemble_xyz(tmp_path):
+    import numpy as np
+
+    from sella_tpu.utils.trajectory import (
+        read_trajectory,
+        write_ensemble_xyz,
+    )
+
+    path = str(tmp_path / "ens.xyz")
+    x = np.arange(2 * 9, dtype=float).reshape(2, 9)
+    write_ensemble_xyz(path, [18, 18, 18], x,
+                       mask=[True, True], energies=[-1.5, -2.5])
+    frames = read_trajectory(path)
+    assert len(frames) == 2
+    np.testing.assert_allclose(frames[1].positions.ravel(), x[1])
