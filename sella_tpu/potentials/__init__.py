@@ -2,9 +2,11 @@ from .base import ASECalculatorWrapper, Potential, get_potential
 from .emt import EMT
 from .pair import Harmonic, LennardJones, MorsePotential
 from .sharded import ShardedPairPotential
+from .tip3p import TIP3P
 
 __all__ = [
     "EMT",
+    "TIP3P",
     "ShardedPairPotential",
     "ASECalculatorWrapper",
     "Potential",

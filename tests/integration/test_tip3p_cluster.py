@@ -1,0 +1,77 @@
+"""End-to-end physics regression: rigid TIP3P water cluster.
+
+Mirrors ``/root/reference/tests/integration/test_tip3p_cluster.py``:
+a 2x2x2 grid of randomly rotated rigid waters (16 bond + 8 angle
+constraints), relaxed with and without redundant internals (TRIC
+fragments), then asserted to sit at a point with exactly ``order``
+negative eigenvalues of the projected Hessian-of-Lagrangian.
+
+Note the reference test body overrides its parametrization to
+``internal=True, order=0`` (``test_tip3p_cluster.py:34-35``), so the
+upstream CI only ever exercises the internal minimization; here the
+Cartesian branch genuinely runs too.
+"""
+import numpy as np
+import pytest
+
+from sella_tpu import Atoms, Constraints, Sella
+from sella_tpu.potentials.tip3p import TIP3P, angleHOH, rOH, water_cluster
+
+
+@pytest.mark.parametrize("internal", [True, False])
+def test_water_cluster(internal):
+    rng = np.random.RandomState(1)
+    pos = water_cluster(nside=2)
+    pos = pos + 0.01 * rng.normal(size=pos.shape)
+    nmol = len(pos) // 3
+
+    atoms = Atoms(
+        ["O", "H", "H"] * nmol, pos, calculator=TIP3P(nmol=nmol)
+    )
+    cons = Constraints(atoms)
+    for i in range(nmol):
+        cons.fix_bond((3 * i, 3 * i + 1), target=rOH)
+        cons.fix_bond((3 * i, 3 * i + 2), target=rOH)
+        cons.fix_angle((3 * i + 1, 3 * i, 3 * i + 2), target=angleHOH)
+    cons.fix_translation()
+    cons.fix_rotation()
+
+    opt = Sella(
+        atoms,
+        order=0,
+        internal=internal,
+        allow_fragments=internal,
+        constraints=cons,
+        eta=1e-6,
+        delta0=1e-2,
+        gamma=0.1,
+        logfile=None,
+    )
+    assert opt.run(fmax=1e-3, steps=500)
+
+    # converged: projected gradient vanishes, constraints hold
+    Ufree = opt.pes.get_Ufree()
+    np.testing.assert_allclose(opt.pes.get_g() @ Ufree, 0, atol=1e-3)
+    final = np.asarray(atoms.positions)
+    for i in range(nmol):
+        d1 = np.linalg.norm(final[3 * i] - final[3 * i + 1])
+        d2 = np.linalg.norm(final[3 * i] - final[3 * i + 2])
+        np.testing.assert_allclose([d1, d2], rOH, atol=1e-6)
+        v1 = final[3 * i + 1] - final[3 * i]
+        v2 = final[3 * i + 2] - final[3 * i]
+        ang = np.degrees(
+            np.arccos(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2)))
+        )
+        np.testing.assert_allclose(ang, angleHOH, atol=1e-4)
+
+    # inertia at the solution: a minimum of the constrained landscape
+    opt.pes.diag(gamma=1e-16)
+    H = opt.pes.get_HL()
+    evals = np.linalg.eigvalsh(Ufree.T @ H @ Ufree)
+    if internal:
+        # same soft-mode latitude as the Morse internal branch: the
+        # curvilinear gradient-dependent curvature can hide |lam|<1e-2
+        # shelf modes at finite fmax (see test_morse_cluster.py)
+        assert np.sum(evals < -1e-2) == 0, evals
+    else:
+        assert np.sum(evals < 0) == 0, evals
