@@ -115,15 +115,31 @@ class InternalPES(PES):
         if hit is not None:
             return hit
         B = self.int.jacobian()
-        Q, R = np.linalg.qr(B)
-        rdiag = np.abs(np.diag(R))
-        if rdiag.size and rdiag.min() < 1e-6 * rdiag.max():
+        nint, ncart = B.shape
+        if nint >= ncart:
+            # tall/square: QR of B, Binv = R^-1 Q^T (full column rank)
+            Q, R = np.linalg.qr(B)
+            rdiag = np.abs(np.diag(R))
+            ok = rdiag.size and rdiag.min() >= 1e-6 * rdiag.max()
+            if ok:
+                Binv = sla.solve_triangular(R, Q.T, check_finite=False)
+        else:
+            # wide (fewer internals than Cartesians, e.g. a diatomic's
+            # single bond): QR of B^T; full row rank makes range(B) all
+            # of q-space, so Unred is the identity
+            Qt, Rt = np.linalg.qr(B.T)
+            rdiag = np.abs(np.diag(Rt))
+            ok = rdiag.size and rdiag.min() >= 1e-6 * rdiag.max()
+            if ok:
+                Q = np.eye(nint)
+                Binv = sla.solve_triangular(
+                    Rt, Qt.T, check_finite=False
+                ).T
+        if not ok:
             U, S, VT = np.linalg.svd(B, full_matrices=False)
             nnred = int(np.sum(S > 1e-6))
             Q = U[:, :nnred]
             Binv = VT[:nnred].T @ np.diag(1.0 / S[:nnred]) @ U[:, :nnred].T
-        else:
-            Binv = sla.solve_triangular(R, Q.T, check_finite=False)
         out = (B, Q, Binv)
         if len(self._jac_memo) >= 2:
             self._jac_memo.pop(next(iter(self._jac_memo)))
