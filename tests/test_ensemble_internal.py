@@ -314,3 +314,63 @@ def test_internal_queue_cartesian_spill():
     )
     assert len(results) == 8
     assert all(c for *_, c in results), [r[2:] for r in results]
+
+
+def test_internal_ensemble_rigid_water_trics():
+    """Batched rigid-fragment optimization: TIP3P water dimers with
+    per-molecule fixed bonds/angles and TRIC translation+rotation
+    coordinates, all inside the jitted batched step. With TRICs the
+    rigid modes live INSIDE range(B) (fragment translations/rotations
+    are explicit q-members), so ``nproj=0``; the 6 flat global modes
+    carry zero gradient and are left in the free subspace.
+
+    The reference can only run this sequentially through ASE's TIP3P
+    (``/root/reference/tests/integration/test_tip3p_cluster.py``)."""
+    from sella_tpu.parallel.ensemble_internal import (
+        fixed_internal_constraints,
+    )
+    from sella_tpu.potentials import TIP3P
+    from sella_tpu.potentials.tip3p import angleHOH, rOH, water_cluster
+
+    nmol = 2
+    pos = water_cluster(nside=2)[: 3 * nmol]
+    atoms = Atoms(["O", "H", "H"] * nmol, pos)
+    ints = Internals(atoms, allow_fragments=True)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    assert ints.nrotations == 3 * nmol  # TRIC rotations per fragment
+    for i in range(nmol):
+        ints.cons.fix_bond((3 * i, 3 * i + 1), target=rOH)
+        ints.cons.fix_bond((3 * i, 3 * i + 2), target=rOH)
+        ints.cons.fix_angle((3 * i + 1, 3 * i, 3 * i + 2), target=angleHOH)
+    idx, _tgt = fixed_internal_constraints(ints)
+    assert len(idx) == 3 * nmol
+
+    Bsz = 8
+    rng = np.random.RandomState(2)
+    x0 = jnp.asarray(
+        (pos[None] + 0.01 * rng.normal(size=(Bsz,) + pos.shape)).reshape(
+            Bsz, -1
+        )
+    )
+    cfg = InternalEnsembleConfig(
+        natoms=3 * nmol, nint=ints.nint, order=0, nproj=0,
+        ncons=len(idx), fmax=1e-3, delta0=1e-2, gamma=0.1,
+    )
+    st = run_internal_ensemble(TIP3P(nmol=nmol), ints, x0, cfg,
+                               max_steps=150)
+    assert bool(st.converged.all()), np.asarray(st.nsteps)
+
+    x = np.asarray(st.x).reshape(Bsz, 3 * nmol, 3)
+    for b in range(Bsz):
+        for i in range(nmol):
+            d1 = np.linalg.norm(x[b, 3 * i] - x[b, 3 * i + 1])
+            d2 = np.linalg.norm(x[b, 3 * i] - x[b, 3 * i + 2])
+            np.testing.assert_allclose([d1, d2], rOH, atol=1e-6)
+            v1 = x[b, 3 * i + 1] - x[b, 3 * i]
+            v2 = x[b, 3 * i + 2] - x[b, 3 * i]
+            ang = np.degrees(np.arccos(
+                v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))
+            ))
+            np.testing.assert_allclose(ang, angleHOH, atol=1e-4)
