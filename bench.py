@@ -106,9 +106,13 @@ def run_config(name, batch, max_steps, chunk, profile=False):
         pot = LennardJones()
         x0 = _lj4_starts(batch)
         cell = None
+        # restart_after: ~25% of order-1 LJ4 lanes limit-cycle around
+        # index-2 regions forever (the sequential reference-faithful
+        # driver fails the same starts); the stagnation kick recovers
+        # them (71% -> 96% converged at 600 steps, measured batch=256)
         cfg = EnsembleConfig(
             natoms=4, order=1, fmax=1e-3, gamma=1e-3,
-            diag_budget=max(batch // 8, 1),
+            diag_budget=max(batch // 8, 1), restart_after=50,
         )
 
     step = make_step_fn(pot, cfg, cell)

@@ -80,6 +80,17 @@ class EnsembleConfig(NamedTuple):
     #   for throughput — leave at 0 where bitwise reproducibility across
     #   different batch packings matters. The first-step bootstrap diag
     #   is always full-batch.
+    restart_after: int = 0         # stagnation restart (0 = disabled):
+    #   a lane whose best-seen fmax has not improved for this many steps
+    #   is kicked by a random displacement and its Hessian re-bootstrapped
+    #   (fresh init diag / secant bootstrap, trust radius reset). The
+    #   reference has no analog — its sequential runs simply stall
+    #   (verified on LJ4: ~25% of order-1 searches limit-cycle around
+    #   index-2 regions in BOTH tiers; the approximate Hessian keeps
+    #   losing the surplus negative mode between diags). Randomized
+    #   restart is the batched-tier remedy in the spirit of the
+    #   reference's Davidson random restart (``eigensolvers.py:100-109``).
+    restart_kick: float = 0.25     # kick stddev per DOF
 
     @property
     def dim(self) -> int:
@@ -111,6 +122,9 @@ class SearchState(NamedTuple):
     nsteps: jnp.ndarray       # (B,) int32
     neval: jnp.ndarray        # (B,) int32 gradient evaluations
     nmatvec: jnp.ndarray      # (B,) int32 Davidson matvecs (HVPs)
+    best_fmax: jnp.ndarray    # (B,) best fmax since the last restart
+    stall: jnp.ndarray        # (B,) int32 steps since best_fmax improved
+    nrestarts: jnp.ndarray    # (B,) int32 stagnation restarts taken
 
 
 # ---------------------------------------------------------------------------
@@ -908,6 +922,9 @@ def init_state(potential, x0: jnp.ndarray, cfg: EnsembleConfig,
         nsteps=jnp.zeros(Bsz, jnp.int32),
         neval=jnp.ones(Bsz, jnp.int32),
         nmatvec=jnp.zeros(Bsz, jnp.int32),
+        best_fmax=jnp.full((Bsz,), jnp.inf, dtype),
+        stall=jnp.zeros(Bsz, jnp.int32),
+        nrestarts=jnp.zeros(Bsz, jnp.int32),
     )
 
 
@@ -1267,10 +1284,39 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             )
         conv_new = state.converged | (act & conv_now)
 
+        # ---- stagnation restart (no reference analog; see config) ----
+        improved = fmax_now < 0.97 * state.best_fmax
+        best2 = jnp.where(act & improved, fmax_now, state.best_fmax)
+        stall2 = jnp.where(act & ~improved, state.stall + 1, 0)
+        x_fin, f_fin, g_fin = x_new, f_new, g_new
+        nrst = state.nrestarts
+        if cfg.restart_after > 0:
+            restart = act & ~conv_new & (stall2 >= cfg.restart_after)
+            kick = cfg.restart_kick * jax.random.normal(
+                jax.random.fold_in(key, 2), x_new.shape, x_new.dtype
+            )
+            x_fin = jnp.where(restart[:, None], x_new + kick, x_new)
+
+            f_k, g_k = jax.lax.cond(
+                jnp.any(restart),
+                lambda _: eval_fn(x_fin),
+                lambda _: (f_new, g_new),
+                None,
+            )
+            f_fin = jnp.where(restart, f_k, f_new)
+            g_fin = jnp.where(restart[:, None], g_k, g_new)
+            neval = neval + restart.astype(jnp.int32)
+            # re-bootstrap: fresh init diag (eig) or secant bootstrap
+            B_init3 = B_init3 & ~restart
+            delta_new = jnp.where(restart, cfg.delta0, delta_new)
+            best2 = jnp.where(restart, jnp.inf, best2)
+            stall2 = jnp.where(restart, 0, stall2)
+            nrst = nrst + restart.astype(jnp.int32)
+
         return SearchState(
-            x=jnp.where(act[:, None], x_new, state.x),
-            f=jnp.where(act, f_new, state.f),
-            g=jnp.where(act[:, None], g_new, state.g),
+            x=jnp.where(act[:, None], x_fin, state.x),
+            f=jnp.where(act, f_fin, state.f),
+            g=jnp.where(act[:, None], g_fin, state.g),
             B=B3,
             B_init=B_init3,
             delta=delta_new,
@@ -1280,6 +1326,9 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             nsteps=state.nsteps + act.astype(jnp.int32),
             neval=neval,
             nmatvec=nmv,
+            best_fmax=best2,
+            stall=stall2,
+            nrestarts=nrst,
         )
 
     return step
@@ -1321,6 +1370,9 @@ def refill_converged(state: SearchState, x_new: jnp.ndarray,
         nsteps=jnp.where(take, 0, state.nsteps),
         neval=jnp.where(take, 0, state.neval),
         nmatvec=jnp.where(take, 0, state.nmatvec),
+        best_fmax=jnp.where(take, jnp.inf, state.best_fmax),
+        stall=jnp.where(take, 0, state.stall),
+        nrestarts=jnp.where(take, 0, state.nrestarts),
     )
     return new_state, take
 
