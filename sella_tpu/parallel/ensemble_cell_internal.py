@@ -1,0 +1,501 @@
+"""Batched ensemble optimization in internal coordinates + cell DOF.
+
+The batched analog of the sequential ``CellInternalPES``
+(reference ``/root/reference/sella/peswrapper.py:1320-2373``): per-lane
+DOF are ``z = [q (redundant internals), s (masked log-deformation cell
+parameters)]``; steps are predicted by RS-(P-)RFO in the nonredundant
+free subspace of z and realized by (1) applying the cell update
+``cell = expm(L/factor) @ cell0`` and then (2) a masked Newton
+back-transform that moves the atoms until the internals at the NEW cell
+hit ``q_after_cell + dq`` — exactly the reference's sequencing
+(``peswrapper.py:2015-2016``: cell first, then the internal target).
+
+Design (TPU-first):
+
+* ONE topology and ONE reference cell shared by all lanes; per-lane
+  cells differ through the ``s`` parameters (ordinary DOF). The
+  internal engine evaluates q/B at a traced per-lane cell, so periodic
+  image vectors ride the deformation automatically.
+* The enthalpy ``E + P |det cell|`` is one differentiable jax scalar of
+  ``(x, s)``; its gradient delivers atom forces and the full
+  stress -> cell-gradient pipeline (the reference's expm-Frechet
+  machinery, ``peswrapper.py:2135-2208``) by autodiff through ``expm``.
+* Curvature is secant-driven (TS-BFGS on z-space secants) from a
+  block guess [Lindh q-Hessian, scaled identity cell block] — matching
+  the reference, whose ``CellInternalPES`` Hessian is likewise
+  quasi-Newton (+ optional FD refinement) rather than Davidson-exact.
+* Fixed internal coordinates (``fix_bond``/``fix_angle``/... that are
+  q-members) are supported exactly as in the internal tier: the free
+  subspace splits against the constrained rows, and the Newton
+  back-transform pins their targets (constraint restoration for free).
+* The trust norm is the weighted max-component (`mis`) norm over z with
+  a separate weight ``wc`` for the cell components (the reference
+  couples its split atom/cell trust radii into MaxInternalStep via
+  ``wc = delta/delta_cell``, ``optimize.py:333-337``).
+
+Dummy atoms are not supported in this tier (linear-center dummies are a
+molecular feature; raise at construction) — use the sequential
+``CellInternalPES`` for those systems.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.linalg import expm
+from .ensemble import (
+    prfo_prepare_batched,
+    restricted_step_batched,
+    ts_bfgs_update_batched,
+)
+from .ensemble_internal import (
+    _dihedral_mask,
+    _gram_pinv,
+    _kind_weights,
+    _split_fixed,
+    fixed_internal_constraints,
+)
+
+
+class CellInternalEnsembleConfig(NamedTuple):
+    """Static (trace-time) configuration of a batched internal+cell
+    search. ``nint`` internals + ``ncell`` free cell parameters (True
+    count of the 3x3 cell mask); ``nred`` is the nonredundant width of
+    range(B) = ``3 natoms - nproj`` (``nproj=3``: translations are
+    invariant in q under PBC; rotations are not, the cell pins them)."""
+
+    natoms: int
+    nint: int
+    ncell: int = 9
+    order: int = 0
+    nproj: int = 3
+    ncons: int = 0
+    fmax: float = 1e-3
+    smax: float = 0.0              # 0 -> use fmax (reference default)
+    gamma: float = 0.1
+    delta0: float = 0.1
+    delta_min: float = 1e-4
+    sigma_inc: float = 1.15
+    sigma_dec: float = 0.65
+    rho_inc: float = 1.035
+    rho_dec: float = 5.0
+    rs_maxiter: int = 18
+    rs_tol: float = 1e-8
+    method: str = "prfo"
+    rs: str = "mis"
+    newton_maxiter: int = 20
+    newton_tol: float = 1e-10
+    exp_cell_factor: float = 0.0   # <= 0 -> float(natoms) (reference)
+    scalar_pressure: float = 0.0
+    h0_cell: float = 60.0          # cell-block guess curvature (eV)
+    # mis weights per coordinate kind + cell components
+    wx: float = 1.0
+    wb: float = 1.0
+    wa: float = 1.0
+    wd: float = 1.0
+    wo: float = 1.0
+    wc: float = 1.0
+
+    @property
+    def nz(self) -> int:
+        return self.nint + self.ncell
+
+    @property
+    def nred(self) -> int:
+        return 3 * self.natoms - self.nproj
+
+    @property
+    def nfree(self) -> int:
+        """Free width of the z-subspace: nonredundant internals minus
+        fixed coordinates, plus all cell parameters."""
+        return self.nred - self.ncons + self.ncell
+
+
+class CellInternalSearchState(NamedTuple):
+    """Per-search state; every leaf has a leading batch axis."""
+
+    x: jnp.ndarray            # (B, 3n) Cartesian positions
+    s: jnp.ndarray            # (B, ncell) masked log-deformation params
+    q: jnp.ndarray            # (B, nint) internal values (continuous)
+    f: jnp.ndarray            # (B,) enthalpy E + PV
+    g: jnp.ndarray            # (B, 3n) Cartesian enthalpy gradient
+    gs: jnp.ndarray           # (B, ncell) cell-parameter gradient
+    gq: jnp.ndarray           # (B, nint) internal gradient B^+T g
+    H: jnp.ndarray            # (B, nz, nz) quasi-Newton Hessian (z)
+    delta: jnp.ndarray
+    rho: jnp.ndarray
+    converged: jnp.ndarray
+    nsteps: jnp.ndarray
+    neval: jnp.ndarray
+
+
+def _cell_map(cfg: CellInternalEnsembleConfig, cell0,
+              cell_mask: Optional[np.ndarray]):
+    """(cell_of, enthalpy) closures shared by step/init."""
+    if cell_mask is None:
+        cell_mask = np.ones((3, 3), dtype=bool)
+    mask_flat = jnp.asarray(
+        np.where(np.asarray(cell_mask, dtype=bool).ravel())[0]
+    )
+    if mask_flat.shape[0] != cfg.ncell:
+        raise ValueError(
+            f"cell_mask has {mask_flat.shape[0]} free entries, "
+            f"cfg.ncell={cfg.ncell}"
+        )
+    factor = (cfg.exp_cell_factor if cfg.exp_cell_factor > 0
+              else float(cfg.natoms))
+    cell0 = jnp.asarray(cell0)
+    pressure = cfg.scalar_pressure
+
+    def cell_of(s):
+        L = jnp.zeros(9, s.dtype).at[mask_flat].set(s).reshape(3, 3)
+        return expm(L / factor) @ cell0
+
+    def make_enthalpy(potential):
+        def enthalpy(x, s):
+            cell = cell_of(s)
+            e = potential.energy(x, cell)
+            if pressure != 0.0:
+                e = e + pressure * jnp.abs(jnp.linalg.det(cell))
+            return e
+
+        return enthalpy
+
+    return cell_of, make_enthalpy
+
+
+def make_cell_internal_step_fn(
+    potential, ints, cfg: CellInternalEnsembleConfig, cell0,
+    cell_mask: Optional[np.ndarray] = None,
+):
+    """Build the jittable batched internal+cell RS-RFO step."""
+    if ints.ndummies:
+        raise ValueError(
+            "dummy atoms are not supported in the batched internal+cell"
+            " tier; use the sequential CellInternalPES"
+        )
+    if ints.nint != cfg.nint:
+        raise ValueError(f"cfg.nint={cfg.nint} != topology {ints.nint}")
+    cons_idx_np, cons_target_np = fixed_internal_constraints(ints)
+    if len(cons_idx_np) != cfg.ncons:
+        raise ValueError(
+            f"cfg.ncons={cfg.ncons} != mapped constraints "
+            f"{len(cons_idx_np)}"
+        )
+    cons_idx = jnp.asarray(cons_idx_np)
+    cons_target = jnp.asarray(cons_target_np)
+    ncons = cfg.ncons
+
+    engine = ints._get_engine()
+    n = cfg.natoms
+    nint = cfg.nint
+
+    cell_of, make_enthalpy = _cell_map(cfg, cell0, cell_mask)
+    enthalpy = make_enthalpy(potential)
+    batch_eval = jax.vmap(jax.value_and_grad(enthalpy, argnums=(0, 1)))
+
+    batch_q = jax.vmap(
+        lambda x, c: engine._calc_impl(x.reshape(n, 3), c)
+    )
+    batch_B = jax.vmap(
+        lambda x, c: engine._jac_impl(x.reshape(n, 3), c)
+    )
+    batch_cell = jax.vmap(cell_of)
+
+    dih = jnp.asarray(_dihedral_mask(ints))
+    w_q = jnp.asarray(_kind_weights(ints, cfg))
+    w_z = jnp.concatenate(
+        [w_q, cfg.wc * jnp.ones(cfg.ncell, w_q.dtype)]
+    )
+
+    def wrap_dq(r):
+        wrapped = r - 2 * jnp.pi * jnp.round(r / (2 * jnp.pi))
+        return jnp.where(dih[None, :], wrapped, r)
+
+    def mis_norm(s_full, ds_full):
+        ws = w_z[None, :] * jnp.abs(s_full)
+        idx = jnp.argmax(ws, axis=1)
+        b = jnp.arange(s_full.shape[0])
+        val = ws[b, idx]
+        sgn = jnp.sign(s_full[b, idx])
+        dval = w_z[idx] * sgn * ds_full[b, idx]
+        return val, dval
+
+    def blockdiag_free(Ufree_q):
+        """(B, nint, kq) -> (B, nz, kq + ncell) with identity cell
+        block: cell parameters are already nonredundant DOF."""
+        Bsz, _, kq = Ufree_q.shape
+        top = jnp.concatenate(
+            [Ufree_q,
+             jnp.zeros((Bsz, nint, cfg.ncell), Ufree_q.dtype)], axis=2
+        )
+        bot = jnp.concatenate(
+            [jnp.zeros((Bsz, cfg.ncell, kq), Ufree_q.dtype),
+             jnp.broadcast_to(
+                 jnp.eye(cfg.ncell, dtype=Ufree_q.dtype)[None],
+                 (Bsz, cfg.ncell, cfg.ncell),
+             )], axis=2,
+        )
+        return jnp.concatenate([top, bot], axis=1)
+
+    def newton_set_x(x0, cells, q_after, dq_target):
+        """Find x with q(x; cell_new) = q_after + dq_target (masked
+        Newton, best-iterate tracking; fixed components pinned)."""
+        q_target = q_after + dq_target
+        if ncons:
+            q_target = q_target.at[:, cons_idx].set(cons_target[None])
+
+        class _NS(NamedTuple):
+            x: jnp.ndarray
+            x_best: jnp.ndarray
+            r_best: jnp.ndarray
+            it: jnp.ndarray
+            done: jnp.ndarray
+
+        def resid(x):
+            return wrap_dq(q_target - batch_q(x, cells))
+
+        r0 = resid(x0)
+        st = _NS(x0, x0, jnp.max(jnp.abs(r0), axis=1), jnp.int32(0),
+                 jnp.zeros(x0.shape[0], bool))
+
+        def cond(st):
+            return jnp.any(~st.done) & (st.it < cfg.newton_maxiter)
+
+        def body(st):
+            r = resid(st.x)
+            rinf = jnp.max(jnp.abs(r), axis=1)
+            better = rinf < st.r_best
+            x_best = jnp.where(better[:, None], st.x, st.x_best)
+            r_best = jnp.where(better, rinf, st.r_best)
+            done = st.done | (rinf < cfg.newton_tol)
+
+            Bm = batch_B(st.x, cells)
+            apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+            dx = jnp.einsum("bki,bk->bi", Bm, apply_pinv(r))
+            x_new = jnp.where(done[:, None], st.x, st.x + dx)
+            return _NS(x_new, x_best, r_best, st.it + 1, done)
+
+        st = jax.lax.while_loop(cond, body, st)
+        r_fin = resid(st.x)
+        rinf_fin = jnp.max(jnp.abs(r_fin), axis=1)
+        better = rinf_fin < st.r_best
+        return jnp.where(better[:, None], st.x, st.x_best)
+
+    smax_tol = cfg.smax if cfg.smax > 0 else cfg.fmax
+
+    def step(state: CellInternalSearchState, key
+             ) -> CellInternalSearchState:
+        Bsz = state.x.shape[0]
+        act = ~state.converged
+
+        cells = batch_cell(state.s)
+        Bm = batch_B(state.x, cells)
+        apply_pinv, Ured_q = _gram_pinv(Bm, cfg.nred)
+        Ufree_q = _split_fixed(Ured_q, cons_idx, ncons)
+        Ufree_z = blockdiag_free(Ufree_q)           # (B, nz, nfree)
+
+        gz = jnp.concatenate([state.gq, state.gs], axis=1)
+        UT = jnp.swapaxes(Ufree_z, 1, 2)
+        g_free = jnp.einsum("bij,bi->bj", Ufree_z, gz)
+        Hproj = jnp.einsum("bij,bjk,bkl->bil", UT, state.H, Ufree_z)
+        prep = prfo_prepare_batched(g_free, Hproj, cfg.order)
+
+        dz_pred, smag = restricted_step_batched(
+            g_free, Hproj, Ufree_z, state.delta, cfg, prep=prep,
+            norm_fn=mis_norm,
+        )
+        dz_pred = jnp.where(act[:, None], dz_pred, 0.0)
+        dq_pred, ds = dz_pred[:, :nint], dz_pred[:, nint:]
+
+        # ---- apply: cell first, then internals at the new cell ----
+        s_new = state.s + ds
+        cells_new = batch_cell(s_new)
+        q_after = wrap_dq(batch_q(state.x, cells_new) - state.q
+                          ) + state.q
+        x_new = newton_set_x(state.x, cells_new, q_after, dq_pred)
+        x_new = jnp.where(act[:, None], x_new, state.x)
+        q_new = wrap_dq(batch_q(x_new, cells_new) - state.q) + state.q
+
+        f_new, (g_new, gs_new) = batch_eval(x_new, s_new)
+        neval = state.neval + act.astype(jnp.int32)
+
+        Bm_new = batch_B(x_new, cells_new)
+        apply_pinv_new, Ured_q_new = _gram_pinv(Bm_new, cfg.nred)
+        gq_new = apply_pinv_new(
+            jnp.einsum("bij,bj->bi", Bm_new, g_new)
+        )
+
+        # ---- trust ratio ----
+        df_pred = jnp.einsum("bi,bi->b", gz, dz_pred) + 0.5 * jnp.einsum(
+            "bi,bij,bj->b", dz_pred, state.H, dz_pred
+        )
+        df_actual = f_new - state.f
+        pred_ok = jnp.abs(df_pred) > 1e-14
+        ratio = jnp.where(
+            pred_ok, df_actual / jnp.where(pred_ok, df_pred, 1.0), 1.0
+        )
+
+        # ---- TS-BFGS with the realized z secant ----
+        dz_real = jnp.concatenate(
+            [q_new - state.q, s_new - state.s], axis=1
+        )
+        gz_new = jnp.concatenate([gq_new, gs_new], axis=1)
+        dgz = gz_new - gz
+        m1 = (jnp.linalg.norm(dz_real, axis=1) > 1e-10)[:, None]
+        H2 = ts_bfgs_update_batched(
+            state.H, dz_real[:, :, None], dgz[:, :, None],
+            m1 & act[:, None],
+        )
+        H2 = jnp.where((act & m1[:, 0])[:, None, None], H2, state.H)
+
+        # ---- trust update ----
+        bad = (ratio < 1.0 / cfg.rho_dec) | (ratio > cfg.rho_dec)
+        good = (1.0 / cfg.rho_inc < ratio) & (ratio < cfg.rho_inc)
+        delta_new = jnp.where(
+            bad,
+            jnp.maximum(smag * cfg.sigma_dec, cfg.delta_min),
+            jnp.where(
+                good,
+                jnp.maximum(cfg.sigma_inc * smag, state.delta),
+                state.delta,
+            ),
+        )
+        delta_new = jnp.where(act, delta_new, state.delta)
+
+        # ---- convergence: projected forces AND cell gradient ----
+        Ufree_new = _split_fixed(Ured_q_new, cons_idx, ncons)
+        gqp = jnp.einsum(
+            "bij,bj->bi", Ufree_new,
+            jnp.einsum("bij,bi->bj", Ufree_new, gq_new),
+        )
+        gp = jnp.einsum("bi,bij->bj", gqp, Bm_new)
+        fmax_now = jnp.max(
+            jnp.linalg.norm(gp.reshape(Bsz, n, 3), axis=2), axis=1
+        )
+        smax_now = (
+            jnp.max(jnp.abs(gs_new), axis=1)
+            if cfg.ncell else jnp.zeros(Bsz)
+        )
+        conv_new = state.converged | (
+            act & (fmax_now < cfg.fmax) & (smax_now < smax_tol)
+        )
+
+        return CellInternalSearchState(
+            x=jnp.where(act[:, None], x_new, state.x),
+            s=jnp.where(act[:, None], s_new, state.s),
+            q=jnp.where(act[:, None], q_new, state.q),
+            f=jnp.where(act, f_new, state.f),
+            g=jnp.where(act[:, None], g_new, state.g),
+            gs=jnp.where(act[:, None], gs_new, state.gs),
+            gq=jnp.where(act[:, None], gq_new, state.gq),
+            H=H2,
+            delta=delta_new,
+            rho=jnp.where(act, ratio, state.rho),
+            converged=conv_new,
+            nsteps=state.nsteps + act.astype(jnp.int32),
+            neval=neval,
+        )
+
+    return step
+
+
+def init_cell_internal_state(
+    potential, ints, x0: jnp.ndarray, cfg: CellInternalEnsembleConfig,
+    cell0, cell_mask: Optional[np.ndarray] = None,
+    s0: Optional[jnp.ndarray] = None,
+) -> CellInternalSearchState:
+    """Initialize the batched internal+cell state; the z-space Hessian
+    guess is blockdiag(Lindh q-Hessian, ``h0_cell`` * I)."""
+    x0 = jnp.asarray(x0).copy()
+    Bsz = x0.shape[0]
+    dtype = x0.dtype
+    n = cfg.natoms
+    if s0 is None:
+        s0 = jnp.zeros((Bsz, cfg.ncell), dtype)
+    else:
+        s0 = jnp.asarray(s0).copy()
+
+    engine = ints._get_engine()
+    cell_of, make_enthalpy = _cell_map(cfg, cell0, cell_mask)
+    enthalpy = make_enthalpy(potential)
+    cells = jax.vmap(cell_of)(s0)
+
+    f, (g, gs) = jax.vmap(
+        jax.value_and_grad(enthalpy, argnums=(0, 1))
+    )(x0, s0)
+    q = jax.vmap(lambda x, c: engine._calc_impl(x.reshape(n, 3), c))(
+        x0, cells
+    )
+    Bm = jax.vmap(lambda x, c: engine._jac_impl(x.reshape(n, 3), c))(
+        x0, cells
+    )
+    apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+    gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, g))
+
+    Hq = np.asarray(ints.guess_hessian())
+    H0 = np.zeros((cfg.nz, cfg.nz))
+    H0[:cfg.nint, :cfg.nint] = Hq
+    H0[cfg.nint:, cfg.nint:] = cfg.h0_cell * np.eye(cfg.ncell)
+    H0 = jnp.asarray(H0, dtype)
+
+    return CellInternalSearchState(
+        x=x0,
+        s=s0,
+        q=q,
+        f=f,
+        g=g,
+        gs=gs,
+        gq=gq,
+        H=jnp.broadcast_to(H0[None], (Bsz, cfg.nz, cfg.nz)).copy(),
+        delta=jnp.full((Bsz,), cfg.delta0, dtype),
+        rho=jnp.ones((Bsz,), dtype),
+        converged=jnp.zeros(Bsz, bool),
+        nsteps=jnp.zeros(Bsz, jnp.int32),
+        neval=jnp.ones(Bsz, jnp.int32),
+    )
+
+
+def run_cell_internal_ensemble(
+    potential, ints, x0: jnp.ndarray, cfg: CellInternalEnsembleConfig,
+    cell0, cell_mask: Optional[np.ndarray] = None,
+    s0: Optional[jnp.ndarray] = None, max_steps: int = 100,
+    mesh=None, seed: int = 0, steps_per_call: int = 1,
+):
+    """Host loop driving the jitted batched internal+cell step."""
+    step = make_cell_internal_step_fn(potential, ints, cfg, cell0,
+                                      cell_mask)
+
+    def multi_step(state, key):
+        def body(i, st):
+            return step(st, jax.random.fold_in(key, i))
+
+        return jax.lax.fori_loop(0, steps_per_call, body, state)
+
+    state = init_cell_internal_state(potential, ints, x0, cfg, cell0,
+                                     cell_mask, s0)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state = jax.tree.map(
+            lambda a: jax.device_put(
+                a,
+                NamedSharding(
+                    mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+                ),
+            ),
+            state,
+        )
+
+    multi_jit = jax.jit(multi_step, donate_argnums=0)
+    key = jax.random.PRNGKey(seed)
+    n_calls = (max_steps + steps_per_call - 1) // steps_per_call
+    for i in range(n_calls):
+        state = multi_jit(state, jax.random.fold_in(key, i))
+        if bool(jnp.all(state.converged)):
+            break
+    return state
