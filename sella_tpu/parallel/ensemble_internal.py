@@ -101,6 +101,10 @@ class InternalEnsembleConfig(NamedTuple):
     eig: bool = True
     newton_maxiter: int = 20
     newton_tol: float = 1e-10
+    restart_after: int = 0         # stagnation restart (0 = disabled);
+    #   see ensemble.EnsembleConfig.restart_after — same mechanism, with
+    #   the Hessian reset to the shared Lindh guess
+    restart_kick: float = 0.25     # kick stddev per real-atom DOF
     # mis weights per coordinate kind (``restricted_step.py:186-243``)
     wx: float = 1.0                # translations
     wb: float = 1.0                # bonds
@@ -145,6 +149,9 @@ class InternalSearchState(NamedTuple):
     nsteps: jnp.ndarray
     neval: jnp.ndarray
     nmatvec: jnp.ndarray
+    best_fmax: jnp.ndarray    # (B,) best fmax since the last restart
+    stall: jnp.ndarray        # (B,) int32 steps since best_fmax improved
+    nrestarts: jnp.ndarray    # (B,) int32 stagnation restarts taken
 
 
 def _kind_weights(ints, cfg: InternalEnsembleConfig) -> np.ndarray:
@@ -388,6 +395,8 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
 
     dih = jnp.asarray(_dihedral_mask(ints))
     w_mis = jnp.asarray(_kind_weights(ints, cfg))
+    # shared Lindh guess — the restart re-bootstrap target
+    H_guess = jnp.asarray(ints.guess_hessian())
 
     def wrap_dq(r):
         """Wrap dihedral components of an internal-space difference
@@ -620,12 +629,57 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             )
         conv_new = state.converged | (act & (fmax_now < cfg.fmax))
 
+        # ---- stagnation restart (see ensemble.EnsembleConfig) ----
+        improved = fmax_now < 0.97 * state.best_fmax
+        best2 = jnp.where(act & improved, fmax_now, state.best_fmax)
+        stall2 = jnp.where(act & ~improved, state.stall + 1, 0)
+        x_fin = x_new
+        q_fin = state.q + dq_real
+        f_fin, g_fin, gq_fin = f_new, g_new, gq_new
+        nrst = state.nrestarts
+        if cfg.restart_after > 0:
+            restart = act & ~conv_new & (stall2 >= cfg.restart_after)
+            kick = cfg.restart_kick * jax.random.normal(
+                jax.random.fold_in(key, 3), x_new.shape, x_new.dtype
+            )
+            if cfg.ndummies:
+                # dummies are spectators pinned by constrained
+                # bond+angle: leave them in place, the Newton transform
+                # re-seats them on the next step
+                kick = kick.at[:, nr3:].set(0.0)
+            x_fin = jnp.where(restart[:, None], x_new + kick, x_new)
+
+            def _reeval(_):
+                f2, g2 = batch_eval(x_fin)
+                q2 = batch_q(x_fin)
+                Bm2 = batch_B(x_fin)
+                ap2, _ = _gram_pinv(Bm2, cfg.nred)
+                gq2 = ap2(jnp.einsum("bij,bj->bi", Bm2, g2))
+                return f2, g2, q2, gq2
+
+            f_k, g_k, q_k, gq_k = jax.lax.cond(
+                jnp.any(restart), _reeval,
+                lambda _: (f_new, g_new, q_fin, gq_new), None,
+            )
+            f_fin = jnp.where(restart, f_k, f_new)
+            g_fin = jnp.where(restart[:, None], g_k, g_new)
+            # restarted lanes re-base q continuity at principal values
+            q_fin = jnp.where(restart[:, None], q_k, q_fin)
+            gq_fin = jnp.where(restart[:, None], gq_k, gq_new)
+            neval = neval + restart.astype(jnp.int32)
+            H2 = jnp.where(restart[:, None, None], H_guess[None], H2)
+            nsd = jnp.where(restart, cfg.nsteps_per_diag, nsd)
+            delta_new = jnp.where(restart, cfg.delta0, delta_new)
+            best2 = jnp.where(restart, jnp.inf, best2)
+            stall2 = jnp.where(restart, 0, stall2)
+            nrst = nrst + restart.astype(jnp.int32)
+
         return InternalSearchState(
-            x=jnp.where(act[:, None], x_new, state.x),
-            q=jnp.where(act[:, None], state.q + dq_real, state.q),
-            f=jnp.where(act, f_new, state.f),
-            g=jnp.where(act[:, None], g_new, state.g),
-            gq=jnp.where(act[:, None], gq_new, state.gq),
+            x=jnp.where(act[:, None], x_fin, state.x),
+            q=jnp.where(act[:, None], q_fin, state.q),
+            f=jnp.where(act, f_fin, state.f),
+            g=jnp.where(act[:, None], g_fin, state.g),
+            gq=jnp.where(act[:, None], gq_fin, state.gq),
             H=H2,
             delta=delta_new,
             rho=jnp.where(act, ratio, state.rho),
@@ -634,6 +688,9 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             nsteps=state.nsteps + act.astype(jnp.int32),
             neval=neval,
             nmatvec=nmv,
+            best_fmax=best2,
+            stall=stall2,
+            nrestarts=nrst,
         )
 
     return step
@@ -688,6 +745,9 @@ def init_internal_state(
         nsteps=jnp.zeros(Bsz, jnp.int32),
         neval=jnp.ones(Bsz, jnp.int32),
         nmatvec=jnp.zeros(Bsz, jnp.int32),
+        best_fmax=jnp.full((Bsz,), jnp.inf, dtype),
+        stall=jnp.zeros(Bsz, jnp.int32),
+        nrestarts=jnp.zeros(Bsz, jnp.int32),
     )
 
 
@@ -736,6 +796,9 @@ def refill_converged_internal(
         nsteps=jnp.where(take, 0, state.nsteps),
         neval=jnp.where(take, 0, state.neval),
         nmatvec=jnp.where(take, 0, state.nmatvec),
+        best_fmax=jnp.where(take, jnp.inf, state.best_fmax),
+        stall=jnp.where(take, 0, state.stall),
+        nrestarts=jnp.where(take, 0, state.nrestarts),
     )
     return new_state, take
 

@@ -374,3 +374,19 @@ def test_internal_ensemble_rigid_water_trics():
                 v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2))
             ))
             np.testing.assert_allclose(ang, angleHOH, atol=1e-4)
+
+
+def test_internal_ensemble_restart_path():
+    """The stagnation-restart path compiles and does not disturb
+    already-healthy searches (lanes that converge before the stall
+    threshold never restart)."""
+    pot, ints, x0 = _setup(Bsz=4, scale=0.15, seed=3)
+    cfg = InternalEnsembleConfig(
+        natoms=4, nint=ints.nint, order=1, fmax=1e-3, gamma=1e-3,
+        restart_after=60,
+    )
+    st = run_internal_ensemble(pot, ints, x0, cfg, max_steps=120)
+    assert bool(st.converged.all()), np.asarray(st.nsteps)
+    conv_steps = np.asarray(st.nsteps)
+    nr = np.asarray(st.nrestarts)
+    assert np.all(nr[conv_steps <= 60] == 0)
