@@ -304,3 +304,62 @@ def test_niggli_reduction_internal():
             c[i] @ c[j] / (np.linalg.norm(c[i]) * np.linalg.norm(c[j]))
         )
         assert cosang < 0.35, cosang
+
+
+def test_voigt_roundtrip():
+    """Voigt conversion roundtrip + symmetrization (reference
+    test_cell_optimization.py:603-629)."""
+    from sella_tpu.pes.cell import (
+        full_3x3_to_voigt_6_stress,
+        voigt_6_to_full_3x3_stress,
+    )
+
+    rng = np.random.RandomState(0)
+    sv = rng.normal(size=6)
+    S = voigt_6_to_full_3x3_stress(sv)
+    np.testing.assert_allclose(S, S.T)
+    np.testing.assert_allclose(full_3x3_to_voigt_6_stress(S), sv)
+
+    A = rng.normal(size=(3, 3))
+    A = 0.5 * (A + A.T)
+    np.testing.assert_allclose(
+        voigt_6_to_full_3x3_stress(full_3x3_to_voigt_6_stress(A)), A
+    )
+
+
+def test_refine_initial_hessian_coupling_and_cost():
+    """FD Hessian refinement produces a nonzero atom-cell coupling
+    block at exactly 2 force calls per cell DOF (reference
+    test_cell_optimization.py:999-1117)."""
+    atoms = fcc_bulk("Cu", 3.5, reps=(2, 2, 2))
+
+    pes0 = CellCartesianPES(atoms.copy())
+    H0 = pes0.H.asarray()
+    assert np.abs(H0[: pes0.n_cart, pes0.n_cart:]).max() == 0.0
+    assert pes0.neval == 0
+
+    pes1 = CellCartesianPES(atoms.copy(), refine_initial_hessian=True)
+    H1 = pes1.H.asarray()
+    ncell = pes1.n_cell_dof
+    assert pes1.neval == 2 * ncell
+    assert np.abs(H1[: pes1.n_cart, pes1.n_cart:]).max() > 0.1
+    cc = H1[pes1.n_cart:, pes1.n_cart:]
+    np.testing.assert_allclose(cc, cc.T)
+
+
+def test_cell_pes_save_restore():
+    """Position + cell savepoints round-trip through set_x moves
+    (reference test_cell_optimization.py:314-340)."""
+    atoms = fcc_bulk("Cu", 3.5, reps=(2, 2, 2))
+    pes = CellCartesianPES(atoms)
+    pes.save()
+    p0 = pes.atoms.positions.copy()
+    c0 = np.asarray(pes.atoms.cell).copy()
+    x = pes.get_x()
+    x[:3] += 0.1
+    x[-1] += 0.05
+    pes.set_x(x)
+    assert not np.allclose(pes.atoms.positions, p0)
+    pes.restore()
+    np.testing.assert_allclose(pes.atoms.positions, p0)
+    np.testing.assert_allclose(np.asarray(pes.atoms.cell), c0)
