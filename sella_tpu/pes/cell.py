@@ -485,6 +485,58 @@ class CellInternalPES:
 
         self._cell_grad = jax.jit(jax.grad(cell_enthalpy, argnums=1))
 
+        if rigid_fragments:
+            # rigid-transport-aware cell gradient: the fixed-fractional
+            # convention above is WRONG under rigid transport (fragments
+            # do not deform with the cell), so differentiate through the
+            # exact transport map instead — CoM affine + polar-rotation
+            # orientation (the reference's rotation correction,
+            # ``peswrapper.py:2135-2208`` + tests
+            # ``test_cell_optimization.py:1189-1607``). The polar factor
+            # is computed by a fixed-count Newton iteration
+            # R <- (R + R^-T)/2 (quadratically convergent near identity,
+            # differentiable — SVD gradients NaN at the F = I evaluation
+            # point where all singular values coincide).
+            groups = [np.asarray(gr) for gr in
+                      (self.int.fragment_atom_groups or [])]
+            moved = np.zeros(len(atoms), dtype=bool)
+            for gr in groups:
+                moved[gr] = True
+            lone_idx = jnp.asarray(np.where(~moved)[0])
+            groups_j = [jnp.asarray(gr) for gr in groups]
+
+            def _polar_rotation(F):
+                R = F
+                for _ in range(8):
+                    R = 0.5 * (R + jnp.linalg.inv(R).T)
+                return R
+
+            def cell_enthalpy_rigid(pos, s, L_base, cell_ref, cell0):
+                L = L_base.ravel().at[mask_flat].set(s).reshape(3, 3)
+                cell_new = expm(L / factor) @ cell0
+                inv_ref = jnp.linalg.inv(cell_ref)
+                A = inv_ref @ cell_new           # row-vector affine map
+                R = _polar_rotation(cell_new @ inv_ref)
+                new_pos = pos
+                if lone_idx.shape[0]:
+                    new_pos = new_pos.at[lone_idx].set(
+                        pos[lone_idx] @ A
+                    )
+                for gr in groups_j:
+                    com = jnp.mean(pos[gr], axis=0)
+                    delta = pos[gr] - com
+                    new_pos = new_pos.at[gr].set(
+                        com @ A + delta @ R.T
+                    )
+                e = pot.energy(new_pos.ravel(), cell_new)
+                if pressure != 0.0:
+                    e = e + pressure * jnp.abs(jnp.linalg.det(cell_new))
+                return e
+
+            self._cell_grad_rigid = jax.jit(
+                jax.grad(cell_enthalpy_rigid, argnums=1)
+            )
+
         # own state dict — the inner InternalPES keeps internal-dim
         # quantities (its geodesic reads curr['g'] of length n_internal),
         # the wrapper keeps the extended [internal, cell] vectors
@@ -648,15 +700,26 @@ class CellInternalPES:
             f = f + self.scalar_pressure * abs(
                 np.linalg.det(self.atoms.cell)
             )
-        frac = self.atoms.positions @ np.linalg.inv(self.atoms.cell)
-        g_cell = np.asarray(
-            self._cell_grad(
-                jnp.asarray(frac),
-                jnp.asarray(self._masked_cell_params()),
-                jnp.asarray(self._L),
-                jnp.asarray(self.orig_cell),
+        if self.rigid_fragments:
+            g_cell = np.asarray(
+                self._cell_grad_rigid(
+                    jnp.asarray(self.atoms.positions),
+                    jnp.asarray(self._masked_cell_params()),
+                    jnp.asarray(self._L),
+                    jnp.asarray(np.asarray(self.atoms.cell)),
+                    jnp.asarray(self.orig_cell),
+                )
             )
-        )
+        else:
+            frac = self.atoms.positions @ np.linalg.inv(self.atoms.cell)
+            g_cell = np.asarray(
+                self._cell_grad(
+                    jnp.asarray(frac),
+                    jnp.asarray(self._masked_cell_params()),
+                    jnp.asarray(self._L),
+                    jnp.asarray(self.orig_cell),
+                )
+            )
         return f, np.concatenate([g_int, g_cell])
 
     def _refine_cell_block(self, delta: float = 1e-5) -> None:

@@ -363,3 +363,58 @@ def test_cell_pes_save_restore():
     pes.restore()
     np.testing.assert_allclose(pes.atoms.positions, p0)
     np.testing.assert_allclose(np.asarray(pes.atoms.cell), c0)
+
+
+def test_rigid_fragment_cell_gradient_fd():
+    """With rigid_fragments=True the cell gradient must differentiate
+    through the TRANSPORT map (CoM affine + polar rotation), not the
+    fixed-fractional convention — the reference's rotation-corrected
+    gradient (``peswrapper.py:2135-2208``, tests
+    test_cell_optimization.py:1189-1607). The fixed-frac gradient is
+    wildly wrong here (it scales the stiff intra-dimer bonds with the
+    cell; regression guard below).
+
+    Geometry note: keep all interatomic separations away from exact
+    half-box values — the MIC energy has a derivative kink there and
+    FD legitimately disagrees with AD on the boundary."""
+    from sella_tpu import Atoms
+    from sella_tpu.pes.cell import CellInternalPES
+    from sella_tpu.coords.internals import Internals
+    from sella_tpu.potentials import LennardJones
+
+    pos = np.array([
+        [2.0, 2.0, 2.0], [2.0, 2.0, 4.0],
+        [7.0, 5.5, 3.0], [7.0, 7.5, 3.0],
+    ])
+    from sella_tpu import Atoms as _A
+    atoms = _A(["Ar"] * 4, pos, cell=np.eye(3) * 12.0, pbc=True)
+    atoms.calc = LennardJones(epsilon=0.0104, sigma=3.4, pbc=True)
+    ints = Internals(atoms, allow_fragments=True)
+    pes = CellInternalPES(atoms, ints, rigid_fragments=True)
+    g = pes.get_g()
+    x0 = pes.get_x()
+    ni = pes.n_internal
+    h = 1e-6
+    for k in range(ni, pes.dim):
+        pes.save()
+        xp = x0.copy()
+        xp[k] += h
+        pes.set_x(xp)
+        fp = pes.get_f()
+        pes.restore()
+        pes.curr = dict(x=None, f=None, g=None)
+        pes._ipes._invalidate()
+        xm = x0.copy()
+        xm[k] -= h
+        pes.set_x(xm)
+        fm = pes.get_f()
+        pes.restore()
+        pes.curr = dict(x=None, f=None, g=None)
+        pes._ipes._invalidate()
+        fd = (fp - fm) / (2 * h)
+        np.testing.assert_allclose(g[k], fd, rtol=1e-4, atol=1e-7)
+
+    # the dimer bonds sit deep in LJ repulsion: the fixed-fractional
+    # convention would claim |dE/ds| ~ 70 for the diagonal modes; the
+    # rigid-transport gradient correctly stays ~1e-3
+    assert np.abs(g[ni:]).max() < 0.1
