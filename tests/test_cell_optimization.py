@@ -418,3 +418,31 @@ def test_rigid_fragment_cell_gradient_fd():
     # convention would claim |dE/ds| ~ 70 for the diagonal modes; the
     # rigid-transport gradient correctly stays ~1e-3
     assert np.abs(g[ni:]).max() < 0.1
+
+
+def test_rigid_fragments_sella_integration():
+    """End-to-end Sella(optimize_cell=True, rigid_fragments=True) on a
+    periodic LJ-dimer molecular crystal: converges with near-zero
+    stress and relaxed intra-dimer bonds (reference
+    test_cell_optimization.py:1328-1347 + TestMolecularCrystal)."""
+    from sella_tpu import Atoms
+    from sella_tpu.potentials import LennardJones
+
+    pos = np.array([
+        [2.0, 2.0, 2.0], [2.0, 2.0, 5.6],
+        [7.0, 5.5, 3.0], [7.0, 9.1, 3.0],
+    ])
+    atoms = Atoms(["Ar"] * 4, pos, cell=np.eye(3) * 12.0, pbc=True)
+    atoms.calc = LennardJones(epsilon=0.0104, sigma=3.4, pbc=True)
+    opt = Sella(
+        atoms, order=0, internal=True, allow_fragments=True,
+        optimize_cell=True, rigid_fragments=True, logfile=None,
+    )
+    assert opt.run(fmax=5e-3, steps=300)
+    # intra-dimer bonds at the LJ minimum (2^(1/6) sigma ~ 3.816)
+    d1 = np.linalg.norm(atoms.positions[1] - atoms.positions[0])
+    d2 = np.linalg.norm(atoms.positions[3] - atoms.positions[2])
+    np.testing.assert_allclose([d1, d2], 2 ** (1 / 6) * 3.4, atol=0.1)
+    # stress converged
+    g = opt.pes.get_g()
+    assert np.abs(g[opt.pes.n_internal:]).max() < 5e-3
