@@ -232,3 +232,34 @@ def test_cell_jacobian_fd():
     np.testing.assert_allclose(J, J_fd, rtol=1e-6, atol=1e-8)
     # the non-periodic bond is cell-independent
     np.testing.assert_allclose(J[1], 0.0, atol=1e-12)
+
+
+def test_tric_cell_jacobian_rows_zero():
+    """TRIC translations/rotations and non-image bonds are
+    cell-independent: their dq/dcell rows vanish identically
+    (reference TestTRICsCellDerivatives,
+    test_cell_optimization.py:831-923)."""
+    pos = np.array([
+        [2.0, 2.0, 2.0], [2.0, 2.0, 4.0],
+        [7.0, 5.5, 3.0], [7.0, 7.5, 3.0],
+    ])
+    atoms = Atoms(["Ar"] * 4, pos, cell=np.eye(3) * 12.0, pbc=True)
+    ints = Internals(atoms, allow_fragments=True)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    assert ints.ntrans > 0 and ints.nrotations > 0
+
+    J = ints.cell_jacobian()        # (nint, 3, 3)
+    # translations first in the coordinate ordering; rotations last
+    np.testing.assert_allclose(J[: ints.ntrans], 0.0, atol=1e-14)
+    if ints.nrotations:
+        np.testing.assert_allclose(
+            J[ints.nint - ints.nrotations:], 0.0, atol=1e-14
+        )
+    # in-cell (ncvec = 0) bonds are cell-independent too
+    for m, (i, j, ncvec) in enumerate(ints.bonds):
+        if not np.any(np.asarray(ncvec)):
+            np.testing.assert_allclose(
+                J[ints.ntrans + m], 0.0, atol=1e-14
+            )
