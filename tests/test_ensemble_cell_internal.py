@@ -104,3 +104,25 @@ def test_cell_internal_rejects_dummies():
         make_cell_internal_step_fn(
             LennardJones(pbc=True), ints, cfg, jnp.asarray(atoms.cell)
         )
+
+
+def test_cell_internal_sharded():
+    """The internal+cell step compiles and runs under an 8-device mesh
+    (ensemble axis sharded)."""
+    from jax.sharding import Mesh
+
+    atoms, ints, x0, s0 = _bulk_setup(Bsz=8)
+    nat = len(atoms)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    cfg = CellInternalEnsembleConfig(
+        natoms=nat, nint=ints.nint, ncell=9, order=0, fmax=5e-3,
+        delta0=0.1, h0_cell=10.0,
+    )
+    st = run_cell_internal_ensemble(
+        LennardJones(pbc=True), ints, x0, cfg, jnp.asarray(atoms.cell),
+        s0=jnp.tile(s0[:1], (8, 1)) * jnp.linspace(
+            0.5, 1.5, 8
+        )[:, None],
+        max_steps=200, mesh=mesh, steps_per_call=5,
+    )
+    assert int(st.converged.sum()) >= 6, np.asarray(st.nsteps)
