@@ -173,9 +173,60 @@ def run_config(name, batch, max_steps, chunk, profile=False):
     return rate, stats
 
 
+def run_largescale(natoms_target=10000, nsteps=3):
+    """BASELINE config 5: matrix-free MMF on a ~10k-atom slab with the
+    bounded-memory chunked pair panel (dense n^2 neither fits nor
+    compiles at this size). Reports seconds per MMF step (each step =
+    1 force call + Lanczos leftmost-mode HVPs). Measured 2026-08-17 on
+    the v5e bench chip: force call 9.2 s, HVP 13.7 s at n=10000 f64."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from sella_tpu.parallel.largescale import make_mmf_step, mmf_init
+    from sella_tpu.potentials import ChunkedPairPotential, LennardJones
+    from sella_tpu.potentials.emt import fcc111_slab
+
+    k = max(int(round((natoms_target / 4) ** 0.5)), 2)
+    slab = fcc111_slab("Cu", 3.59, size=(k, k + k % 2, 4))
+    n = len(slab.positions)
+    pot = ChunkedPairPotential(LennardJones(pbc=True), chunk=1000)
+    x0 = jnp.asarray(slab.positions.ravel())
+    cell = jnp.asarray(slab.cell)
+    step = jax.jit(make_mmf_step(pot, cell, order=0, fmax=1e-3))
+    state = mmf_init(pot, x0, cell)
+    state = step(state)
+    jax.block_until_ready(state.x)          # compile + first step
+    t0 = _t.perf_counter()
+    for _ in range(nsteps):
+        state = step(state)
+    jax.block_until_ready(state.x)
+    per_step = (_t.perf_counter() - t0) / nsteps
+    return per_step, {"natoms": n, "steps_timed": nsteps,
+                      "sec_per_step": round(per_step, 2)}
+
+
 def main():
     headline = os.environ.get("BENCH_CONFIG", "emt")
     profile = os.environ.get("BENCH_PROFILE", "0") == "1"
+
+    if headline == "largescale":
+        per_step, stats = run_largescale(
+            int(os.environ.get("BENCH_NATOMS", "10000")),
+            int(os.environ.get("BENCH_STEPS", "3")),
+        )
+        print(json.dumps({
+            "metric": (
+                f"10k-atom matrix-free MMF seconds/step "
+                f"(n={stats['natoms']}, f64, single chip)"
+            ),
+            "value": round(per_step, 2),
+            "unit": "s/step",
+            "vs_baseline": 0.0,   # reference has no >10k-atom path
+            "extra": stats,
+        }))
+        return
 
     if headline == "emt":
         # batch=256 maximizes converged-searches/sec on the v5e-lite

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..potentials.base import pair_distances
+from .linalg import inv3
 
 
 def _pair_basis(r: jnp.ndarray, r0: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +91,7 @@ def force_match_hessian(
         pos = x.reshape(-1, 3)
         dr = pos[None, :, :] - pos[:, None, :]
         if pbc:
-            inv = jnp.linalg.inv(cell)
+            inv = inv3(cell)
             frac = dr @ inv
             dr = (frac - jnp.round(frac)) @ cell
         r2 = jnp.sum(dr * dr, axis=-1)

@@ -284,6 +284,23 @@ def sym(M: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
+def inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / determinant).
+
+    Every traced cell inversion goes through here instead of
+    ``jnp.linalg.inv``: the closed form is differentiable, avoids the
+    LU custom call (which some AOT compile paths cannot lower for f64),
+    and is faster for the 3x3 cells that dominate this codebase — the
+    same motivation as the reference's closed-form ``_logm_3x3``
+    (``peswrapper.py:85-102``)."""
+    r0, r1, r2 = A[0], A[1], A[2]
+    c0 = jnp.cross(r1, r2)
+    c1 = jnp.cross(r2, r0)
+    c2 = jnp.cross(r0, r1)
+    det = jnp.dot(r0, c0)
+    return jnp.stack([c0, c1, c2], axis=1) / det
+
+
 def lstsq(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-12) -> jnp.ndarray:
     """Minimum-norm least-squares solve via SVD (jittable).
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.linalg import expm, logm_host
+from ..ops.linalg import expm, inv3, logm_host
 from .cartesian import PES
 
 
@@ -508,13 +508,13 @@ class CellInternalPES:
             def _polar_rotation(F):
                 R = F
                 for _ in range(8):
-                    R = 0.5 * (R + jnp.linalg.inv(R).T)
+                    R = 0.5 * (R + inv3(R).T)
                 return R
 
             def cell_enthalpy_rigid(pos, s, L_base, cell_ref, cell0):
                 L = L_base.ravel().at[mask_flat].set(s).reshape(3, 3)
                 cell_new = expm(L / factor) @ cell0
-                inv_ref = jnp.linalg.inv(cell_ref)
+                inv_ref = inv3(cell_ref)
                 A = inv_ref @ cell_new           # row-vector affine map
                 R = _polar_rotation(cell_new @ inv_ref)
                 new_pos = pos

@@ -1,12 +1,13 @@
 from .base import ASECalculatorWrapper, Potential, get_potential
 from .emt import EMT
 from .pair import Harmonic, LennardJones, MorsePotential
-from .sharded import ShardedPairPotential
+from .sharded import ChunkedPairPotential, ShardedPairPotential
 from .tip3p import TIP3P
 
 __all__ = [
     "EMT",
     "TIP3P",
+    "ChunkedPairPotential",
     "ShardedPairPotential",
     "ASECalculatorWrapper",
     "Potential",

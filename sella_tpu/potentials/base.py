@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.linalg import inv3
+
 
 class Potential:
     """Base class for jax-native potentials.
@@ -85,7 +87,7 @@ def displacements(x: jnp.ndarray, cell: jnp.ndarray, pbc: bool):
     pos = x.reshape(-1, 3)
     dr = pos[None, :, :] - pos[:, None, :]
     if pbc:
-        inv = jnp.linalg.inv(cell)
+        inv = inv3(cell)
         frac = dr @ inv
         frac = frac - jnp.round(frac)
         dr = frac @ cell

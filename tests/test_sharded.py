@@ -92,3 +92,50 @@ def test_sharded_requires_pair_energy(mesh):
 
     with pytest.raises(TypeError):
         ShardedPairPotential(NotAPair(), mesh)
+
+
+def test_chunked_pair_potential_matches_dense():
+    """ChunkedPairPotential == dense potential to roundoff: energy,
+    gradient, HVP (the single-chip large-N path; memory is bounded at
+    chunk * n instead of n^2)."""
+    from sella_tpu.potentials import ChunkedPairPotential, LennardJones
+
+    rng = np.random.RandomState(0)
+    n = 40
+    x = jnp.asarray(rng.normal(size=(n * 3,)) * 3 + 10)
+    cell = jnp.eye(3) * 20.0
+    dense = LennardJones(pbc=True)
+    chunked = ChunkedPairPotential(LennardJones(pbc=True), chunk=7)
+
+    ed, gd = dense.energy_and_grad(x, cell)
+    ec, gc = chunked.energy_and_grad(x, cell)
+    np.testing.assert_allclose(float(ec), float(ed), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gd),
+                               atol=1e-10)
+    v = jnp.asarray(rng.normal(size=x.shape))
+    np.testing.assert_allclose(
+        np.asarray(chunked.hvp(x, v, cell)),
+        np.asarray(dense.hvp(x, v, cell)), atol=1e-10,
+    )
+
+
+def test_chunked_mmf_minimization():
+    """The matrix-free MMF driver runs on a ChunkedPairPotential
+    (bounded-memory 10k-atom path, here scaled down for CI)."""
+    from sella_tpu.parallel.largescale import run_mmf
+    from sella_tpu.potentials import ChunkedPairPotential, LennardJones
+    from sella_tpu.potentials.emt import fcc111_slab
+
+    slab = fcc111_slab("Cu", 3.59, size=(4, 4, 3))
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(
+        (slab.positions + 0.05 * rng.normal(
+            size=slab.positions.shape
+        )).ravel()
+    )
+    pot = ChunkedPairPotential(
+        LennardJones(sigma=2.3, epsilon=0.4, pbc=True), chunk=13
+    )
+    st = run_mmf(pot, x0, cell=jnp.asarray(slab.cell), order=0,
+                 fmax=5e-3, max_steps=400)
+    assert bool(st.converged), int(st.nsteps)
