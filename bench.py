@@ -95,10 +95,13 @@ def run_config(name, batch, max_steps, chunk, profile=False):
 
     if name == "emt":
         pot, x0, cell, nat = _emt_setup(batch)
+        # eigh_f32: the P-RFO prep + TS-BFGS |B| eighs run in f32
+        # (measured identical convergence: 23.0 mean steps / 77.6
+        # matvecs / 100% conv, and a ~30% step-time win on v5e)
         cfg = EnsembleConfig(
             natoms=nat, order=1, nproj=3, fmax=0.02, gamma=0.3,
             davidson_max=25, delta0=5e-3,
-            diag_budget=max(batch // 8, 1),
+            diag_budget=max(batch // 8, 1), eigh_f32=True,
         )
     else:
         from sella_tpu.potentials import LennardJones
@@ -110,6 +113,8 @@ def run_config(name, batch, max_steps, chunk, profile=False):
         # index-2 regions forever (the sequential reference-faithful
         # driver fails the same starts); the stagnation kick recovers
         # them (71% -> 96% converged at 600 steps, measured batch=256)
+        # eigh_f32 measured HARMFUL here: the (B, 6, 6) eighs are too
+        # small to win from f32, and the cast traffic adds ~45% elapsed
         cfg = EnsembleConfig(
             natoms=4, order=1, fmax=1e-3, gamma=1e-3,
             diag_budget=max(batch // 8, 1), restart_after=50,

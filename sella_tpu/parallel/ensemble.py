@@ -91,6 +91,13 @@ class EnsembleConfig(NamedTuple):
     #   restart is the batched-tier remedy in the spirit of the
     #   reference's Davidson random restart (``eigensolvers.py:100-109``).
     restart_kick: float = 0.25     # kick stddev per DOF
+    eigh_f32: bool = False         # run the P-RFO projected eigh and
+    #   the TS-BFGS |B| metric in f32 (results cast back to the state
+    #   dtype). Empirically identical convergence on the bench configs
+    #   (EMT 256: same 23.0 mean steps / 77.6 matvecs / 100% conv) and
+    #   ~30% step-time win on v5e, where f64 eigh is emulated. Leave
+    #   False where 1e-8 trajectory parity with the sequential tier
+    #   matters; the Davidson subspace Ritz solve stays f64 either way.
 
     @property
     def dim(self) -> int:
@@ -264,7 +271,8 @@ def _blstsq(A: jnp.ndarray, Bv: jnp.ndarray, rcond: float = 1e-10):
 
 
 def ts_bfgs_update_batched(
-    B: jnp.ndarray, S: jnp.ndarray, Y: jnp.ndarray, mask: jnp.ndarray
+    B: jnp.ndarray, S: jnp.ndarray, Y: jnp.ndarray, mask: jnp.ndarray,
+    f32: bool = False,
 ) -> jnp.ndarray:
     """Batched multi-secant TS-BFGS (``hessian_update.py:118-125``).
 
@@ -278,7 +286,7 @@ def ts_bfgs_update_batched(
     J = Y - jnp.einsum("bij,bjk->bik", B, S)
     STY = jnp.einsum("bli,blj->bij", S, Y)                 # (B, K, K)
     X1 = jnp.einsum("bij,bkj->bik", STY, Y)                # X1 = S^T Y Y^T : (B, K, d)
-    absB = _abs_psd(B)
+    absB = _abs_psd(B, f32)
     absBS = jnp.einsum("bij,bjk->bik", absB, S)            # (B, d, K)
     X2 = jnp.einsum("bli,blj->bij", S, absBS)              # (B, K, K)
     X2 = jnp.einsum("bij,bkj->bik", X2, absBS)             # (B, K, d)
@@ -294,9 +302,18 @@ def ts_bfgs_update_batched(
     return 0.5 * (Bp + jnp.swapaxes(Bp, -1, -2))
 
 
-def _abs_psd(B: jnp.ndarray) -> jnp.ndarray:
+def eigh_maybe_f32(A: jnp.ndarray, f32: bool = False):
+    """Batched symmetric eigh, optionally computed in f32 and cast
+    back (the EnsembleConfig.eigh_f32 fast path)."""
+    if not f32:
+        return jnp.linalg.eigh(A)
+    lams, V = jnp.linalg.eigh(A.astype(jnp.float32))
+    return lams.astype(A.dtype), V.astype(A.dtype)
+
+
+def _abs_psd(B: jnp.ndarray, f32: bool = False) -> jnp.ndarray:
     """|B| through the eigendecomposition (batched)."""
-    lams, V = jnp.linalg.eigh(B)
+    lams, V = eigh_maybe_f32(B, f32)
     return jnp.einsum("bik,bk,bjk->bij", V, jnp.abs(lams), V)
 
 
@@ -427,11 +444,11 @@ def _rfo_secular(gsub, d, alpha, highest: bool, niter: int = 32):
     return s, ds
 
 
-def prfo_prepare_batched(g, Hproj, order: int):
+def prfo_prepare_batched(g, Hproj, order: int, f32: bool = False):
     """Alpha-independent PRFO precomputation: one batched eigh, hoisted
     out of the alpha root-find (the eigendecomposition is reused by
     every alpha evaluation)."""
-    lams, V = jnp.linalg.eigh(Hproj)
+    lams, V = eigh_maybe_f32(Hproj, f32)
     gV = jnp.einsum("bij,bi->bj", V, g)
     return lams, V, gV
 
@@ -716,7 +733,8 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
 
     B_boot = bootstrap_B_batched(S_full, YFr, mask, cfg.dim)
     B_base = jnp.where(B_init[:, None, None], B, B_boot)
-    B_new = ts_bfgs_update_batched(B_base, S_full, YFr, mask)
+    B_new = ts_bfgs_update_batched(B_base, S_full, YFr, mask,
+                                   getattr(cfg, 'eigh_f32', False))
     B_out = jnp.where(active[:, None, None], B_new, B)
     return B_out, B_init | active, k
 
@@ -1111,7 +1129,8 @@ def make_step_fn(potential, cfg: EnsembleConfig,
 
         # one batched eigh of the projected Hessian serves both the
         # trust-region stepper and the diag-scheduling inertia check
-        prep = prfo_prepare_batched(g_free, Hproj, cfg.order)
+        prep = prfo_prepare_batched(g_free, Hproj, cfg.order,
+                                    cfg.eigh_f32)
 
         # ---- trust-region step ----
         s_full, smag = restricted_step_batched(
@@ -1206,7 +1225,8 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         m1 = (jnp.linalg.norm(s_full, axis=1) > 1e-8)[:, None]
         B_boot = bootstrap_B_batched(S1, Y1, m1, cfg.dim)
         B_base = jnp.where(B_init1[:, None, None], B1, B_boot)
-        B2 = ts_bfgs_update_batched(B_base, S1, Y1, m1 & act[:, None])
+        B2 = ts_bfgs_update_batched(B_base, S1, Y1, m1 & act[:, None],
+                                    cfg.eigh_f32)
         B2 = jnp.where((act & m1[:, 0])[:, None, None], B2, B1)
         B_init2 = B_init1 | (act & m1[:, 0])
 

@@ -525,3 +525,31 @@ def test_ensemble_stagnation_restart():
     assert sum(k == 1 for b, k in enumerate(inertia) if b != 2) == 7, (
         inertia
     )
+
+
+def test_ensemble_eigh_f32_quality():
+    """The f32 P-RFO/|B| eigh fast path preserves convergence quality
+    (same lanes converge, step counts within a step or two)."""
+    from sella_tpu.potentials import LennardJones
+
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(7)
+    x0 = jnp.asarray(
+        (tet[None] + 0.12 * rng.normal(size=(8, 4, 3))).reshape(8, 12)
+    )
+    pot = LennardJones()
+    outcomes = {}
+    for f32 in (False, True):
+        cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3,
+                             eigh_f32=f32)
+        st = run_ensemble(pot, x0, cfg, max_steps=300)
+        outcomes[f32] = (np.asarray(st.converged), np.asarray(st.nsteps))
+    np.testing.assert_array_equal(outcomes[False][0], outcomes[True][0])
+    conv = outcomes[False][0]
+    assert np.abs(
+        outcomes[False][1][conv].astype(int)
+        - outcomes[True][1][conv].astype(int)
+    ).max() <= 5
