@@ -33,6 +33,15 @@ step to 667 ms; the remaining budget is the hoisted projected eigh
 SURVEY §7 stage 9: the hot ops are XLA-batched eighs, which a Pallas
 kernel would not beat meaningfully at these sizes; algorithmic
 restructuring (hoisting + secular solves) was the win.
+
+Round-3 update (2026-08-17): running the two remaining hot eighs in
+f32 (``eigh_f32=True``: P-RFO prep + TS-BFGS |B| metric) lifted the
+EMT headline 17.5 -> 22.4 searches/s with bitwise-equal convergence
+statistics; extending f32 to the Davidson Ritz solve gained nothing
+(the (B, 25, 25) subspace eigh is not a bottleneck), and applying it
+to the LJ4 config LOST ~45% (the (B, 6, 6) eighs are too small to win
+over the cast traffic). Batch sweep at the new step cost: 256 -> 22.4,
+512 -> 18.2, 1024 -> 19.8 searches/s, so the headline stays at 256.
 """
 import json
 import os

@@ -424,3 +424,148 @@ def run_cell_ensemble(
         if bool(jnp.all(state.converged)):
             break
     return state
+
+
+def refill_converged_cell(
+    state: CellSearchState, z_new: jnp.ndarray, avail: jnp.ndarray,
+    cfg: CellEnsembleConfig,
+):
+    """Replace converged lanes with fresh starts (atom+cell work-queue
+    compaction; mirror of ``ensemble.refill_converged``). ``z_new`` is
+    (B, dim) = [x, s] replacement DOF vectors. Call
+    :func:`refresh_cell` afterwards to fill (f, g)."""
+    take = state.converged & avail
+    tk = take[:, None]
+    dtype = state.z.dtype
+    H0 = np.zeros((cfg.dim, cfg.dim))
+    H0[: 3 * cfg.natoms, : 3 * cfg.natoms] = 70.0 * np.eye(3 * cfg.natoms)
+    H0[3 * cfg.natoms:, 3 * cfg.natoms:] = np.eye(cfg.ncell)
+    H0 = jnp.asarray(H0, dtype)
+    new_state = CellSearchState(
+        z=jnp.where(tk, z_new, state.z),
+        f=jnp.where(take, jnp.zeros_like(state.f), state.f),
+        g=jnp.where(tk, jnp.zeros_like(state.g), state.g),
+        H=jnp.where(take[:, None, None],
+                    jnp.broadcast_to(H0[None], state.H.shape), state.H),
+        delta=jnp.where(take, jnp.asarray(cfg.delta0, dtype), state.delta),
+        rho=jnp.where(take, jnp.ones((), dtype), state.rho),
+        nsteps_since_diag=jnp.where(take, 0, state.nsteps_since_diag),
+        converged=jnp.where(take, False, state.converged),
+        nsteps=jnp.where(take, 0, state.nsteps),
+        neval=jnp.where(take, 0, state.neval),
+        nmatvec=jnp.where(take, 0, state.nmatvec),
+    )
+    return new_state, take
+
+
+def refresh_cell(state: CellSearchState, potential,
+                 cfg: CellEnsembleConfig, cell0,
+                 cell_mask: Optional[np.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None) -> CellSearchState:
+    """Recompute (f, g) for all lanes — call once after refill; only
+    ``mask`` lanes' neval counters advance."""
+    if cell_mask is None:
+        cell_mask = np.ones((3, 3), dtype=bool)
+    ext_energy, _ = make_ext_energy(potential, cfg, cell0, cell_mask)
+    f, g = jax.vmap(jax.value_and_grad(ext_energy))(state.z)
+    inc = 1 if mask is None else mask.astype(state.neval.dtype)
+    return state._replace(f=f, g=g, neval=state.neval + inc)
+
+
+def run_cell_ensemble_queue(
+    potential,
+    x0_all: jnp.ndarray,
+    cfg: CellEnsembleConfig,
+    cell0,
+    batch: int,
+    cell_mask: Optional[np.ndarray] = None,
+    s0_all: Optional[jnp.ndarray] = None,
+    max_steps_per_search: int = 200,
+    refill_every: int = 10,
+    seed: int = 0,
+):
+    """Process an arbitrarily large set of atom+cell relaxations with a
+    fixed device batch (convergence-mask compaction; mirror of
+    ``ensemble.run_ensemble_queue``). Returns per-input result dicts
+    ``{z, f, nsteps, converged}`` in input order."""
+    from functools import partial as _partial
+
+    x0_all = jnp.asarray(x0_all)
+    total = x0_all.shape[0]
+    dtype = x0_all.dtype
+    if s0_all is None:
+        s0_all = jnp.zeros((total, cfg.ncell), dtype)
+    else:
+        s0_all = jnp.asarray(s0_all, dtype)
+    z_all = jnp.concatenate([x0_all, s0_all], axis=1)
+
+    step = jax.jit(
+        make_cell_step_fn(potential, cfg, cell0, cell_mask),
+        donate_argnums=0,
+    )
+    refill = jax.jit(
+        _partial(refill_converged_cell, cfg=cfg), donate_argnums=0
+    )
+
+    state = init_cell_state(
+        potential, x0_all[:batch], cfg, cell0, cell_mask,
+        s0_all[:batch],
+    )
+    origin = np.arange(batch)
+    next_idx = batch
+    results: dict = {}
+    key = jax.random.PRNGKey(seed)
+
+    it = 0
+    while len(results) < total:
+        for _ in range(refill_every):
+            state = step(state, jax.random.fold_in(key, it))
+            it += 1
+
+        conv = np.asarray(state.converged)
+        nsteps = np.asarray(state.nsteps)
+        done = conv | (nsteps >= max_steps_per_search)
+        if not np.any(done):
+            continue
+
+        zs = np.asarray(state.z)
+        fs = np.asarray(state.f)
+        for lane in np.where(done)[0]:
+            oi = origin[lane]
+            if oi >= 0 and oi not in results:
+                results[oi] = dict(
+                    z=zs[lane].copy(), f=float(fs[lane]),
+                    nsteps=int(nsteps[lane]), converged=bool(conv[lane]),
+                )
+
+        # refill from the queue (timed-out lanes are retired too)
+        z_fill = np.zeros((batch, cfg.dim), dtype=np.asarray(zs).dtype)
+        avail = np.zeros(batch, dtype=bool)
+        new_origin = origin.copy()
+        for lane in np.where(done)[0]:
+            if next_idx < total:
+                z_fill[lane] = np.asarray(z_all[next_idx])
+                avail[lane] = True
+                new_origin[lane] = next_idx
+                next_idx += 1
+            else:
+                new_origin[lane] = -1
+        state = state._replace(
+            converged=jnp.asarray(done) | state.converged
+        )
+        state, took = refill(
+            state, jnp.asarray(z_fill), jnp.asarray(avail)
+        )
+        # lanes with no replacement idle as "converged"
+        state = state._replace(
+            converged=state.converged | jnp.asarray(new_origin < 0)
+        )
+        took_np = np.asarray(took)
+        if took_np.any():
+            state = refresh_cell(
+                state, potential, cfg, cell0, cell_mask,
+                jnp.asarray(took_np),
+            )
+        origin = new_origin
+
+    return [results[i] for i in range(total)]

@@ -136,3 +136,33 @@ def test_cell_ensemble_pressure():
     ))
     # LJ fcc is stiff: P=0.5 compresses ~0.85% (measured 31.00->30.73)
     assert np.all(vP < v0 - 0.1), (v0, vP)
+
+
+def test_cell_ensemble_queue():
+    """Work-queue compaction for the atom+cell tier: 7 strained bulk
+    relaxations through a 3-lane batch; every input converges to the
+    same equilibrium lattice constant."""
+    from sella_tpu.parallel.ensemble_cell import run_cell_ensemble_queue
+
+    a0 = 1.55
+    atoms = fcc_bulk("Cu", a0, reps=(2, 2, 2))
+    nat = len(atoms)
+    pot = LennardJones(pbc=True)
+    rng = np.random.RandomState(0)
+    total = 7
+    x0_all = jnp.asarray(np.stack([
+        (atoms.positions
+         + 0.02 * rng.normal(size=atoms.positions.shape)).ravel()
+        for _ in range(total)
+    ]))
+    s0_all = jnp.asarray(0.02 * rng.normal(size=(total, 9)))
+    cfg = CellEnsembleConfig(natoms=nat, ncell=9, order=0, fmax=5e-3,
+                             delta0=0.1)
+    out = run_cell_ensemble_queue(
+        pot, x0_all, cfg, jnp.asarray(atoms.cell), batch=3,
+        s0_all=s0_all, max_steps_per_search=200, refill_every=10,
+    )
+    assert len(out) == total
+    assert all(r["converged"] for r in out), [r["nsteps"] for r in out]
+    fvals = [r["f"] for r in out]
+    assert np.std(fvals) < 1e-4 * abs(np.mean(fvals)) + 1e-8, fvals
