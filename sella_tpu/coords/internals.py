@@ -534,6 +534,64 @@ class Internals:
             )
         )
 
+    def check_gradient(self, delta: float = 1e-6,
+                       rtol: float = 1e-5) -> float:
+        """FD self-check of the B matrix at the current geometry
+        (the reference's per-coordinate ``check_gradient``,
+        ``internal.py:289-305``). Returns the max abs error and raises
+        ``AssertionError`` beyond ``rtol`` (relative to the largest
+        Jacobian entry)."""
+        B = self.jacobian()
+        pos0 = self.all_positions().copy()
+        n3 = pos0.size
+        err = 0.0
+        scale = max(np.abs(B).max(), 1.0)
+        for k in range(n3):
+            dp = np.zeros(n3)
+            dp[k] = delta
+            qp = self._calc_at(pos0 + dp.reshape(-1, 3))
+            qm = self._calc_at(pos0 - dp.reshape(-1, 3))
+            fd = self.wrap(qp - qm) / (2 * delta)
+            err = max(err, float(np.abs(fd - B[:, k]).max()))
+        assert err <= rtol * scale, (
+            f"B-matrix FD error {err:.3e} > {rtol * scale:.3e}"
+        )
+        return err
+
+    def check_hessian(self, delta: float = 1e-5,
+                      rtol: float = 5e-4) -> float:
+        """FD self-check of ``hessian_ldot`` against differentiated
+        Jacobians (the reference's ``check_hessian``,
+        ``internal.py:307-328``)."""
+        rng = np.random.RandomState(0)
+        w = rng.normal(size=self.nint)
+        Hl = self.hessian_ldot(w)
+        pos0 = self.all_positions().copy()
+        n3 = pos0.size
+        err = 0.0
+        scale = max(np.abs(Hl).max(), 1.0)
+        for k in range(n3):
+            dp = np.zeros(n3)
+            dp[k] = delta
+            Bp = self._jac_at(pos0 + dp.reshape(-1, 3))
+            Bm = self._jac_at(pos0 - dp.reshape(-1, 3))
+            fd = w @ (Bp - Bm) / (2 * delta)
+            err = max(err, float(np.abs(fd - Hl[:, k]).max()))
+        assert err <= rtol * scale, (
+            f"hessian_ldot FD error {err:.3e} > {rtol * scale:.3e}"
+        )
+        return err
+
+    def _calc_at(self, pos: np.ndarray) -> np.ndarray:
+        return np.asarray(self._get_engine().calc(
+            jnp.asarray(pos), jnp.asarray(self.atoms.cell)
+        ))
+
+    def _jac_at(self, pos: np.ndarray) -> np.ndarray:
+        return np.asarray(self._get_engine().jacobian(
+            jnp.asarray(pos), jnp.asarray(self.atoms.cell)
+        ))
+
     class _HessLdot:
         def __init__(self, inner):
             self.ldot = inner

