@@ -105,6 +105,8 @@ class InternalEnsembleConfig(NamedTuple):
     #   see ensemble.EnsembleConfig.restart_after — same mechanism, with
     #   the Hessian reset to the shared Lindh guess
     restart_kick: float = 0.25     # kick stddev per real-atom DOF
+    eigh_f32: bool = False         # f32 P-RFO prep + TS-BFGS |B| eighs
+    #   (see ensemble.EnsembleConfig.eigh_f32)
     # mis weights per coordinate kind (``restricted_step.py:186-243``)
     wx: float = 1.0                # translations
     wb: float = 1.0                # bonds
@@ -448,7 +450,8 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         Vr = jnp.einsum("bik,bkl->bil", V, W)
         YFr = jnp.einsum("bik,bkl->bil", YF, W)
         S_full = jnp.einsum("bij,bjk->bik", Ufree_q, Vr)
-        H_new = ts_bfgs_update_batched(H, S_full, YFr, colmask)
+        H_new = ts_bfgs_update_batched(H, S_full, YFr, colmask,
+                                       cfg.eigh_f32)
         H_out = jnp.where(active[:, None, None], H_new, H)
         return H_out, k
 
@@ -516,7 +519,8 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         UT = jnp.swapaxes(Ufree_q, 1, 2)
         Hproj = jnp.einsum("bij,bjk,bkl->bil", UT, state.H, Ufree_q)
         g_free = jnp.einsum("bij,bi->bj", Ufree_q, gq)
-        prep = prfo_prepare_batched(g_free, Hproj, cfg.order)
+        prep = prfo_prepare_batched(g_free, Hproj, cfg.order,
+                                    cfg.eigh_f32)
 
         if cfg.eig and cfg.order > 0:
             lams_proj = prep[0]
@@ -552,7 +556,8 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
 
         # ---- trust-region step in the free internal subspace ----
         Hproj1 = jnp.einsum("bij,bjk,bkl->bil", UT, H1, Ufree_q)
-        prep1 = prfo_prepare_batched(g_free, Hproj1, cfg.order)
+        prep1 = prfo_prepare_batched(g_free, Hproj1, cfg.order,
+                                     cfg.eigh_f32)
         dq_pred, smag = restricted_step_batched(
             g_free, Hproj1, Ufree_q, state.delta, cfg, prep=prep1,
             norm_fn=mis_norm,
@@ -586,7 +591,8 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         dgq = gq_new - gq
         m1 = (jnp.linalg.norm(dq_real, axis=1) > 1e-10)[:, None]
         H2 = ts_bfgs_update_batched(
-            H1, dq_real[:, :, None], dgq[:, :, None], m1 & act[:, None]
+            H1, dq_real[:, :, None], dgq[:, :, None], m1 & act[:, None],
+            cfg.eigh_f32,
         )
         H2 = jnp.where((act & m1[:, 0])[:, None, None], H2, H1)
 
