@@ -499,3 +499,131 @@ def run_cell_internal_ensemble(
         if bool(jnp.all(state.converged)):
             break
     return state
+
+
+def refresh_cell_internal(
+    state: CellInternalSearchState, potential, ints,
+    cfg: CellInternalEnsembleConfig, cell0,
+    cell_mask: Optional[np.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> CellInternalSearchState:
+    """Recompute (f, g, gs, q, gq) for all lanes — call once after a
+    refill; only ``mask`` lanes' neval counters advance."""
+    engine = ints._get_engine()
+    n = cfg.natoms
+    cell_of, make_enthalpy = _cell_map(cfg, cell0, cell_mask)
+    enthalpy = make_enthalpy(potential)
+    cells = jax.vmap(cell_of)(state.s)
+    f, (g, gs) = jax.vmap(
+        jax.value_and_grad(enthalpy, argnums=(0, 1))
+    )(state.x, state.s)
+    q = jax.vmap(lambda x, c: engine._calc_impl(x.reshape(n, 3), c))(
+        state.x, cells
+    )
+    Bm = jax.vmap(lambda x, c: engine._jac_impl(x.reshape(n, 3), c))(
+        state.x, cells
+    )
+    apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+    gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, g))
+    inc = 1 if mask is None else mask.astype(state.neval.dtype)
+    return state._replace(f=f, g=g, gs=gs, q=q, gq=gq,
+                          neval=state.neval + inc)
+
+
+def run_cell_internal_ensemble_queue(
+    potential, ints, x0_all: jnp.ndarray,
+    cfg: CellInternalEnsembleConfig, cell0, batch: int,
+    cell_mask: Optional[np.ndarray] = None,
+    s0_all: Optional[jnp.ndarray] = None,
+    max_steps_per_search: int = 200, refill_every: int = 10,
+    seed: int = 0,
+):
+    """Work-queue compaction for the internal+cell tier (mirror of
+    ``ensemble.run_ensemble_queue``). Returns per-input dicts
+    ``{x, s, f, nsteps, converged}`` in input order."""
+    x0_all = jnp.asarray(x0_all)
+    total = x0_all.shape[0]
+    dtype = x0_all.dtype
+    if s0_all is None:
+        s0_all = jnp.zeros((total, cfg.ncell), dtype)
+    else:
+        s0_all = jnp.asarray(s0_all, dtype)
+
+    step = jax.jit(
+        make_cell_internal_step_fn(potential, ints, cfg, cell0,
+                                   cell_mask),
+        donate_argnums=0,
+    )
+
+    state = init_cell_internal_state(
+        potential, ints, x0_all[:batch], cfg, cell0, cell_mask,
+        s0_all[:batch],
+    )
+    H0 = state.H[0]
+    origin = np.arange(batch)
+    next_idx = batch
+    results: dict = {}
+    key = jax.random.PRNGKey(seed)
+
+    it = 0
+    while len(results) < total:
+        for _ in range(refill_every):
+            state = step(state, jax.random.fold_in(key, it))
+            it += 1
+
+        conv = np.asarray(state.converged)
+        nsteps = np.asarray(state.nsteps)
+        done = conv | (nsteps >= max_steps_per_search)
+        if not np.any(done):
+            continue
+
+        xs = np.asarray(state.x)
+        ss = np.asarray(state.s)
+        fs = np.asarray(state.f)
+        for lane in np.where(done)[0]:
+            oi = origin[lane]
+            if oi >= 0 and oi not in results:
+                results[oi] = dict(
+                    x=xs[lane].copy(), s=ss[lane].copy(),
+                    f=float(fs[lane]), nsteps=int(nsteps[lane]),
+                    converged=bool(conv[lane]),
+                )
+
+        x_fill = jnp.asarray(xs)
+        s_fill = jnp.asarray(ss)
+        take = np.zeros(batch, dtype=bool)
+        new_origin = origin.copy()
+        for lane in np.where(done)[0]:
+            if next_idx < total:
+                x_fill = x_fill.at[lane].set(x0_all[next_idx])
+                s_fill = s_fill.at[lane].set(s0_all[next_idx])
+                take[lane] = True
+                new_origin[lane] = next_idx
+                next_idx += 1
+            else:
+                new_origin[lane] = -1
+        take_j = jnp.asarray(take)
+        tk = take_j[:, None]
+        state = state._replace(
+            x=jnp.where(tk, x_fill, state.x),
+            s=jnp.where(tk, s_fill, state.s),
+            H=jnp.where(take_j[:, None, None],
+                        jnp.broadcast_to(H0[None], state.H.shape),
+                        state.H),
+            delta=jnp.where(take_j, jnp.asarray(cfg.delta0, dtype),
+                            state.delta),
+            rho=jnp.where(take_j, jnp.ones((), dtype), state.rho),
+            converged=(
+                ((jnp.asarray(done) | state.converged) & ~take_j)
+                | jnp.asarray(new_origin < 0)
+            ),
+            nsteps=jnp.where(take_j, 0, state.nsteps),
+            neval=jnp.where(take_j, 0, state.neval),
+        )
+        if take.any():
+            state = refresh_cell_internal(
+                state, potential, ints, cfg, cell0, cell_mask, take_j
+            )
+        origin = new_origin
+
+    return [results[i] for i in range(total)]

@@ -126,3 +126,35 @@ def test_cell_internal_sharded():
         max_steps=200, mesh=mesh, steps_per_call=5,
     )
     assert int(st.converged.sum()) >= 6, np.asarray(st.nsteps)
+
+
+def test_cell_internal_queue():
+    """Work-queue compaction for the internal+cell tier: 5 strained
+    bulk inputs through a 2-lane batch, all converged."""
+    from sella_tpu.parallel.ensemble_cell_internal import (
+        run_cell_internal_ensemble_queue,
+    )
+
+    atoms, ints, _, _ = _bulk_setup()
+    nat = len(atoms)
+    rng = np.random.RandomState(3)
+    total = 5
+    x0_all = jnp.asarray(np.stack([
+        (atoms.positions
+         + 0.02 * rng.normal(size=atoms.positions.shape)).ravel()
+        for _ in range(total)
+    ]))
+    s0_all = jnp.asarray(0.02 * rng.normal(size=(total, 9)))
+    cfg = CellInternalEnsembleConfig(
+        natoms=nat, nint=ints.nint, ncell=9, order=0, fmax=5e-3,
+        delta0=0.1, h0_cell=10.0,
+    )
+    out = run_cell_internal_ensemble_queue(
+        LennardJones(pbc=True), ints, x0_all, cfg,
+        jnp.asarray(atoms.cell), batch=2, s0_all=s0_all,
+        max_steps_per_search=250, refill_every=25,
+    )
+    assert len(out) == total
+    assert all(r["converged"] for r in out), [r["nsteps"] for r in out]
+    fvals = [r["f"] for r in out]
+    assert np.std(fvals) < 1e-4 * abs(np.mean(fvals)) + 1e-8, fvals
