@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sella_tpu.ops.linalg import batched_eigh
+
 BIG = 1e30
 # stiff positive curvature assigned to constrained-out directions in the
 # inequality (projector) path: far above any physical eigenvalue, far
@@ -211,16 +213,24 @@ def _masked_ritz(V, AV, k, K):
     """Galerkin eigenproblem on the masked subspace.
 
     Padded columns are exactly zero, so ``V^T AV`` is block structured;
-    adding BIG to the padded diagonal pushes phantom Ritz values to the
-    top of the spectrum, keeping the leftmost (physical) pairs in the
-    first k slots after the ascending-order eigh.
+    adding a per-lane shift that dominates the physical spectrum to the
+    padded diagonal pushes phantom Ritz values to the top, keeping the
+    leftmost (physical) pairs in the first k slots after the
+    ascending-order eigh. The shift is moderate (10 K max|Atilde| + 1,
+    a Gershgorin-style bound) rather than a global BIG so the
+    refined-eigh cluster threshold — scaled by the spectral radius —
+    still resolves physical eigenvalue gaps (see
+    :func:`sella_tpu.ops.linalg.eigh_refined`).
     """
     Atilde = jnp.einsum("bik,bil->bkl", V, AV)
     Atilde = 0.5 * (Atilde + jnp.swapaxes(Atilde, -1, -2))
     colmask = jnp.arange(K)[None, :] < k[:, None]          # (B, K)
-    pad = jnp.where(colmask, 0.0, BIG)
-    Atilde = Atilde + jnp.eye(K, dtype=V.dtype)[None] * pad[:, None, :]
-    lams, W = jnp.linalg.eigh(Atilde)
+    pad_val = 10.0 * K * jnp.max(
+        jnp.abs(Atilde), axis=(-2, -1), keepdims=True
+    ) + 1.0
+    pad = jnp.where(colmask[:, None, :], 0.0, pad_val)
+    Atilde = Atilde + jnp.eye(K, dtype=V.dtype)[None] * pad
+    lams, W = batched_eigh(Atilde)
     return lams, W, colmask
 
 
@@ -235,7 +245,7 @@ def sym_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-14):
     and the jd0 augmented system is symmetric, so the eigh route is both
     portable and as stable as LDL^T for these tiny matrices.
     """
-    lams, V = jnp.linalg.eigh(A)
+    lams, V = batched_eigh(A)
     amax = jnp.max(jnp.abs(lams), axis=-1, keepdims=True)
     keep = jnp.abs(lams) > rcond * jnp.maximum(amax, 1e-300)
     inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)
@@ -245,7 +255,7 @@ def sym_solve(A: jnp.ndarray, b: jnp.ndarray, rcond: float = 1e-14):
 def _sym_pinv(A: jnp.ndarray, rcond: float = 1e-12) -> jnp.ndarray:
     """Batched pseudo-inverse of a symmetric matrix via eigh (batched
     SVD is ~20x slower on TPU; see _blstsq)."""
-    lams, V = jnp.linalg.eigh(A)
+    lams, V = batched_eigh(A)
     lmax = jnp.max(jnp.abs(lams), axis=-1, keepdims=True)
     keep = jnp.abs(lams) > rcond * jnp.maximum(lmax, 1e-300)
     inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)
@@ -263,7 +273,7 @@ def _blstsq(A: jnp.ndarray, Bv: jnp.ndarray, rcond: float = 1e-10):
     of the whole Davidson+absorb cost. The only consumer is the TS-BFGS
     normal matrix ``XS_S``, which is symmetric PSD by construction.
     """
-    lams, V = jnp.linalg.eigh(A)
+    lams, V = batched_eigh(A)
     lmax = jnp.max(jnp.abs(lams), axis=-1, keepdims=True)
     keep = jnp.abs(lams) > rcond * jnp.maximum(lmax, 1e-300)
     inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)
@@ -303,12 +313,13 @@ def ts_bfgs_update_batched(
 
 
 def eigh_maybe_f32(A: jnp.ndarray, f32: bool = False):
-    """Batched symmetric eigh, optionally computed in f32 and cast
-    back (the EnsembleConfig.eigh_f32 fast path)."""
-    if not f32:
-        return jnp.linalg.eigh(A)
-    lams, V = jnp.linalg.eigh(A.astype(jnp.float32))
-    return lams.astype(A.dtype), V.astype(A.dtype)
+    """Batched symmetric eigh through the session-wide chokepoint
+    (:func:`sella_tpu.ops.linalg.batched_eigh`): ``f32=True`` forces the
+    cast-down fast path (the EnsembleConfig.eigh_f32 flag); otherwise
+    the session default applies — native f64 on CPU, f32-factor +
+    f64-refinement on TPU (where emulated f64 eigh NaNs on degenerate
+    clusters and dominates step cost)."""
+    return batched_eigh(A, "f32" if f32 else None)
 
 
 def _abs_psd(B: jnp.ndarray, f32: bool = False) -> jnp.ndarray:
@@ -326,7 +337,7 @@ def bootstrap_B_batched(S, Y, mask, dim):
     colmask = mask
     pad = jnp.where(colmask, 0.0, 1.0)
     STY = STY + jnp.eye(K)[None] * pad[:, None, :] * jnp.eye(K)[None]
-    thetas = jnp.linalg.eigvalsh(STY)
+    thetas = batched_eigh(STY)[0]
     logs = jnp.log(jnp.maximum(jnp.abs(thetas), 1e-12))
     # average only over the active columns: padded eigenvalues are 1 -> log 0,
     # so sum(logs)/k is exactly the masked mean
@@ -786,7 +797,7 @@ def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key):
     # [[P - theta I, v], [v^T, 0]] is then two diagonal applications via
     # the Olsen formula — saving one batched eigh per expansion (~2.6 ms
     # per iteration at batch 1024 f64 on v5e).
-    lamsP, QP = jnp.linalg.eigh(P)
+    lamsP, QP = batched_eigh(P)
 
     def pinv_shift_apply(theta, x):
         """(P - theta I)^+ x through the precomputed eigenbasis."""

@@ -57,6 +57,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sella_tpu.ops.linalg import batched_eigh
+
 from .ensemble import (
     _davidson_loop,
     _masked_ritz,
@@ -286,7 +288,7 @@ def _gram_pinv(Bm: jnp.ndarray, nfree: int):
     rank of a connected molecule's B is always 3n - 6); thresholded
     inverse eigenvalues give the pseudo-inverse application."""
     G = jnp.einsum("bik,bjk->bij", Bm, Bm)
-    lams, V = jnp.linalg.eigh(G)
+    lams, V = batched_eigh(G)
     lmax = jnp.maximum(lams[:, -1:], 1e-300)
     keep = lams > 1e-10 * lmax
     inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)

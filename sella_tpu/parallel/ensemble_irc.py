@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sella_tpu.ops.linalg import batched_eigh
+
 from .ensemble import (
     free_basis,
     restricted_step_batched,
@@ -82,7 +84,7 @@ class IRCState(NamedTuple):
 
 def _qn_irc_prepare_batched(g, H, d1):
     """Batched analogue of ``qn_irc_prepare`` (``stepper.py:99-111``)."""
-    lams, V = jnp.linalg.eigh(H)
+    lams, V = batched_eigh(H)
     Vg = jnp.einsum("bij,bi->bj", V, g)
     Vd1 = jnp.einsum("bij,bi->bj", V, d1)
     return (lams, V, Vg, Vd1)
@@ -232,7 +234,7 @@ def make_irc_step_fn(potential, cfg: IRCEnsembleConfig,
         Ux = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(fin.x)
         Hp = jnp.einsum("bij,bjk,bkl->bil", jnp.swapaxes(Ux, 1, 2),
                         fin.H, Ux)
-        lam0 = jnp.linalg.eigvalsh(Hp)[:, 0]
+        lam0 = batched_eigh(Hp)[0][:, 0]
         conv_new = state.converged | (
             act & (fmax_now < cfg.fmax) & (lam0 > 0)
         )
@@ -291,7 +293,7 @@ def init_irc_state(
         Uw = jnp.linalg.qr(sqrtm[:, None] * U)[0]    # mw-orthonormal
         Hw = H / (sqrtm[:, None] * sqrtm[None, :])
         A = Uw.T @ Hw @ Uw
-        _, V = jnp.linalg.eigh(A)
+        _, V = batched_eigh(A)
         return Uw @ V[:, 0]
 
     vw = jax.vmap(leftmost_mw_mode)(x_ts, H_ts)

@@ -27,6 +27,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from sella_tpu.ops.linalg import batched_eigh
+
 
 class LBFGSMemory(NamedTuple):
     S: jnp.ndarray      # (K, d) position secants
@@ -139,7 +141,7 @@ def leftmost_mode(hvp: Callable, v0: jnp.ndarray, n_iter: int = 10,
             return (V, T)
 
         V, T = jax.lax.fori_loop(0, m, lanczos_step, (V, T))
-        lams, W = jnp.linalg.eigh(T)
+        lams, W = batched_eigh(T)
         v_new = W[:, 0] @ V
         nrm = jnp.linalg.norm(v_new)
         v_new = v_new / jnp.maximum(nrm, 1e-300)
