@@ -260,34 +260,23 @@ def make_irc_step_fn(potential, cfg: IRCEnsembleConfig,
     return step
 
 
-def init_irc_state(
-    potential,
-    x_ts: jnp.ndarray,
-    H_ts: jnp.ndarray,
-    cfg: IRCEnsembleConfig,
-    masses: np.ndarray,
-    direction: str = "forward",
-    cell: Optional[jnp.ndarray] = None,
-) -> IRCState:
-    """Initialize from an ensemble of transition states: per-lane
-    mass-weighted eigh gives the imaginary-mode pivot (``irc.py:85-99``);
-    ``direction`` flips its sign for the reverse run."""
-    if direction not in ("forward", "reverse"):
-        raise ValueError('direction must be "forward" or "reverse"')
-    if cell is None:
-        cell = jnp.zeros((3, 3))
-    x_ts = jnp.asarray(x_ts)
-    H_ts = jnp.asarray(H_ts)
-    Bsz = x_ts.shape[0]
-    sqrtm = jnp.asarray(np.repeat(np.sqrt(np.asarray(masses)), 3))
+def _mw_pivot(x_ts: jnp.ndarray, H_ts: jnp.ndarray,
+              cfg: IRCEnsembleConfig, sqrtm: jnp.ndarray) -> jnp.ndarray:
+    """Sign-canonical mass-weighted imaginary-mode pivot, length
+    ``cfg.dx`` in mass-weighted arc length (``irc.py:85-99``).
 
-    # The leftmost mass-weighted mode INSIDE the rigid-free subspace:
-    # quasi-Newton Hessians from an ensemble run carry unconstrained
-    # (often spuriously negative) rigid-mode blocks — the raw eigh of
-    # Hw would hand back a translation/rotation as the "imaginary
-    # mode" and both IRC directions would fall into the same basin.
-    # (The reference sidesteps this by running a fresh full
-    # diagonalization at the TS, ``irc.py:85-99``.)
+    The leftmost mass-weighted mode is taken INSIDE the rigid-free
+    subspace: quasi-Newton Hessians from an ensemble run carry
+    unconstrained (often spuriously negative) rigid-mode blocks — the
+    raw eigh of Hw would hand back a translation/rotation as the
+    "imaginary mode" and both IRC directions would fall into the same
+    basin. (The reference sidesteps this by running a fresh full
+    diagonalization at the TS.) Canonical sign: largest-|component|
+    positive (the reference's first-nonzero rule, ``irc.py:94-97``, is
+    not vectorizable across lanes with different sparsity patterns —
+    both are arbitrary tie-breaks)."""
+    Bsz = x_ts.shape[0]
+
     def leftmost_mw_mode(x, H):
         U = free_basis(x, cfg.nproj)                 # (dim, m)
         Uw = jnp.linalg.qr(sqrtm[:, None] * U)[0]    # mw-orthonormal
@@ -301,12 +290,40 @@ def init_irc_state(
     v0 = cfg.dx * v0 / jnp.linalg.norm(
         v0 * sqrtm[None, :], axis=1, keepdims=True
     )
-    # canonical sign: largest-|component| positive
     b = jnp.arange(Bsz)
     lead = v0[b, jnp.argmax(jnp.abs(v0), axis=1)]
-    v0 = v0 * jnp.where(lead < 0, -1.0, 1.0)[:, None]
-    if direction == "reverse":
-        v0 = -v0
+    return v0 * jnp.where(lead < 0, -1.0, 1.0)[:, None]
+
+
+def init_irc_state(
+    potential,
+    x_ts: jnp.ndarray,
+    H_ts: jnp.ndarray,
+    cfg: IRCEnsembleConfig,
+    masses: np.ndarray,
+    direction: str = "forward",
+    cell: Optional[jnp.ndarray] = None,
+) -> IRCState:
+    """Initialize from an ensemble of transition states: per-lane
+    mass-weighted eigh gives the imaginary-mode pivot (``irc.py:85-99``);
+    ``direction`` flips its sign for the reverse run — either a string
+    applied to every lane or a per-lane ±1 array (the work-queue path,
+    where forward and reverse runs of different TSs share one batch)."""
+    if cell is None:
+        cell = jnp.zeros((3, 3))
+    x_ts = jnp.asarray(x_ts)
+    H_ts = jnp.asarray(H_ts)
+    Bsz = x_ts.shape[0]
+    sqrtm = jnp.asarray(np.repeat(np.sqrt(np.asarray(masses)), 3))
+
+    if isinstance(direction, str):
+        if direction not in ("forward", "reverse"):
+            raise ValueError('direction must be "forward" or "reverse"')
+        sign = jnp.full(Bsz, -1.0 if direction == "reverse" else 1.0)
+    else:
+        sign = jnp.asarray(direction, x_ts.dtype)
+
+    v0 = _mw_pivot(x_ts, H_ts, cfg, sqrtm) * sign[:, None]
 
     f, g = jax.vmap(
         lambda xx: jax.value_and_grad(potential.energy)(xx, cell)
@@ -370,3 +387,153 @@ def run_irc_ensemble(
             (0,) + state.x.shape
         )
     return state
+
+
+def make_irc_refill_fn(potential, cfg: IRCEnsembleConfig,
+                       masses: np.ndarray,
+                       cell: Optional[jnp.ndarray] = None):
+    """Jittable lane refill for the IRC work queue.
+
+    ``refill(state, x_new, H_new, sign_new, avail)`` re-initializes
+    every lane where ``state.converged & avail`` from the corresponding
+    rows of (x_new, H_new, sign_new) — fresh pivot, reset counters —
+    and leaves the rest untouched. Follows the splice pattern of
+    :func:`sella_tpu.parallel.ensemble_internal.refill_converged_internal`:
+    the fresh quantities are computed for the whole batch (one batched
+    eigh + one batched force call, cheap at queue cadence) and
+    where-spliced, keeping shapes static."""
+    if cell is None:
+        cell = jnp.zeros((3, 3))
+    sqrtm = jnp.asarray(np.repeat(np.sqrt(np.asarray(masses)), 3))
+
+    def refill(state: IRCState, x_new, H_new, sign_new, avail):
+        take = state.converged & avail
+        v0 = _mw_pivot(x_new, H_new, cfg, sqrtm) * sign_new[:, None]
+        f, g = jax.vmap(
+            lambda xx: jax.value_and_grad(potential.energy)(xx, cell)
+        )(x_new)
+        tf = take[:, None]
+        tm = take[:, None, None]
+        return IRCState(
+            x=jnp.where(tf, x_new, state.x),
+            f=jnp.where(take, f, state.f),
+            g=jnp.where(tf, g, state.g),
+            H=jnp.where(tm, H_new, state.H),
+            d1=jnp.where(tf, v0, state.d1),
+            converged=state.converged & ~take,
+            inner_fail=state.inner_fail & ~take,
+            nsteps=jnp.where(take, 0, state.nsteps),
+            neval=jnp.where(take, 1, state.neval),
+        ), take
+
+    return refill
+
+
+def run_irc_ensemble_queue(
+    potential,
+    x_ts_all: jnp.ndarray,
+    H_ts_all: jnp.ndarray,
+    cfg: IRCEnsembleConfig,
+    masses: np.ndarray,
+    batch: int,
+    directions: str = "both",
+    max_steps_per_search: int = 150,
+    cell: Optional[jnp.ndarray] = None,
+    refill_every: int = 10,
+):
+    """Process an arbitrarily large set of transition states with a
+    fixed device batch (mirror of
+    :func:`sella_tpu.parallel.ensemble.run_ensemble_queue`).
+
+    ``directions='both'`` expands every TS into a forward and a reverse
+    work item — both path halves of different TSs advance in the same
+    jitted batch. Returns one dict per work item:
+    ``{"ts": i, "direction": +1|-1, "x": endpoint, "f": energy,
+    "nsteps": outer steps, "converged": bool, "inner_fail": bool}``
+    ordered by (ts index, forward-then-reverse).
+    """
+    x_ts_all = jnp.asarray(x_ts_all)
+    H_ts_all = jnp.asarray(H_ts_all)
+    nts = x_ts_all.shape[0]
+    if directions == "both":
+        items = [(i, s) for i in range(nts) for s in (1.0, -1.0)]
+    elif directions in ("forward", "reverse"):
+        s = 1.0 if directions == "forward" else -1.0
+        items = [(i, s) for i in range(nts)]
+    else:
+        raise ValueError(
+            'directions must be "forward", "reverse" or "both"'
+        )
+    total = len(items)
+    batch = min(batch, total)
+
+    step = jax.jit(make_irc_step_fn(potential, cfg, masses, cell),
+                   donate_argnums=0)
+    refill = jax.jit(make_irc_refill_fn(potential, cfg, masses, cell),
+                     donate_argnums=0)
+
+    def block(idxs):
+        ts = np.array([items[j][0] for j in idxs])
+        sg = np.array([items[j][1] for j in idxs])
+        return (x_ts_all[jnp.asarray(ts)], H_ts_all[jnp.asarray(ts)],
+                jnp.asarray(sg))
+
+    x_b, H_b, sg_b = block(range(batch))
+    state = init_irc_state(potential, x_b, H_b, cfg, masses,
+                           np.asarray(sg_b), cell)
+    origin = np.arange(batch)
+    next_idx = batch
+    results: dict = {}
+
+    while len(results) < total:
+        for _ in range(refill_every):
+            state = step(state)
+
+        conv = np.asarray(state.converged)
+        nsteps = np.asarray(state.nsteps)
+        done = conv | (nsteps >= max_steps_per_search)
+        if not np.any(done):
+            continue
+
+        xs = np.asarray(state.x)
+        fs = np.asarray(state.f)
+        ifail = np.asarray(state.inner_fail)
+        for lane in np.where(done)[0]:
+            j = origin[lane]
+            if j >= 0 and j not in results:
+                results[int(j)] = {
+                    "ts": items[j][0],
+                    "direction": int(items[j][1]),
+                    "x": xs[lane].copy(),
+                    "f": float(fs[lane]),
+                    "nsteps": int(nsteps[lane]),
+                    "converged": bool(conv[lane]),
+                    "inner_fail": bool(ifail[lane]),
+                }
+
+        x_new = np.array(xs)
+        H_new = np.array(np.asarray(state.H))
+        sg_new = np.ones(batch)
+        avail = np.zeros(batch, dtype=bool)
+        new_origin = origin.copy()
+        for lane in np.where(done)[0]:
+            if next_idx < total:
+                ti, si = items[next_idx]
+                x_new[lane] = np.asarray(x_ts_all[ti])
+                H_new[lane] = np.asarray(H_ts_all[ti])
+                sg_new[lane] = si
+                avail[lane] = True
+                new_origin[lane] = next_idx
+                next_idx += 1
+            else:
+                new_origin[lane] = -1
+        # done-but-unconverged lanes become refillable / idle cheaply
+        state = state._replace(converged=jnp.asarray(conv | done))
+        if np.any(avail):
+            state, _ = refill(
+                state, jnp.asarray(x_new), jnp.asarray(H_new),
+                jnp.asarray(sg_new), jnp.asarray(avail),
+            )
+            origin = new_origin
+
+    return [results[j] for j in range(total)]

@@ -92,3 +92,31 @@ def test_irc_ensemble_path_recording(lj4_saddle_ensemble):
         nst = int(np.asarray(st.nsteps)[b])
         es = es[:nst]
         assert all(e2 <= e1 + 1e-10 for e1, e2 in zip(es, es[1:])), es
+
+
+def test_irc_ensemble_queue(lj4_saddle_ensemble):
+    """Work queue: 6 TSs x both directions = 12 items through a
+    4-lane batch. Every item integrates to the LJ4 tetrahedron minimum
+    (E = -6), and per-TS forward/reverse endpoints differ."""
+    from sella_tpu.parallel.ensemble_irc import run_irc_ensemble_queue
+
+    pot, x_ts, H_ts, e_ts = lj4_saddle_ensemble
+    masses = np.full(4, 39.948)
+    cfg = IRCEnsembleConfig(natoms=4, fmax=1e-2, dx=0.4)
+    out = run_irc_ensemble_queue(
+        pot, x_ts[:6], H_ts[:6], cfg, masses, batch=4,
+        directions="both", max_steps_per_search=150, refill_every=10,
+    )
+    assert len(out) == 12
+    # ordering contract: (ts, forward) then (ts, reverse)
+    assert [(r["ts"], r["direction"]) for r in out] == [
+        (i, s) for i in range(6) for s in (1, -1)
+    ]
+    for r in out:
+        assert r["converged"], r
+        assert not r["inner_fail"], r
+        np.testing.assert_allclose(r["f"], -6.0, atol=1e-4)
+    for i in range(6):
+        fwd = out[2 * i]["x"]
+        rev = out[2 * i + 1]["x"]
+        assert np.linalg.norm(fwd - rev) > 1e-2
