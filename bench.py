@@ -187,43 +187,167 @@ def run_config(name, batch, max_steps, chunk, profile=False):
     return rate, stats
 
 
+def run_internal_config(batch, max_steps=150, chunk=10):
+    """BASELINE config 2: batched molecular saddle refinements in
+    redundant internal coordinates (Morse Xe4, the reference's
+    integration molecule) vs the Cartesian tier on identical starts and
+    criteria — the internal tier's convergence advantage, measured at
+    ensemble scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from sella_tpu.atoms import Atoms
+    from sella_tpu.coords.internals import Internals
+    from sella_tpu.parallel.ensemble import EnsembleConfig
+    from sella_tpu.parallel.ensemble_internal import InternalEnsembleConfig
+    from sella_tpu.potentials import MorsePotential
+    from sella_tpu.utils.units import kB
+
+    r0 = 4.73
+    pot = MorsePotential(epsilon=226.9 * kB, r0=r0, rho0=r0 * 1.099)
+    rng = np.random.RandomState(4)
+    pos0 = rng.normal(size=(4, 3), scale=3.0)
+    atoms = Atoms(["Xe"] * 4, pos0)
+    ints = Internals(atoms)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    rng2 = np.random.RandomState(0)
+    x0 = jnp.asarray(
+        (pos0[None] + 0.3 * rng2.normal(size=(batch, 4, 3))).reshape(
+            batch, 12
+        )
+    )
+
+    from sella_tpu.parallel.ensemble import init_state, make_step_fn
+    from sella_tpu.parallel.ensemble_internal import (
+        init_internal_state,
+        make_internal_step_fn,
+    )
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for tier in ("internal", "cartesian"):
+        if tier == "internal":
+            cfg = InternalEnsembleConfig(
+                natoms=4, nint=ints.nint, order=1, fmax=1e-3,
+                gamma=1e-3, restart_after=60,
+            )
+            step = make_internal_step_fn(pot, ints, cfg)
+            state = init_internal_state(pot, ints, x0, cfg)
+        else:
+            ccfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3,
+                                  gamma=1e-3, restart_after=60)
+            step = make_step_fn(pot, ccfg, None)
+            state = init_state(pot, x0, ccfg, None)
+
+        def multi_step(st, base_key, _step=step):
+            def body(i, s):
+                return _step(s, jax.random.fold_in(base_key, i))
+
+            return jax.lax.fori_loop(0, chunk, body, st)
+
+        multi_jit = jax.jit(multi_step, donate_argnums=0)
+        # warmup/compile chunk: untimed, conversions excluded
+        state = multi_jit(state, jax.random.fold_in(key, 0))
+        jax.block_until_ready(state.x)
+        nconv_warm = int(jnp.sum(state.converged))
+
+        t0 = time.perf_counter()
+        for i in range(1, max_steps // chunk + 1):
+            state = multi_jit(state, jax.random.fold_in(key, i))
+            if bool(jnp.all(state.converged)):
+                break
+        jax.block_until_ready(state.x)
+        elapsed = time.perf_counter() - t0
+
+        conv = np.asarray(state.converged)
+        out[tier] = {
+            "converged_frac": round(float(conv.mean()), 4),
+            "mean_steps": round(
+                float(np.asarray(state.nsteps)[conv].mean()), 1
+            ),
+            "mean_matvecs": round(
+                float(np.asarray(state.nmatvec).mean()), 1
+            ),
+            "rate_searches_per_s": round(
+                (int(conv.sum()) - nconv_warm) / elapsed, 2
+            ),
+            "elapsed_s": round(elapsed, 2),
+        }
+    return out
+
+
 def run_largescale(natoms_target=10000, nsteps=3):
-    """BASELINE config 5: matrix-free MMF on a ~10k-atom slab with the
-    bounded-memory chunked pair panel (dense n^2 neither fits nor
-    compiles at this size). Reports seconds per MMF step (each step =
-    1 force call + Lanczos leftmost-mode HVPs). Measured 2026-08-17 on
-    the v5e bench chip: force call 9.2 s, HVP 13.7 s at n=10000 f64."""
+    """BASELINE config 5: matrix-free MMF on a ~10k-atom slab.
+
+    Headline path: the O(N) cell-binned potential (jax-md-style fixed
+    shapes, 27-cell gathers) — vs the bounded-memory chunked O(N^2)
+    panel as the in-repo anchor (dense n^2 neither fits nor compiles
+    at this size). Reports seconds per MMF step (each step = 1 force
+    call + Lanczos leftmost-mode HVPs). History on the v5e bench chip
+    (n=10000 f64): chunked force call 9.2 s, HVP 13.7 s."""
     import time as _t
 
     import jax
     import jax.numpy as jnp
 
     from sella_tpu.parallel.largescale import make_mmf_step, mmf_init
-    from sella_tpu.potentials import ChunkedPairPotential, LennardJones
+    from sella_tpu.potentials import (
+        BinnedPairPotential,
+        ChunkedPairPotential,
+        LennardJones,
+    )
     from sella_tpu.potentials.emt import fcc111_slab
 
     k = max(int(round((natoms_target / 4) ** 0.5)), 2)
     slab = fcc111_slab("Cu", 3.59, size=(k, k + k % 2, 4))
     n = len(slab.positions)
-    pot = ChunkedPairPotential(LennardJones(pbc=True), chunk=1000)
     x0 = jnp.asarray(slab.positions.ravel())
     cell = jnp.asarray(slab.cell)
-    step = jax.jit(make_mmf_step(pot, cell, order=0, fmax=1e-3))
-    state = mmf_init(pot, x0, cell)
-    state = step(state)
-    jax.block_until_ready(state.x)          # compile + first step
-    t0 = _t.perf_counter()
-    for _ in range(nsteps):
+    # same physical model for both paths: LJ sized for the Cu lattice,
+    # truncated at rc (~4 neighbor shells); z-height 18.3 A >= 3 rc
+    inner = LennardJones(pbc=True, sigma=2.3, epsilon=0.4, rc=5.5)
+    stats = {"natoms": n, "steps_timed": nsteps}
+    rates = {}
+    for name in ("binned", "chunked"):
+        if name == "binned":
+            pot = BinnedPairPotential(inner, rc=5.5, x0=x0, cell=cell,
+                                      shift=False)
+        else:
+            pot = ChunkedPairPotential(inner, chunk=1000)
+        step = jax.jit(make_mmf_step(pot, cell, order=0, fmax=1e-3))
+        state = mmf_init(pot, jnp.array(x0), cell)
         state = step(state)
-    jax.block_until_ready(state.x)
-    per_step = (_t.perf_counter() - t0) / nsteps
-    return per_step, {"natoms": n, "steps_timed": nsteps,
-                      "sec_per_step": round(per_step, 2)}
+        jax.block_until_ready(state.x)      # compile + first step
+        t0 = _t.perf_counter()
+        for _ in range(nsteps):
+            state = step(state)
+        jax.block_until_ready(state.x)
+        rates[name] = (_t.perf_counter() - t0) / nsteps
+        stats[f"sec_per_step_{name}"] = round(rates[name], 3)
+    stats["binned_speedup"] = round(rates["chunked"] / rates["binned"], 1)
+    return rates["binned"], stats
 
 
 def main():
     headline = os.environ.get("BENCH_CONFIG", "emt")
     profile = os.environ.get("BENCH_PROFILE", "0") == "1"
+
+    if headline == "internal":
+        batch = int(os.environ.get("BENCH_BATCH", "1024"))
+        out = run_internal_config(batch)
+        rate = out["internal"]["rate_searches_per_s"]
+        print(json.dumps({
+            "metric": (
+                "converged molecular (Morse Xe4) internal-coordinate "
+                f"saddle searches/sec/chip (batch={batch}, fmax=1e-3)"
+            ),
+            "value": rate,
+            "unit": "searches/s",
+            "vs_baseline": round(rate / SEQ_BASELINE["lj4"], 1),
+            "extra": out,
+        }))
+        return
 
     if headline == "largescale":
         per_step, stats = run_largescale(

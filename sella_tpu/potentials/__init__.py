@@ -1,4 +1,5 @@
 from .base import ASECalculatorWrapper, Potential, get_potential
+from .binned import BinnedPairPotential
 from .emt import EMT
 from .pair import Harmonic, LennardJones, MorsePotential
 from .sharded import ChunkedPairPotential, ShardedPairPotential
@@ -7,6 +8,7 @@ from .tip3p import TIP3P
 __all__ = [
     "EMT",
     "TIP3P",
+    "BinnedPairPotential",
     "ChunkedPairPotential",
     "ShardedPairPotential",
     "ASECalculatorWrapper",
