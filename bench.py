@@ -42,6 +42,16 @@ statistics; extending f32 to the Davidson Ritz solve gained nothing
 to the LJ4 config LOST ~45% (the (B, 6, 6) eighs are too small to win
 over the cast traffic). Batch sweep at the new step cost: 256 -> 22.4,
 512 -> 18.2, 1024 -> 19.8 searches/s, so the headline stays at 256.
+
+Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
+through the tunnel is unreliable): with every batched eigh routed
+through the f32-factor + f64-refinement path (``SELLA_TPU_EIGH=
+refined``) EMT measured 27.5/s and the 4096-lane LJ4 34.5/s; with
+native f64 (now the default) EMT measured 32.3/s and LJ4 84.4/s with
+identical convergence statistics. Conclusion: refined eigh is a
+ROBUSTNESS tool (the emulated-f64 eigh NaNs on degenerate clusters —
+internal-tier Gram matrices use it unconditionally via the "robust"
+mode), not a throughput tool; generic small-matrix eighs stay f64.
 """
 import json
 import os

@@ -348,28 +348,37 @@ def eigh_refined(A: jnp.ndarray, sweeps: int = 2,
 def _default_eigh_mode() -> str:
     """Resolve the session-wide batched-eigh mode.
 
-    ``SELLA_TPU_EIGH`` overrides; otherwise ``refined`` on TPU-class
-    backends (where the emulated f64 eigh both NaNs on degenerate
-    spectra and dominates step cost) and native ``f64`` elsewhere."""
+    ``SELLA_TPU_EIGH`` overrides; otherwise native ``f64`` everywhere.
+    Whole-run benches on v5e showed the refined path as a *default*
+    costs real step time (LJ4 4096-lane 84.4 -> 34.5 searches/s; EMT
+    32.3 -> 27.5) while the emulated-f64 NaN failure is confined to
+    structurally degenerate spectra — those call sites (the internal
+    tiers' singular Gram ``B B^T``, zero eigenvalue of multiplicity
+    nint - nred) call :func:`eigh_refined` directly instead."""
     import os
 
     mode = os.environ.get("SELLA_TPU_EIGH", "").strip().lower()
     if mode in ("f64", "f32", "refined"):
         return mode
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        backend = "cpu"
-    return "f64" if backend == "cpu" else "refined"
+    return "f64"
 
 
 def batched_eigh(A: jnp.ndarray, mode: Optional[str] = None):
     """Single chokepoint for every batched symmetric eigh in the
     ensemble tiers. ``mode``: ``f64`` (native), ``f32`` (factor in f32,
     cast back — the opt-in ``eigh_f32`` fast path), ``refined``
-    (f32 factor + f64 refinement sweeps), or None → session default."""
+    (f32 factor + f64 refinement sweeps), ``robust`` (native f64 on
+    CPU where LAPACK handles degenerate clusters and is bit-stable for
+    the test suite; refined on accelerator backends whose emulated-f64
+    eigh NaNs there), or None → session default."""
     if mode is None:
         mode = _default_eigh_mode()
+    if mode == "robust":
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "cpu"
+        mode = "f64" if backend == "cpu" else "refined"
     if mode == "f64" or A.dtype != jnp.float64:
         return jnp.linalg.eigh(A)
     if mode == "f32":

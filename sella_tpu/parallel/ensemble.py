@@ -316,9 +316,9 @@ def eigh_maybe_f32(A: jnp.ndarray, f32: bool = False):
     """Batched symmetric eigh through the session-wide chokepoint
     (:func:`sella_tpu.ops.linalg.batched_eigh`): ``f32=True`` forces the
     cast-down fast path (the EnsembleConfig.eigh_f32 flag); otherwise
-    the session default applies — native f64 on CPU, f32-factor +
-    f64-refinement on TPU (where emulated f64 eigh NaNs on degenerate
-    clusters and dominates step cost)."""
+    the session default applies (native f64; ``SELLA_TPU_EIGH``
+    overrides). Structurally degenerate spectra must call
+    ``eigh_refined`` directly — see ``_gram_pinv``."""
     return batched_eigh(A, "f32" if f32 else None)
 
 

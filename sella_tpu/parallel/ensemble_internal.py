@@ -286,9 +286,16 @@ def _gram_pinv(Bm: jnp.ndarray, nfree: int):
 
     The top ``nfree`` eigenvectors span range(B) (static width — the
     rank of a connected molecule's B is always 3n - 6); thresholded
-    inverse eigenvalues give the pseudo-inverse application."""
+    inverse eigenvalues give the pseudo-inverse application.
+
+    Uses ``batched_eigh(..., "robust")``: G is singular with a zero
+    eigenvalue of multiplicity nint - nred, exactly the
+    degenerate-cluster shape on which accelerator emulated-f64 eigh
+    returns NaN eigenpairs (reproduced on Morse Xe4 lane geometries) —
+    there :func:`sella_tpu.ops.linalg.eigh_refined` takes over, while
+    CPU keeps bit-stable LAPACK f64, which handles these matrices."""
     G = jnp.einsum("bik,bjk->bij", Bm, Bm)
-    lams, V = batched_eigh(G)
+    lams, V = batched_eigh(G, "robust")
     lmax = jnp.maximum(lams[:, -1:], 1e-300)
     keep = lams > 1e-10 * lmax
     inv = jnp.where(keep, 1.0 / jnp.where(keep, lams, 1.0), 0.0)
