@@ -1,6 +1,7 @@
 from .base import ASECalculatorWrapper, Potential, get_potential
 from .binned import BinnedPairPotential
 from .emt import EMT
+from .host import HostBatchedCalculator
 from .pair import Harmonic, LennardJones, MorsePotential
 from .sharded import ChunkedPairPotential, ShardedPairPotential
 from .tip3p import TIP3P
@@ -10,6 +11,7 @@ __all__ = [
     "TIP3P",
     "BinnedPairPotential",
     "ChunkedPairPotential",
+    "HostBatchedCalculator",
     "ShardedPairPotential",
     "ASECalculatorWrapper",
     "Potential",
