@@ -4,6 +4,7 @@ from .emt import EMT
 from .host import HostBatchedCalculator
 from .pair import Harmonic, LennardJones, MorsePotential
 from .sharded import ChunkedPairPotential, ShardedPairPotential
+from .sw import StillingerWeber
 from .tip3p import TIP3P
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "ChunkedPairPotential",
     "HostBatchedCalculator",
     "ShardedPairPotential",
+    "StillingerWeber",
     "ASECalculatorWrapper",
     "Potential",
     "get_potential",
