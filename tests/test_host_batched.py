@@ -156,3 +156,31 @@ def test_from_ase_calculator_duck_typed():
     np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=1e-12)
+
+
+def test_internal_tier_with_host_potential():
+    """Redundant-internal batched tier through the host boundary: the
+    Newton back-transform, Gram pinv, and FD-HVP Davidson all compose."""
+    from sella_tpu.atoms import Atoms
+    from sella_tpu.coords.internals import Internals
+    from sella_tpu.parallel.ensemble_internal import (
+        InternalEnsembleConfig,
+        run_internal_ensemble,
+    )
+
+    rng = np.random.RandomState(4)
+    pos0 = rng.normal(size=(4, 3), scale=3.0)
+    ints = Internals(Atoms(["Xe"] * 4, pos0))
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    Bsz = 4
+    x0 = _starts(Bsz, seed=5)
+    cfg = InternalEnsembleConfig(
+        natoms=4, nint=ints.nint, order=1, fmax=1e-3, gamma=1e-3,
+        restart_after=60,
+    )
+    pot = _host_wrap(eta=1e-6)
+    st = run_internal_ensemble(pot, ints, x0, cfg, max_steps=150)
+    conv = np.asarray(st.converged)
+    assert conv.sum() >= Bsz - 1, (conv, np.asarray(st.nsteps))
