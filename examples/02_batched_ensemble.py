@@ -1,0 +1,28 @@
+"""Batched saddle-search ensemble: many searches in one jitted program.
+
+This is the capability the reference does not have — the TPU tier.
+Run: python examples/02_batched_ensemble.py
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from sella_tpu.parallel.ensemble import EnsembleConfig, run_ensemble
+from sella_tpu.potentials import LennardJones
+
+tet = np.array(
+    [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+     [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+) * 1.12
+rng = np.random.RandomState(7)
+batch = 64
+x0 = jnp.asarray(
+    (tet[None] + 0.12 * rng.normal(size=(batch, 4, 3))).reshape(batch, 12)
+)
+
+cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3,
+                     restart_after=50)
+state = run_ensemble(LennardJones(), x0, cfg, max_steps=300)
+conv = np.asarray(state.converged)
+print(f"{conv.sum()}/{batch} saddles converged, "
+      f"mean steps {np.asarray(state.nsteps)[conv].mean():.1f}, "
+      f"mean Davidson matvecs {np.asarray(state.nmatvec).mean():.1f}")
