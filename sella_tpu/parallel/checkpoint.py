@@ -41,3 +41,63 @@ def load_state(path: str, state_cls=SearchState) -> tuple:
     step = payload.pop("_step", None)
     state = state_cls(**{k: payload[k] for k in state_cls._fields})
     return state, (int(step) if step is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# Work-queue checkpointing (preemption-safe sweeps)
+# ---------------------------------------------------------------------------
+def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
+               results: dict):
+    """Checkpoint a work queue: the device state pytree plus the host
+    bookkeeping (lane->input map, queue cursor, harvested results).
+    Everything is arrays, so it rides the same orbax payload as
+    :func:`save_state`."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    idxs = np.asarray(sorted(results), dtype=np.int64)
+    if len(idxs):
+        res_x = np.stack([np.asarray(results[i][0]) for i in idxs])
+        res_f = np.asarray([results[i][1] for i in idxs])
+        res_ns = np.asarray([results[i][2] for i in idxs],
+                            dtype=np.int64)
+        res_cv = np.asarray([results[i][3] for i in idxs], dtype=bool)
+    else:
+        d = int(np.asarray(state.x).shape[1])
+        res_x = np.zeros((0, d))
+        res_f = np.zeros((0,))
+        res_ns = np.zeros((0,), dtype=np.int64)
+        res_cv = np.zeros((0,), dtype=bool)
+    payload = dict(
+        state._asdict(),
+        _origin=np.asarray(origin, dtype=np.int64),
+        _next_idx=np.asarray(int(next_idx)),
+        _res_idx=idxs, _res_x=res_x, _res_f=res_f,
+        _res_nsteps=res_ns, _res_conv=res_cv,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_queue(path: str, state_cls=SearchState):
+    """Restore ``(state, origin, next_idx, results)`` saved by
+    :func:`save_queue`."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path)
+    state = state_cls(**{k: payload[k] for k in state_cls._fields})
+    origin = np.asarray(payload["_origin"], dtype=np.int64)
+    next_idx = int(payload["_next_idx"])
+    results = {
+        int(i): (
+            np.asarray(payload["_res_x"][k]),
+            float(payload["_res_f"][k]),
+            int(payload["_res_nsteps"][k]),
+            bool(payload["_res_conv"][k]),
+        )
+        for k, i in enumerate(np.asarray(payload["_res_idx"]))
+    }
+    return state, origin, next_idx, results

@@ -1490,6 +1490,9 @@ def run_ensemble_queue(
     seed: int = 0,
     constraints=None,
     comparators=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
 
@@ -1497,6 +1500,12 @@ def run_ensemble_queue(
     their lanes refilled from the queue (convergence-mask compaction) —
     the chip never idles on finished lanes. Returns a list of
     (x_final, f, nsteps, converged) result tuples for every input.
+
+    ``checkpoint_path`` makes the sweep preemption-safe: the device
+    state plus the host bookkeeping (lane->input map, queue cursor,
+    harvested results) is saved every ``checkpoint_every`` harvest
+    cycles; ``resume=True`` continues from an existing checkpoint (at
+    most one harvest slice of work is repeated).
     """
     x0_all = jnp.asarray(x0_all)
     total = x0_all.shape[0]
@@ -1511,8 +1520,18 @@ def run_ensemble_queue(
     origin = np.arange(batch)          # which input each lane holds
     next_idx = batch
     results: dict = {}
+    if checkpoint_path is not None and resume:
+        import os as _os
+
+        from .checkpoint import load_queue
+
+        if _os.path.exists(checkpoint_path):
+            state, origin, next_idx, results = load_queue(
+                checkpoint_path, SearchState
+            )
     key = jax.random.PRNGKey(seed)
 
+    cycle = 0
     it = 0
     while len(results) < total:
         for _ in range(refill_every):
@@ -1561,5 +1580,12 @@ def run_ensemble_queue(
         # idle lanes stay marked converged so they are skipped
         idle = jnp.asarray(origin < 0)
         state = state._replace(converged=state.converged | idle)
+
+        cycle += 1
+        if checkpoint_path is not None and cycle % checkpoint_every == 0:
+            from .checkpoint import save_queue
+
+            save_queue(checkpoint_path, state, origin, next_idx,
+                       results)
 
     return [results[i] for i in range(total)]

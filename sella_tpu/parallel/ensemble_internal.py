@@ -867,6 +867,9 @@ def run_internal_ensemble_queue(
     refill_every: int = 10,
     seed: int = 0,
     spill: Optional[str] = "cartesian",
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ):
     """Process an arbitrarily large work set of internal-coordinate
     searches with a fixed device batch (mirror of
@@ -897,8 +900,18 @@ def run_internal_ensemble_queue(
     origin = np.arange(batch)
     next_idx = batch
     results: dict = {}
+    if checkpoint_path is not None and resume:
+        import os as _os
+
+        from .checkpoint import load_queue
+
+        if _os.path.exists(checkpoint_path):
+            state, origin, next_idx, results = load_queue(
+                checkpoint_path, InternalSearchState
+            )
     key = jax.random.PRNGKey(seed)
 
+    cycle = 0
     it = 0
     while len(results) < total:
         for _ in range(refill_every):
@@ -948,6 +961,13 @@ def run_internal_ensemble_queue(
                 mask=take, delta0=cfg.delta0,
             )
             origin = new_origin
+
+        cycle += 1
+        if checkpoint_path is not None and cycle % checkpoint_every == 0:
+            from .checkpoint import save_queue
+
+            save_queue(checkpoint_path, state, origin, next_idx,
+                       results)
 
     if spill == "cartesian":
         todo = [i for i in range(total) if not results[i][3]]

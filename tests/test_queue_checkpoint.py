@@ -104,3 +104,96 @@ def test_checkpoint_roundtrip_other_tiers(tmp_path):
     save_state(p2, ist)
     rst2, _ = load_state(p2, state_cls=IRCState)
     np.testing.assert_array_equal(np.asarray(ist.d1), np.asarray(rst2.d1))
+
+
+def test_queue_resume_from_checkpoint(tmp_path, monkeypatch):
+    """Preemption safety: capture the FIRST harvest cycle's checkpoint
+    (genuinely mid-run), then a fresh invocation with resume=True
+    finishes from it and reproduces the complete result set."""
+    import shutil
+
+    import sella_tpu.parallel.checkpoint as ckpt_mod
+
+    pot = LennardJones()
+    cfg = EnsembleConfig(natoms=4, order=0, fmax=1e-3, gamma=1e-3,
+                         eig=False, method="qn", sigma_dec=0.90,
+                         rho_dec=100.0)
+    total, batch = 10, 3
+    path = os.path.join(tmp_path, "queue_ckpt")
+    side = os.path.join(tmp_path, "queue_ckpt_first")
+
+    orig_save = ckpt_mod.save_queue
+
+    def capture(p, state, origin, next_idx, results):
+        orig_save(p, state, origin, next_idx, results)
+        if not os.path.exists(side):
+            shutil.copytree(p, side)
+
+    monkeypatch.setattr(ckpt_mod, "save_queue", capture)
+    full = run_ensemble_queue(
+        pot, _x0_batch(total), cfg, batch=batch,
+        max_steps_per_search=300, refill_every=20,
+        checkpoint_path=path, checkpoint_every=1,
+    )
+    monkeypatch.setattr(ckpt_mod, "save_queue", orig_save)
+    assert len(full) == total
+    assert os.path.exists(side)
+
+    _, origin, next_idx, partial = ckpt_mod.load_queue(side)
+    assert len(partial) < total          # genuinely mid-run
+    resumed = run_ensemble_queue(
+        pot, _x0_batch(total), cfg, batch=batch,
+        max_steps_per_search=300, refill_every=20,
+        checkpoint_path=side, checkpoint_every=1, resume=True,
+    )
+    assert len(resumed) == total
+    for (x1, f1, n1, c1), (x2, f2, n2, c2) in zip(full, resumed):
+        assert c1 == c2
+        if c1:
+            np.testing.assert_allclose(f1, f2, atol=1e-8)
+
+
+def test_internal_queue_resume(tmp_path):
+    """Same resume contract for the internal-coordinate queue."""
+    from sella_tpu.atoms import Atoms
+    from sella_tpu.coords.internals import Internals
+    from sella_tpu.parallel.ensemble_internal import (
+        InternalEnsembleConfig,
+        run_internal_ensemble_queue,
+    )
+    from sella_tpu.potentials import MorsePotential
+    from sella_tpu.utils.units import kB
+
+    r0 = 4.73
+    pot = MorsePotential(epsilon=226.9 * kB, r0=r0, rho0=r0 * 1.099)
+    rng = np.random.RandomState(4)
+    pos0 = rng.normal(size=(4, 3), scale=3.0)
+    ints = Internals(Atoms(["Xe"] * 4, pos0))
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    total, batch = 8, 3
+    x0 = jnp.asarray(
+        (pos0[None] + 0.25 * np.random.RandomState(1).normal(
+            size=(total, 4, 3))).reshape(total, 12)
+    )
+    cfg = InternalEnsembleConfig(natoms=4, nint=ints.nint, order=1,
+                                 fmax=1e-3, gamma=1e-3,
+                                 restart_after=60)
+    path = os.path.join(tmp_path, "iq_ckpt")
+    full = run_internal_ensemble_queue(
+        pot, ints, jnp.array(x0), cfg, batch=batch,
+        max_steps_per_search=200, refill_every=15,
+        checkpoint_path=path, checkpoint_every=1,
+    )
+    assert os.path.exists(path)
+    resumed = run_internal_ensemble_queue(
+        pot, ints, jnp.array(x0), cfg, batch=batch,
+        max_steps_per_search=200, refill_every=15,
+        checkpoint_path=path, checkpoint_every=1, resume=True,
+    )
+    assert len(resumed) == total == len(full)
+    for (x1, f1, n1, c1), (x2, f2, n2, c2) in zip(full, resumed):
+        assert c1 == c2
+        if c1:
+            np.testing.assert_allclose(f1, f2, atol=1e-8)
