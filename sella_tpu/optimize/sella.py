@@ -81,6 +81,7 @@ class Sella(Optimizer):
         niggli: bool = False,
         refine_initial_hessian=False,
         save_hessian: Optional[str] = None,
+        exact_geodesic: Optional[bool] = None,
         **kwargs,
     ) -> None:
         atoms = as_atoms(atoms)
@@ -116,6 +117,13 @@ class Sella(Optimizer):
                 )
 
         self.user_internal = internal
+        # Geodesic-integration exactness toggle (reference
+        # ``optimize.py:79,125,281``): only meaningful with internals.
+        self.exact_geodesic = (
+            exact_geodesic if exact_geodesic is not None else True
+        )
+        if internal:
+            kwargs.setdefault("exact_geodesic", self.exact_geodesic)
         self.peskwargs = dict(kwargs)
         self.initialize_pes(
             atoms, trajectory, order, eta, constraints, v0, internal,

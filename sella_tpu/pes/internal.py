@@ -48,6 +48,7 @@ class InternalPES(PES):
         H0: Optional[np.ndarray] = None,
         auto_find_internals: bool = True,
         iterative_stepper: int = 1,
+        exact_geodesic: bool = True,
         **kwargs,
     ) -> None:
         self.int_orig = internals
@@ -75,6 +76,11 @@ class InternalPES(PES):
 
         self.bad_int = None
         self.iterative_stepper = iterative_stepper
+        # Recompute B+ at every geodesic substep (True) or freeze the
+        # step-start B+ for the whole integration (False) — the
+        # reference's ``exact_geodesic`` toggle (``peswrapper.py:657,
+        # 1215``; frozen ``_ode_Binv`` set at ``peswrapper.py:850``).
+        self.exact_geodesic = exact_geodesic
         self._jac_memo: dict = {}
 
     # -- extended (atoms + dummies) flat positions ----------------------------
@@ -240,7 +246,10 @@ class InternalPES(PES):
             x_, xd_, gt_ = state
             self._set_flat_pos(x_)
             D_rdot = self.int.hessian_rdot(xd_)
-            Binv = self._get_Binv()
+            # exact_geodesic=False freezes the step-start B+ for the
+            # whole integration (reference ``peswrapper.py:1215``) —
+            # cheaper per substep, inexact on strongly curved moves.
+            Binv = self._get_Binv() if self.exact_geodesic else Binv0
             both = Binv @ (D_rdot @ np.column_stack((xd_, gt_)))
             return (xd_, -both[:, 0], -both[:, 1])
 

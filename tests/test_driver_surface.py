@@ -91,3 +91,22 @@ def test_emt_min_cell_check():
         pot.validate_cell(np.eye(3) * 2.0)
     # a roomy cell passes
     pot.validate_cell(np.eye(3) * 12.0)
+
+
+def test_exact_geodesic_toggle():
+    """``exact_geodesic=False`` freezes the step-start B+ during the
+    geodesic integration (reference ``optimize.py:79,125,281``,
+    ``peswrapper.py:1215``); both settings must converge on the same
+    internal-coordinate minimization and the flag must reach the PES."""
+    from sella_tpu.pes.internal import InternalPES
+
+    for exact in (True, False):
+        atoms = make_atoms(seed=1)
+        # iterative_stepper=0 forces every move through the geodesic
+        # integrator so the frozen-Binv path is actually exercised
+        opt = Sella(atoms, order=0, gamma=1e-3, internal=True,
+                    logfile=None, exact_geodesic=exact,
+                    iterative_stepper=0)
+        assert isinstance(opt.pes, InternalPES)
+        assert opt.pes.exact_geodesic is exact
+        assert opt.run(fmax=1e-3, steps=100)
