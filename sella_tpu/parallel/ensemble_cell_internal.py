@@ -88,6 +88,7 @@ class CellInternalEnsembleConfig(NamedTuple):
     rs: str = "mis"
     newton_maxiter: int = 20
     newton_tol: float = 1e-10
+    rigid_fragments: bool = False
     exp_cell_factor: float = 0.0   # <= 0 -> float(natoms) (reference)
     scalar_pressure: float = 0.0
     h0_cell: float = 60.0          # cell-block guess curvature (eV)
@@ -167,6 +168,84 @@ def _cell_map(cfg: CellInternalEnsembleConfig, cell0,
     return cell_of, make_enthalpy
 
 
+def _rigid_maps(ints, cfg: CellInternalEnsembleConfig, cell_of):
+    """Single-lane rigid-fragment transport + corrected cell gradient.
+
+    Batched analog of the sequential ``CellInternalPES`` rigid transport
+    (reference ``peswrapper.py:1986-2010``): under a cell change each
+    fragment keeps its internal geometry — its centroid follows the
+    cell affinely and its orientation rotates by the polar factor of the
+    incremental deformation ``F_inc = cell_new @ cell_old^-1``; lone
+    atoms (their own singleton fragments) follow the cell affinely.
+
+    Because atoms MOVE with ``s`` along this transport, the consistent
+    cell gradient is the total derivative ``dE/ds = ∂E/∂s +
+    g_x · ∂T/∂s``. Rather than autodiff through the polar
+    decomposition (SVD derivatives are NaN at the F_inc = I evaluation
+    point), ``gs_corr`` uses the closed-form linearization at the
+    current cell: ``dF_k = D_k @ cell^-1``, ``dR_k = skew(dF_k)``,
+    ``d pos_a = com_f @ cell^-1 @ D_k - (pos_a - com_f) @ skew(dF_k)``
+    with ``D_k = ∂cell/∂s_k`` (autodiff through ``expm``, which is
+    smooth).
+
+    Returns ``(transport, gs_corr)`` over one lane; vmap at call sites.
+    """
+    from ..ops.linalg import inv3
+
+    n = cfg.natoms
+    frag_id_np = np.full(n, -1, dtype=np.int64)
+    nfrag = 0
+    for group in ints.fragment_atom_groups or []:
+        frag_id_np[np.asarray(group)] = nfrag
+        nfrag += 1
+    for a in range(n):
+        if frag_id_np[a] < 0:
+            frag_id_np[a] = nfrag
+            nfrag += 1
+    frag_id = jnp.asarray(frag_id_np)
+    counts = jnp.asarray(np.bincount(frag_id_np, minlength=nfrag),
+                         dtype=jnp.float64)
+
+    def _coms(pos):                               # (n,3) -> (nfrag,3)
+        sums = jax.ops.segment_sum(pos, frag_id, num_segments=nfrag)
+        return sums / counts[:, None]
+
+    def transport(x_flat, cell_old, cell_new):
+        pos = x_flat.reshape(n, 3)
+        com = _coms(pos)
+        inv_old = inv3(cell_old)
+        F_inc = cell_new @ inv_old
+        # polar rotation factor; SVD value (no derivative) is stable
+        # even at F_inc = I (converged lanes, ds = 0)
+        U, _, Vt = jnp.linalg.svd(F_inc)
+        R = U @ Vt
+        com_new = (com @ inv_old) @ cell_new
+        delta = pos - com[frag_id]
+        pos_new = com_new[frag_id] + delta @ R.T
+        return pos_new.reshape(-1)
+
+    dcell_of = jax.jacfwd(cell_of)                # s -> (3, 3, ncell)
+
+    def gs_corr(g_flat, x_flat, s):
+        gm = g_flat.reshape(n, 3)
+        pos = x_flat.reshape(n, 3)
+        com = _coms(pos)
+        cell = cell_of(s)
+        inv_c = inv3(cell)
+        D = dcell_of(s)                           # (3, 3, ncell)
+        A = jnp.einsum("ij,jlk->ilk", inv_c, D)   # com part, (3,3,ncell)
+        dF = jnp.einsum("ijk,jl->ilk", D, inv_c)  # (3, 3, ncell)
+        S = 0.5 * (dF - jnp.swapaxes(dF, 0, 1))   # skew(dF)
+        G = jax.ops.segment_sum(gm, frag_id, num_segments=nfrag)
+        term1 = jnp.einsum("fi,ijk,fj->k", com, A, G)
+        delta = pos - com[frag_id]
+        P = delta.T @ gm                          # (3, 3)
+        term2 = jnp.einsum("ij,ijk->k", P, S)
+        return term1 - term2
+
+    return transport, gs_corr
+
+
 def make_cell_internal_step_fn(
     potential, ints, cfg: CellInternalEnsembleConfig, cell0,
     cell_mask: Optional[np.ndarray] = None,
@@ -196,6 +275,11 @@ def make_cell_internal_step_fn(
     cell_of, make_enthalpy = _cell_map(cfg, cell0, cell_mask)
     enthalpy = make_enthalpy(potential)
     batch_eval = jax.vmap(jax.value_and_grad(enthalpy, argnums=(0, 1)))
+
+    if cfg.rigid_fragments:
+        transport, gs_corr = _rigid_maps(ints, cfg, cell_of)
+        batch_transport = jax.vmap(transport)
+        batch_gs_corr = jax.vmap(gs_corr)
 
     batch_q = jax.vmap(
         lambda x, c: engine._calc_impl(x.reshape(n, 3), c)
@@ -314,13 +398,24 @@ def make_cell_internal_step_fn(
         # ---- apply: cell first, then internals at the new cell ----
         s_new = state.s + ds
         cells_new = batch_cell(s_new)
-        q_after = wrap_dq(batch_q(state.x, cells_new) - state.q
+        if cfg.rigid_fragments:
+            # rigid transport to the new cell: fragments keep their
+            # internal geometry, so intra-fragment internals are exact
+            # at the transported point and the Newton solve only works
+            # on the predicted dq (reference ``peswrapper.py:1986-2010``)
+            x_base = batch_transport(state.x, cells, cells_new)
+        else:
+            x_base = state.x
+        q_after = wrap_dq(batch_q(x_base, cells_new) - state.q
                           ) + state.q
-        x_new = newton_set_x(state.x, cells_new, q_after, dq_pred)
+        x_new = newton_set_x(x_base, cells_new, q_after, dq_pred)
         x_new = jnp.where(act[:, None], x_new, state.x)
         q_new = wrap_dq(batch_q(x_new, cells_new) - state.q) + state.q
 
         f_new, (g_new, gs_new) = batch_eval(x_new, s_new)
+        if cfg.rigid_fragments:
+            # total cell derivative along the transported path
+            gs_new = gs_new + batch_gs_corr(g_new, x_new, s_new)
         neval = state.neval + act.astype(jnp.int32)
 
         Bm_new = batch_B(x_new, cells_new)
@@ -427,6 +522,9 @@ def init_cell_internal_state(
     f, (g, gs) = jax.vmap(
         jax.value_and_grad(enthalpy, argnums=(0, 1))
     )(x0, s0)
+    if cfg.rigid_fragments:
+        _, gs_corr = _rigid_maps(ints, cfg, cell_of)
+        gs = gs + jax.vmap(gs_corr)(g, x0, s0)
     q = jax.vmap(lambda x, c: engine._calc_impl(x.reshape(n, 3), c))(
         x0, cells
     )
@@ -517,6 +615,9 @@ def refresh_cell_internal(
     f, (g, gs) = jax.vmap(
         jax.value_and_grad(enthalpy, argnums=(0, 1))
     )(state.x, state.s)
+    if cfg.rigid_fragments:
+        _, gs_corr = _rigid_maps(ints, cfg, cell_of)
+        gs = gs + jax.vmap(gs_corr)(g, state.x, state.s)
     q = jax.vmap(lambda x, c: engine._calc_impl(x.reshape(n, 3), c))(
         state.x, cells
     )

@@ -158,3 +158,112 @@ def test_cell_internal_queue():
     assert all(r["converged"] for r in out), [r["nsteps"] for r in out]
     fvals = [r["f"] for r in out]
     assert np.std(fvals) < 1e-4 * abs(np.mean(fvals)) + 1e-8, fvals
+
+
+def _dimer_box(Bsz=1):
+    """Two Ar2 dimers in a 12 A box (the sequential rigid-fragment FD
+    fixture, tests/test_cell_optimization.py): fragment TRICs + intra
+    bonds, all separations away from half-box MIC kinks."""
+    from sella_tpu import Atoms
+
+    pos = np.array([
+        [2.0, 2.0, 2.0], [2.0, 2.0, 4.0],
+        [7.0, 5.5, 3.0], [7.0, 7.5, 3.0],
+    ])
+    atoms = Atoms(["Ar"] * 4, pos, cell=np.eye(3) * 12.0, pbc=True)
+    ints = Internals(atoms, allow_fragments=True)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    x0 = jnp.asarray(np.stack([pos.ravel()] * Bsz))
+    pot = LennardJones(epsilon=0.0104, sigma=3.4, pbc=True)
+    return atoms, ints, pot, x0
+
+
+def test_rigid_transport_preserves_fragments():
+    """The batched rigid transport keeps intra-fragment distances
+    bitwise-rigid under an arbitrary cell change and maps fragment
+    centroids affinely (reference ``peswrapper.py:1986-2010``)."""
+    from sella_tpu.parallel.ensemble_cell_internal import _rigid_maps
+
+    atoms, ints, pot, x0 = _dimer_box()
+    assert len(ints.fragment_atom_groups) == 2
+    cfg = CellInternalEnsembleConfig(
+        natoms=4, nint=ints.nint, ncell=9, rigid_fragments=True,
+    )
+    cell_of, _ = _cell_map(cfg, jnp.asarray(atoms.cell), None)
+    transport, _ = _rigid_maps(ints, cfg, cell_of)
+
+    rng = np.random.RandomState(3)
+    s_old = jnp.asarray(0.05 * rng.normal(size=9))
+    s_new = jnp.asarray(s_old + 0.3 * rng.normal(size=9))
+    c_old, c_new = cell_of(s_old), cell_of(s_new)
+    xT = np.asarray(transport(x0[0], c_old, c_new)).reshape(4, 3)
+    p0 = np.asarray(x0[0]).reshape(4, 3)
+    for group in ints.fragment_atom_groups:
+        d0 = np.linalg.norm(p0[group[0]] - p0[group[1]])
+        dT = np.linalg.norm(xT[group[0]] - xT[group[1]])
+        np.testing.assert_allclose(dT, d0, rtol=1e-12)
+        com0 = p0[group].mean(axis=0)
+        comT = xT[group].mean(axis=0)
+        expect = (com0 @ np.linalg.inv(np.asarray(c_old))
+                  ) @ np.asarray(c_new)
+        np.testing.assert_allclose(comT, expect, atol=1e-10)
+
+
+def test_rigid_cell_gradient_fd_batched():
+    """The corrected cell gradient (closed-form transport
+    linearization) must match central finite differences of the
+    enthalpy along the TRANSPORTED path — the batched analog of the
+    sequential rigid-fragment FD test."""
+    from sella_tpu.parallel.ensemble_cell_internal import _rigid_maps
+
+    atoms, ints, pot, x0 = _dimer_box()
+    cfg = CellInternalEnsembleConfig(
+        natoms=4, nint=ints.nint, ncell=9, rigid_fragments=True,
+    )
+    cell0 = jnp.asarray(atoms.cell)
+    cell_of, make_enthalpy = _cell_map(cfg, cell0, None)
+    enthalpy = make_enthalpy(pot)
+    transport, gs_corr = _rigid_maps(ints, cfg, cell_of)
+
+    rng = np.random.RandomState(5)
+    s = jnp.asarray(0.03 * rng.normal(size=9))
+    x = x0[0]
+    g = jax.grad(enthalpy, argnums=0)(x, s)
+    gs_part = jax.grad(enthalpy, argnums=1)(x, s)
+    gs_tot = np.asarray(gs_part + gs_corr(g, x, s))
+
+    h = 1e-6
+    c_here = cell_of(s)
+    for k in range(9):
+        sp = s.at[k].add(h)
+        sm = s.at[k].add(-h)
+        fp = enthalpy(transport(x, c_here, cell_of(sp)), sp)
+        fm = enthalpy(transport(x, c_here, cell_of(sm)), sm)
+        fd = float((fp - fm) / (2 * h))
+        # atol = central-FD noise floor on this meV-scale enthalpy; the
+        # dominant components agree to ~5 digits
+        np.testing.assert_allclose(gs_tot[k], fd, rtol=1e-3, atol=5e-7)
+
+
+def test_cell_internal_rigid_singleton_consistency():
+    """With every atom its own fragment the rigid transport degenerates
+    to the affine map, so a rigid_fragments=True bulk run must recover
+    the same equilibrium lattice as the standard run."""
+    atoms, ints, x0, s0 = _bulk_setup()
+    nat = len(atoms)
+    cfg = CellInternalEnsembleConfig(
+        natoms=nat, nint=ints.nint, ncell=9, order=0, fmax=5e-3,
+        delta0=0.1, h0_cell=10.0, rigid_fragments=True,
+    )
+    st = run_cell_internal_ensemble(
+        LennardJones(pbc=True), ints, x0, cfg, jnp.asarray(atoms.cell),
+        s0=s0, max_steps=200, steps_per_call=5,
+    )
+    assert bool(st.converged.all()), np.asarray(st.nsteps)
+    cell_of, _ = _cell_map(cfg, jnp.asarray(atoms.cell), None)
+    cells = np.asarray(jax.vmap(cell_of)(st.s))
+    for C in cells:
+        lat = np.linalg.norm(C, axis=1) / 2.0
+        assert 1.53 < lat[0] < 1.60, lat
