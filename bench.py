@@ -41,7 +41,9 @@ statistics; extending f32 to the Davidson Ritz solve gained nothing
 (the (B, 25, 25) subspace eigh is not a bottleneck), and applying it
 to the LJ4 config LOST ~45% (the (B, 6, 6) eighs are too small to win
 over the cast traffic). Batch sweep at the new step cost: 256 -> 22.4,
-512 -> 18.2, 1024 -> 19.8 searches/s, so the headline stays at 256.
+512 -> 18.2, 1024 -> 19.8 searches/s, so the headline stays at 256
+(re-swept under the f64-default eigh policy: 256 -> 32.3, 512 -> 30.8
+— same conclusion).
 
 Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
 through the tunnel is unreliable): with every batched eigh routed
@@ -338,6 +340,32 @@ def run_largescale(natoms_target=10000, nsteps=3):
         rates[name] = (_t.perf_counter() - t0) / nsteps
         stats[f"sec_per_step_{name}"] = round(rates[name], 3)
     stats["binned_speedup"] = round(rates["chunked"] / rates["binned"], 1)
+
+    # many-body O(N) datapoint: the same slab under cell-binned EMT
+    # (real Cu physics; the LJ rows above isolate the binning win on a
+    # shared model, this row shows the production metal path)
+    from sella_tpu.potentials import BinnedEMT
+
+    # taller vacuum: the EMT candidate cutoff (rc + 1.5 ~ 6.3 A) needs
+    # z-height >= 3 (rc + 1.5) for the binned validity regime
+    slab_emt = fcc111_slab("Cu", 3.59, size=(k, k + k % 2, 4),
+                           vacuum=12.0)
+    x0e = jnp.asarray(slab_emt.positions.ravel())
+    cell_e = jnp.asarray(slab_emt.cell)
+    # tight bin capacity (1.25x occupancy; default 2x OOMs the v5e in
+    # the HVP graph): 3 MMF steps drift far less than a bin width
+    emt_pot = BinnedEMT(np.array([29] * n), x0e, cell_e, capacity=32)
+    step = jax.jit(make_mmf_step(emt_pot, cell_e, order=0, fmax=1e-3))
+    state = mmf_init(emt_pot, jnp.array(x0e), cell_e)
+    state = step(state)
+    jax.block_until_ready(state.x)
+    t0 = _t.perf_counter()
+    for _ in range(nsteps):
+        state = step(state)
+    jax.block_until_ready(state.x)
+    stats["sec_per_step_binned_emt"] = round(
+        (_t.perf_counter() - t0) / nsteps, 3
+    )
     return rates["binned"], stats
 
 

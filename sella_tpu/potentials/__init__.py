@@ -1,6 +1,6 @@
 from .base import ASECalculatorWrapper, Potential, get_potential
-from .binned import BinnedPairPotential
-from .emt import EMT
+from .binned import BinnedPairPotential, CellBins
+from .emt import EMT, BinnedEMT
 from .host import HostBatchedCalculator
 from .pair import Harmonic, LennardJones, MorsePotential
 from .sharded import ChunkedPairPotential, ShardedPairPotential
@@ -10,7 +10,9 @@ from .tip3p import TIP3P
 __all__ = [
     "EMT",
     "TIP3P",
+    "BinnedEMT",
     "BinnedPairPotential",
+    "CellBins",
     "ChunkedPairPotential",
     "HostBatchedCalculator",
     "ShardedPairPotential",

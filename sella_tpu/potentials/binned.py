@@ -1,4 +1,4 @@
-"""O(N) cell-binned pair potential — the large-system fast path.
+"""O(N) cell-binned potentials — the large-system fast path.
 
 The dense pair panel (:mod:`sella_tpu.potentials.pair`) and its
 chunked/sharded variants do O(N^2) work per force call; at 10k atoms
@@ -13,10 +13,10 @@ pattern) and evaluates only the 27-cell neighborhoods:
 2. ``argsort`` by bin id; rank-within-bin via ``searchsorted``;
 3. scatter into a ``(ncells, capacity)`` bucket table (out-of-capacity
    ranks scatter out of bounds and are dropped — see
-   :meth:`BinnedPairPotential.max_occupancy`);
+   :meth:`CellBins.max_occupancy`);
 4. every atom gathers the 27 neighboring buckets' candidates,
-   computes masked distances (minimum image for PBC) and sums
-   ``pair_energy`` under the cutoff.
+   computes masked distances (minimum image for PBC) and sums the
+   per-pair terms under the cutoff.
 
 Everything is jit/vmap/jvp-compatible: the integer binning carries no
 gradient, positions enter only through the final gather, so forces and
@@ -26,9 +26,14 @@ role the reference delegates to neighbor-listed calculators (its force
 calls are ASE's problem, ``/root/reference/sella/peswrapper.py:413-418``)
 with a TPU-resident equivalent.
 
+The grid machinery is shared: :class:`CellBins` produces per-atom
+candidate lists; :class:`BinnedPairPotential` sums a pair energy over
+them, and :class:`sella_tpu.potentials.emt.BinnedEMT` evaluates the
+many-body EMT density/pair sums over the same lists.
+
 Unlike the dense panel, a cutoff ``rc`` is imposed (with an energy
-shift for C0 continuity by default) — the physical model is
-"``inner`` truncated at rc", the standard large-N contract.
+shift for C0 continuity by default in the pair case) — the physical
+model is "``inner`` truncated at rc", the standard large-N contract.
 """
 from __future__ import annotations
 
@@ -41,48 +46,37 @@ from ..ops.linalg import inv3
 from .base import Potential
 
 
-class BinnedPairPotential(Potential):
-    """Cell-binned O(N) evaluation of a pair potential.
+class CellBins:
+    """Static cell-list grid + on-device candidate gather.
 
     Parameters
     ----------
-    inner : pair potential exposing ``pair_energy(r)``
-    rc : float — interaction cutoff; also the bin edge length.
-    x0 : (3n,) initial flat positions — fixes the static grid
+    x0 : (3n,) or (n, 3) initial positions — fixes the static grid
         (bounding box for free boundaries) and the default capacity.
-    cell : (3, 3) or None — periodic cell. When given (or
-        ``inner.pbc``), binning uses fractional coordinates of the
-        RUNTIME cell (mild cell changes are fine), but the static bin
-        counts come from this construction-time cell, which must keep
-        every periodic height >= 3 rc.
+    rc : float — interaction cutoff; also the bin edge length.
+    cell : (3, 3) or None — periodic cell. When given, binning uses
+        fractional coordinates of the RUNTIME cell (mild cell changes
+        are fine), but the static bin counts come from this
+        construction-time cell, which must keep every periodic height
+        >= 3 rc (so only the nearest image of any neighbor is in
+        range).
     capacity : atoms per bin (static). Default: 2x the initial max
         occupancy, rounded up to a multiple of 4.
     margin : free-boundary bounding-box padding in units of rc —
         headroom for atoms drifting outside the initial extent
         (clipped binning stays correct regardless; the margin just
         keeps edge bins from crowding).
-    shift : subtract ``pair_energy(rc)`` so the energy is continuous
-        at the cutoff (default True).
     """
 
-    def __init__(self, inner, rc: float, x0, cell=None,
-                 capacity: Optional[int] = None, margin: float = 2.0,
-                 shift: bool = True) -> None:
-        if not hasattr(inner, "pair_energy"):
-            raise TypeError(
-                f"{type(inner).__name__} exposes no pair_energy(r); "
-                "BinnedPairPotential needs a pair potential"
-            )
-        self.inner = inner
+    def __init__(self, x0, rc: float, cell=None,
+                 capacity: Optional[int] = None,
+                 margin: float = 2.0) -> None:
         self.rc = float(rc)
-        self.shift = bool(shift)
-        self.pbc = bool(getattr(inner, "pbc", False) or cell is not None)
+        self.pbc = cell is not None
         pos = np.asarray(x0, dtype=np.float64).reshape(-1, 3)
         self.n = pos.shape[0]
 
         if self.pbc:
-            if cell is None:
-                raise ValueError("pbc pair potential needs a cell")
             cell = np.asarray(cell, dtype=np.float64)
             self._cell_np = cell
             vol = abs(np.linalg.det(cell))
@@ -143,13 +137,21 @@ class BinnedPairPotential(Potential):
             np.asarray(x, dtype=np.float64).reshape(-1, 3)
         )
 
-    # -- device-side energy ---------------------------------------------
-    def energy(self, x, cell):
+    # -- device-side candidate gather -----------------------------------
+    def candidates(self, pos, cell):
+        """Per-atom neighbor candidates with masked distances.
+
+        Returns ``(cand, r2, valid)``: ``cand`` is (n, 27K) candidate
+        atom indices (fill value = n — index a padded per-atom array),
+        ``r2`` the squared distances (minimum image under PBC; garbage
+        on invalid entries), and ``valid`` the boolean mask
+        (not-self AND real atom AND r < rc). Callers must overwrite
+        masked distances BEFORE any sqrt/divide (NaN-adjoint rule).
+        """
         n = self.n
         K = self.capacity
         nbins = jnp.asarray(self.nbins)
         ncells = self.ncells
-        pos = x.reshape(n, 3)
 
         if self.pbc:
             inv = inv3(cell)
@@ -198,8 +200,8 @@ class BinnedPairPotential(Potential):
             (nbid[..., None] * K
              + jnp.arange(K)[None, None, :]).reshape(n, 27 * K)
         ]
-        # pad row: value is irrelevant (fully masked below; the masked
-        # distance is overwritten BEFORE sqrt — the NaN-adjoint rule)
+        # pad row: value is irrelevant (fully masked downstream; masked
+        # distances must be overwritten BEFORE sqrt — NaN-adjoint rule)
         pos_pad = jnp.concatenate(
             [pos, jnp.zeros((1, 3), pos.dtype)], axis=0
         )
@@ -212,6 +214,61 @@ class BinnedPairPotential(Potential):
         valid = (cand != jnp.arange(n)[:, None]) & (cand < n) & (
             r2 < self.rc * self.rc
         )
+        return cand, r2, valid
+
+
+class BinnedPairPotential(Potential):
+    """Cell-binned O(N) evaluation of a pair potential.
+
+    Parameters
+    ----------
+    inner : pair potential exposing ``pair_energy(r)``
+    rc : float — interaction cutoff; also the bin edge length.
+    x0 : (3n,) initial flat positions — fixes the static grid.
+    cell : (3, 3) or None — periodic cell (see :class:`CellBins`).
+    capacity, margin : see :class:`CellBins`.
+    shift : subtract ``pair_energy(rc)`` so the energy is continuous
+        at the cutoff (default True).
+    """
+
+    def __init__(self, inner, rc: float, x0, cell=None,
+                 capacity: Optional[int] = None, margin: float = 2.0,
+                 shift: bool = True) -> None:
+        if not hasattr(inner, "pair_energy"):
+            raise TypeError(
+                f"{type(inner).__name__} exposes no pair_energy(r); "
+                "BinnedPairPotential needs a pair potential"
+            )
+        self.inner = inner
+        self.rc = float(rc)
+        self.shift = bool(shift)
+        self.pbc = bool(getattr(inner, "pbc", False) or cell is not None)
+        if self.pbc and cell is None:
+            raise ValueError("pbc pair potential needs a cell")
+        self._bins = CellBins(x0, rc, cell=cell if self.pbc else None,
+                              capacity=capacity, margin=margin)
+        self.n = self._bins.n
+
+    def max_occupancy(self, x) -> int:
+        """Current max atoms-per-bin; see :meth:`CellBins.max_occupancy`."""
+        return self._bins.max_occupancy(x)
+
+    # kept for backward compatibility with existing capacity checks
+    @property
+    def capacity(self) -> int:
+        return self._bins.capacity
+
+    @property
+    def nbins(self):
+        return self._bins.nbins
+
+    @property
+    def ncells(self) -> int:
+        return self._bins.ncells
+
+    def energy(self, x, cell):
+        pos = x.reshape(self.n, 3)
+        _, r2, valid = self._bins.candidates(pos, cell)
         r = jnp.sqrt(jnp.where(valid, r2, 1.0))
         e = self.inner.pair_energy(r)
         if self.shift:

@@ -242,3 +242,82 @@ def fcc111_slab(symbol: str, a: float, size=(4, 4, 3), vacuum: float = 10.0):
     atoms = Atoms([symbol] * len(pos), pos, cell=cell, pbc=True)
     atoms.calc = EMT(atoms.numbers, pbc=True)
     return atoms
+
+
+class BinnedEMT(Potential):
+    """O(N) cell-binned EMT — the large-system path for the fcc-metal
+    family.
+
+    Same physics as :class:`EMT` (identical parameter table, Fermi
+    cutoff, and the hard candidate mask at ``rc + 1.5`` A where
+    ``theta ~ e^-39``), evaluated over :class:`~sella_tpu.potentials.
+    binned.CellBins` 27-cell candidate lists instead of the dense
+    (n, n, images) panel — so energies, forces, and the exact Lanczos
+    HVPs of the matrix-free minimum-mode driver are all O(N).
+
+    Validity: for periodic systems every cell height must be
+    >= 3 (rc + 1.5) (~19.1 A for Cu) so only the nearest image of any
+    neighbor is in range — :class:`CellBins` enforces this at
+    construction. Free clusters bin into a padded bounding box.
+
+    Parameters mirror :class:`EMT` plus the static-grid inputs of
+    :class:`CellBins` (``x0`` fixes the grid and default capacity).
+    """
+
+    def __init__(self, numbers, x0, cell=None,
+                 capacity=None, margin: float = 2.0) -> None:
+        from .binned import CellBins
+
+        self._base = EMT(numbers, pbc=cell is not None)
+        self.pbc = self._base.pbc
+        self.n = self._base.n
+        self.rc = self._base.rc
+        self.acut = self._base.acut
+        # hard candidate cutoff: matches the dense path's mask radius
+        self.rc_list = self._base.rc + 1.5
+        self._bins = CellBins(x0, self.rc_list, cell=cell,
+                              capacity=capacity, margin=margin)
+        if self._bins.n != self.n:
+            raise ValueError(
+                f"x0 has {self._bins.n} atoms, numbers has {self.n}"
+            )
+
+    def max_occupancy(self, x) -> int:
+        return self._bins.max_occupancy(x)
+
+    def validate_cell(self, cell) -> None:
+        self._base.validate_cell(cell)
+
+    def energy(self, x, cell):
+        E0, s0, V0, eta2, kappa, lam, n0, gamma1, gamma2 = \
+            self._base._arrs
+        pos = x.reshape(self.n, 3)
+        cand, r2, valid = self._bins.candidates(pos, cell)
+
+        r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+        theta = jax.nn.sigmoid(-self.acut * (r - self.rc))
+        theta = theta * valid.astype(x.dtype)
+
+        # gather neighbor-j parameters (pad row = 1.0, fully masked)
+        def pad(a):
+            return jnp.concatenate([a, jnp.ones((1,), a.dtype)])
+
+        s0j = pad(s0)[cand]
+        eta2j = pad(eta2)[cand]
+        kappaj = pad(kappa)[cand]
+        n0j = pad(n0)[cand]
+        chi = n0j / n0[:, None]                  # chi_ij = n0_j / n0_i
+
+        w1 = chi * jnp.exp(-eta2j * (r - BETA * s0j)) * theta
+        sigma1 = jnp.sum(w1, axis=1) / gamma1    # (n,)
+
+        w2 = chi * jnp.exp(-kappaj * (r / BETA - s0j)) * theta
+        e_pair = -0.5 * jnp.sum(V0 * jnp.sum(w2, axis=1) / gamma2)
+
+        sigma1 = jnp.maximum(sigma1, 1e-12)
+        ds = -jnp.log(sigma1 / 12.0) / (BETA * eta2)
+        xl = lam * ds
+        e_coh = jnp.sum(E0 * ((1.0 + xl) * jnp.exp(-xl) - 1.0))
+        e_conv = jnp.sum(6.0 * V0 * jnp.exp(-kappa * ds))
+
+        return e_coh + e_conv + e_pair

@@ -97,3 +97,94 @@ def test_cu_adatom_saddle():
     # refreshed by an exact-tolerance diag
     Ufree = opt.pes.get_Ufree()
     np.testing.assert_allclose(opt.pes.get_g() @ Ufree, 0, atol=0.1)
+
+
+def _mic_emt_reference(pot, x, cell):
+    """O(n^2) minimum-image EMT — test-only reference for the binned
+    path (the dense 27-image panel is too memory-heavy at sizes where
+    binning is valid). Exact when every cell height >= 2 (rc + 1.5)."""
+    import jax
+    from sella_tpu.potentials.emt import BETA
+
+    E0, s0, V0, eta2, kappa, lam, n0, gamma1, gamma2 = pot._base._arrs
+    n = pot.n
+    pos = x.reshape(n, 3)
+    dr = pos[None, :, :] - pos[:, None, :]
+    inv = jnp.linalg.inv(cell)
+    fr = dr @ inv
+    dr = (fr - jnp.round(fr)) @ cell
+    r2 = jnp.sum(dr * dr, axis=-1)
+    eye = jnp.eye(n, dtype=bool)
+    valid = ~eye & (r2 < pot.rc_list ** 2)
+    r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+    theta = jax.nn.sigmoid(-pot.acut * (r - pot.rc)) * valid
+    chi = n0[None, :] / n0[:, None]
+    w1 = chi * jnp.exp(-eta2[None, :] * (r - BETA * s0[None, :])) * theta
+    sigma1 = jnp.maximum(jnp.sum(w1, axis=1) / gamma1, 1e-12)
+    w2 = chi * jnp.exp(-kappa[None, :] * (r / BETA - s0[None, :])) * theta
+    e_pair = -0.5 * jnp.sum(V0 * jnp.sum(w2, axis=1) / gamma2)
+    ds = -jnp.log(sigma1 / 12.0) / (BETA * eta2)
+    xl = lam * ds
+    e_coh = jnp.sum(E0 * ((1.0 + xl) * jnp.exp(-xl) - 1.0))
+    e_conv = jnp.sum(6.0 * V0 * jnp.exp(-kappa * ds))
+    return e_coh + e_conv + e_pair
+
+
+def test_binned_emt_matches_mic_reference_pbc():
+    """BinnedEMT == the O(n^2) MIC EMT (energy, forces, HVP) on a bulk
+    Cu supercell large enough for the binned validity regime."""
+    import jax
+    from sella_tpu.potentials import BinnedEMT
+    from sella_tpu.potentials.emt import fcc_bulk
+
+    atoms = fcc_bulk("Cu", 3.59, reps=(6, 6, 6))       # 864 atoms
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        (atoms.positions + 0.05 * rng.normal(
+            size=atoms.positions.shape)).ravel()
+    )
+    cell = jnp.asarray(atoms.cell)
+    pot = BinnedEMT(atoms.numbers, x, cell)
+
+    e_b = float(pot.energy(x, cell))
+    e_ref = float(_mic_emt_reference(pot, x, cell))
+    np.testing.assert_allclose(e_b, e_ref, rtol=1e-12)
+
+    g_b = jax.grad(pot.energy)(x, cell)
+    g_ref = jax.grad(lambda xx: _mic_emt_reference(pot, xx, cell))(x)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref),
+                               atol=1e-10)
+
+    v = jnp.asarray(rng.normal(size=x.shape))
+    hvp_b = jax.jvp(
+        jax.grad(lambda xx: pot.energy(xx, cell)), (x,), (v,)
+    )[1][:30]
+    hvp_r = jax.jvp(
+        jax.grad(lambda xx: _mic_emt_reference(pot, xx, cell)),
+        (x,), (v,))[1][:30]
+    np.testing.assert_allclose(np.asarray(hvp_b), np.asarray(hvp_r),
+                               atol=1e-9)
+
+
+def test_binned_emt_matches_dense_cluster():
+    """Free-boundary BinnedEMT == the dense EMT on a Cu cluster
+    (same theta cutoff semantics, no images involved)."""
+    import jax
+    from sella_tpu.potentials import BinnedEMT
+    from sella_tpu.potentials.emt import fcc_bulk
+
+    atoms = fcc_bulk("Cu", 3.59, reps=(3, 3, 3))
+    rng = np.random.RandomState(1)
+    pos = atoms.positions + 0.05 * rng.normal(size=atoms.positions.shape)
+    x = jnp.asarray(pos.ravel())
+    dense = EMT(atoms.numbers, pbc=False)
+    binned = BinnedEMT(atoms.numbers, x, cell=None)
+    cell = jnp.zeros((3, 3))
+    np.testing.assert_allclose(
+        float(binned.energy(x, cell)), float(dense.energy(x, cell)),
+        rtol=1e-12,
+    )
+    g_b = jax.grad(binned.energy)(x, cell)
+    g_d = jax.grad(dense.energy)(x, cell)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
+                               atol=1e-10)
