@@ -148,6 +148,17 @@ class CellBins:
         (not-self AND real atom AND r < rc). Callers must overwrite
         masked distances BEFORE any sqrt/divide (NaN-adjoint rule).
         """
+        table = self.bucket_table(pos, cell)
+        return self.gather_rows(pos, cell, table,
+                                jnp.arange(self.n))
+
+    def bucket_table(self, pos, cell):
+        """Stage 1: bin ids + the (ncells+1, K) bucket scatter.
+
+        Returns an opaque ``(bucket, b3, inv)`` tuple consumed by
+        :meth:`gather_rows` — split out so large systems can gather
+        row-chunks under rematerialization instead of materializing
+        the full (n, 27K) panel."""
         n = self.n
         K = self.capacity
         nbins = jnp.asarray(self.nbins)
@@ -179,8 +190,26 @@ class CellBins:
         bucket = jnp.full(((ncells + 1) * K,), n, jnp.int32).at[
             slot
         ].set(order.astype(jnp.int32), mode="drop")
+        inv = inv3(cell) if self.pbc else None
+        return bucket, b3, inv
 
-        # neighbor bins per atom: (n, 27); invalid bins -> sentinel row
+    def gather_rows(self, pos, cell, table, rows):
+        """Stage 2: candidates/distances for the atoms in ``rows``.
+
+        ``rows`` may contain the sentinel value n (chunk padding);
+        those rows come back fully masked. Shapes: cand/r2/valid are
+        (len(rows), 27K)."""
+        n = self.n
+        K = self.capacity
+        nbins = jnp.asarray(self.nbins)
+        ncells = self.ncells
+        bucket, b3_all, inv = table
+
+        real = rows < n
+        rows_c = jnp.minimum(rows, n - 1)
+        b3 = b3_all[rows_c]                       # (m, 3)
+
+        # neighbor bins per row atom: (m, 27); invalid -> sentinel row
         nb3 = b3[:, None, :] + self._offsets[None, :, :]
         if self.pbc:
             nb3 = jnp.mod(nb3, nbins[None, None, :])
@@ -195,23 +224,24 @@ class CellBins:
                 + nb3c[..., 2]
             nbid = jnp.where(valid_bin, nbid, ncells)
 
-        # candidates: (n, 27K) atom indices, fill = n
+        # candidates: (m, 27K) atom indices, fill = n
+        m = rows.shape[0]
         cand = bucket[
             (nbid[..., None] * K
-             + jnp.arange(K)[None, None, :]).reshape(n, 27 * K)
+             + jnp.arange(K)[None, None, :]).reshape(m, 27 * K)
         ]
         # pad row: value is irrelevant (fully masked downstream; masked
         # distances must be overwritten BEFORE sqrt — NaN-adjoint rule)
         pos_pad = jnp.concatenate(
             [pos, jnp.zeros((1, 3), pos.dtype)], axis=0
         )
-        pj = pos_pad[cand]                       # (n, 27K, 3)
-        dr = pj - pos[:, None, :]
+        pj = pos_pad[cand]                       # (m, 27K, 3)
+        dr = pj - pos[rows_c][:, None, :]
         if self.pbc:
             fr = dr @ inv
             dr = (fr - jnp.round(fr)) @ cell
         r2 = jnp.sum(dr * dr, axis=-1)
-        valid = (cand != jnp.arange(n)[:, None]) & (cand < n) & (
+        valid = (cand != rows[:, None]) & (cand < n) & real[:, None] & (
             r2 < self.rc * self.rc
         )
         return cand, r2, valid

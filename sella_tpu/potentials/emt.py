@@ -265,7 +265,8 @@ class BinnedEMT(Potential):
     """
 
     def __init__(self, numbers, x0, cell=None,
-                 capacity=None, margin: float = 2.0) -> None:
+                 capacity=None, margin: float = 2.0,
+                 chunk=None) -> None:
         from .binned import CellBins
 
         self._base = EMT(numbers, pbc=cell is not None)
@@ -281,6 +282,11 @@ class BinnedEMT(Potential):
             raise ValueError(
                 f"x0 has {self._bins.n} atoms, numbers has {self.n}"
             )
+        # chunk: evaluate the candidate panel `chunk` atom rows at a
+        # time under lax.map + jax.checkpoint — peak memory drops to
+        # one chunk's (chunk, 27K) panel (gradients/HVPs recompute it
+        # per chunk). Required beyond ~20k atoms on a 16 GB chip.
+        self.chunk = chunk
 
     def max_occupancy(self, x) -> int:
         return self._bins.max_occupancy(x)
@@ -291,33 +297,64 @@ class BinnedEMT(Potential):
     def energy(self, x, cell):
         E0, s0, V0, eta2, kappa, lam, n0, gamma1, gamma2 = \
             self._base._arrs
-        pos = x.reshape(self.n, 3)
-        cand, r2, valid = self._bins.candidates(pos, cell)
+        n = self.n
+        pos = x.reshape(n, 3)
+        table = self._bins.bucket_table(pos, cell)
 
-        r = jnp.sqrt(jnp.where(valid, r2, 1.0))
-        theta = jax.nn.sigmoid(-self.acut * (r - self.rc))
-        theta = theta * valid.astype(x.dtype)
-
-        # gather neighbor-j parameters (pad row = 1.0, fully masked)
+        # padded j-parameter arrays (pad row = 1.0, fully masked)
         def pad(a):
             return jnp.concatenate([a, jnp.ones((1,), a.dtype)])
 
-        s0j = pad(s0)[cand]
-        eta2j = pad(eta2)[cand]
-        kappaj = pad(kappa)[cand]
-        n0j = pad(n0)[cand]
-        chi = n0j / n0[:, None]                  # chi_ij = n0_j / n0_i
+        s0p, eta2p, kappap, n0p = (pad(a) for a in
+                                   (s0, eta2, kappa, n0))
 
-        w1 = chi * jnp.exp(-eta2j * (r - BETA * s0j)) * theta
-        sigma1 = jnp.sum(w1, axis=1) / gamma1    # (n,)
+        def rows_energy(rows):
+            """Energy contribution of the atoms in ``rows`` (their
+            cohesive terms + their half of the pair sum); sentinel
+            rows (== n, chunk padding) contribute exactly zero."""
+            cand, r2, valid = self._bins.gather_rows(
+                pos, cell, table, rows
+            )
+            rows_c = jnp.minimum(rows, n - 1)
+            real = (rows < n).astype(x.dtype)
 
-        w2 = chi * jnp.exp(-kappaj * (r / BETA - s0j)) * theta
-        e_pair = -0.5 * jnp.sum(V0 * jnp.sum(w2, axis=1) / gamma2)
+            r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+            theta = jax.nn.sigmoid(-self.acut * (r - self.rc))
+            theta = theta * valid.astype(x.dtype)
 
-        sigma1 = jnp.maximum(sigma1, 1e-12)
-        ds = -jnp.log(sigma1 / 12.0) / (BETA * eta2)
-        xl = lam * ds
-        e_coh = jnp.sum(E0 * ((1.0 + xl) * jnp.exp(-xl) - 1.0))
-        e_conv = jnp.sum(6.0 * V0 * jnp.exp(-kappa * ds))
+            s0j = s0p[cand]
+            eta2j = eta2p[cand]
+            kappaj = kappap[cand]
+            n0j = n0p[cand]
+            chi = n0j / n0[rows_c][:, None]      # chi_ij = n0_j / n0_i
 
-        return e_coh + e_conv + e_pair
+            w1 = chi * jnp.exp(-eta2j * (r - BETA * s0j)) * theta
+            sigma1 = jnp.sum(w1, axis=1) / gamma1[rows_c]
+
+            w2 = chi * jnp.exp(-kappaj * (r / BETA - s0j)) * theta
+            e_pair = -0.5 * jnp.sum(
+                real * V0[rows_c] * jnp.sum(w2, axis=1) / gamma2[rows_c]
+            )
+
+            sigma1 = jnp.maximum(sigma1, 1e-12)
+            ds = -jnp.log(sigma1 / 12.0) / (BETA * eta2[rows_c])
+            xl = lam[rows_c] * ds
+            e_coh = jnp.sum(
+                real * E0[rows_c] * ((1.0 + xl) * jnp.exp(-xl) - 1.0)
+            )
+            e_conv = jnp.sum(
+                real * 6.0 * V0[rows_c] * jnp.exp(-kappa[rows_c] * ds)
+            )
+            return e_coh + e_conv + e_pair
+
+        if self.chunk is None:
+            return rows_energy(jnp.arange(n))
+
+        C = int(self.chunk)
+        nchunks = -(-n // C)
+        rows_all = jnp.concatenate(
+            [jnp.arange(n),
+             jnp.full(nchunks * C - n, n, jnp.int32)]
+        ).reshape(nchunks, C)
+        es = jax.lax.map(jax.checkpoint(rows_energy), rows_all)
+        return jnp.sum(es)

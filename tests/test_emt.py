@@ -188,3 +188,38 @@ def test_binned_emt_matches_dense_cluster():
     g_d = jax.grad(dense.energy)(x, cell)
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
                                atol=1e-10)
+
+
+def test_binned_emt_chunked_matches_full():
+    """chunk=C (lax.map + remat rows) must equal the full-panel path
+    for energy, gradient, and HVP — the memory-bounded large-N mode."""
+    import jax
+    from sella_tpu.potentials import BinnedEMT
+    from sella_tpu.potentials.emt import fcc_bulk
+
+    atoms = fcc_bulk("Cu", 3.59, reps=(6, 6, 6))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        (atoms.positions + 0.05 * rng.normal(
+            size=atoms.positions.shape)).ravel()
+    )
+    cell = jnp.asarray(atoms.cell)
+    full = BinnedEMT(atoms.numbers, x, cell)
+    # 864 atoms / 100 -> 9 chunks including a padded tail
+    chunked = BinnedEMT(atoms.numbers, x, cell, chunk=100)
+
+    np.testing.assert_allclose(
+        float(chunked.energy(x, cell)), float(full.energy(x, cell)),
+        rtol=1e-12,
+    )
+    g1 = jax.grad(full.energy)(x, cell)
+    g2 = jax.grad(chunked.energy)(x, cell)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=1e-12)
+    v = jnp.asarray(rng.normal(size=x.shape))
+    h1 = jax.jvp(jax.grad(lambda xx: full.energy(xx, cell)),
+                 (x,), (v,))[1]
+    h2 = jax.jvp(jax.grad(lambda xx: chunked.energy(xx, cell)),
+                 (x,), (v,))[1]
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                               atol=1e-11)
