@@ -263,7 +263,8 @@ class BinnedPairPotential(Potential):
 
     def __init__(self, inner, rc: float, x0, cell=None,
                  capacity: Optional[int] = None, margin: float = 2.0,
-                 shift: bool = True) -> None:
+                 shift: bool = True,
+                 chunk: Optional[int] = None) -> None:
         if not hasattr(inner, "pair_energy"):
             raise TypeError(
                 f"{type(inner).__name__} exposes no pair_energy(r); "
@@ -278,6 +279,10 @@ class BinnedPairPotential(Potential):
         self._bins = CellBins(x0, rc, cell=cell if self.pbc else None,
                               capacity=capacity, margin=margin)
         self.n = self._bins.n
+        # chunk: evaluate `chunk` atom rows at a time under lax.map +
+        # jax.checkpoint — peak memory drops to one chunk's (chunk,
+        # 27K) panel (derivatives recompute it per chunk)
+        self.chunk = chunk
 
     def max_occupancy(self, x) -> int:
         """Current max atoms-per-bin; see :meth:`CellBins.max_occupancy`."""
@@ -297,10 +302,29 @@ class BinnedPairPotential(Potential):
         return self._bins.ncells
 
     def energy(self, x, cell):
-        pos = x.reshape(self.n, 3)
-        _, r2, valid = self._bins.candidates(pos, cell)
-        r = jnp.sqrt(jnp.where(valid, r2, 1.0))
-        e = self.inner.pair_energy(r)
-        if self.shift:
-            e = e - self.inner.pair_energy(jnp.asarray(self.rc))
-        return 0.5 * jnp.sum(jnp.where(valid, e, 0.0))
+        import jax
+
+        n = self.n
+        pos = x.reshape(n, 3)
+        table = self._bins.bucket_table(pos, cell)
+
+        def rows_energy(rows):
+            _, r2, valid = self._bins.gather_rows(pos, cell, table,
+                                                  rows)
+            r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+            e = self.inner.pair_energy(r)
+            if self.shift:
+                e = e - self.inner.pair_energy(jnp.asarray(self.rc))
+            return 0.5 * jnp.sum(jnp.where(valid, e, 0.0))
+
+        if self.chunk is None:
+            return rows_energy(jnp.arange(n))
+
+        C = int(self.chunk)
+        nchunks = -(-n // C)
+        rows_all = jnp.concatenate(
+            [jnp.arange(n),
+             jnp.full(nchunks * C - n, n, jnp.int32)]
+        ).reshape(nchunks, C)
+        es = jax.lax.map(jax.checkpoint(rows_energy), rows_all)
+        return jnp.sum(es)

@@ -139,3 +139,34 @@ def test_mmf_binned_matches_chunked():
                    max_steps=400)
     assert bool(st_b.converged) and bool(st_c.converged)
     np.testing.assert_allclose(float(st_b.f), float(st_c.f), atol=1e-8)
+
+
+def test_binned_pair_chunked_matches_full():
+    """chunk=C row-chunked evaluation equals the full-panel path for
+    energy/gradient/HVP (memory-bounded large-N mode)."""
+    import jax
+    from sella_tpu.potentials import BinnedPairPotential, LennardJones
+
+    rng = np.random.RandomState(2)
+    pos = rng.uniform(0, 12.0, size=(200, 3))
+    x = jnp.asarray(pos.ravel())
+    cell = jnp.eye(3) * 12.0
+    inner = LennardJones(pbc=True, sigma=1.0, epsilon=1.0)
+    full = BinnedPairPotential(inner, rc=2.5, x0=x, cell=cell)
+    chunked = BinnedPairPotential(inner, rc=2.5, x0=x, cell=cell,
+                                  chunk=64)
+    np.testing.assert_allclose(
+        float(chunked.energy(x, cell)), float(full.energy(x, cell)),
+        rtol=1e-12,
+    )
+    g1 = jax.grad(full.energy)(x, cell)
+    g2 = jax.grad(chunked.energy)(x, cell)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=1e-11)
+    v = jnp.asarray(rng.normal(size=x.shape))
+    h1 = jax.jvp(jax.grad(lambda xx: full.energy(xx, cell)),
+                 (x,), (v,))[1]
+    h2 = jax.jvp(jax.grad(lambda xx: chunked.energy(xx, cell)),
+                 (x,), (v,))[1]
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                               atol=1e-10)
