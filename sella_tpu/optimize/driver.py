@@ -28,6 +28,28 @@ class Optimizer:
         self.nsteps = 0
         self.max_steps = 100_000_000
         self.fmax: Optional[float] = None
+        self.observers = []
+
+    def attach(self, function, interval: int = 1, *args, **kwargs):
+        """Register an observer callback (the ASE Optimizer protocol):
+        called every ``interval`` steps, or exactly once at step
+        ``-interval`` when ``interval`` is negative."""
+        self.observers.append((function, int(interval), args, kwargs))
+
+    def insert_observer(self, function, position: int = 0,
+                        interval: int = 1, *args, **kwargs):
+        self.observers.insert(
+            position, (function, int(interval), args, kwargs)
+        )
+
+    def call_observers(self) -> None:
+        for function, interval, args, kwargs in self.observers:
+            call = (
+                self.nsteps % interval == 0 if interval > 0
+                else self.nsteps == -interval
+            )
+            if call:
+                function(*args, **kwargs)
 
     def irun(self, fmax: float = 0.05, steps: Optional[int] = None):
         self.fmax = fmax
@@ -35,11 +57,13 @@ class Optimizer:
             self.max_steps = self.nsteps + steps
         converged = self.converged()
         self.log()
+        self.call_observers()
         yield converged
         while not converged and self.nsteps < self.max_steps:
             self.step()
             self.nsteps += 1
             self.log()
+            self.call_observers()
             converged = self.converged()
             yield converged
 

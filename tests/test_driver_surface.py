@@ -110,3 +110,16 @@ def test_exact_geodesic_toggle():
         assert isinstance(opt.pes, InternalPES)
         assert opt.pes.exact_geodesic is exact
         assert opt.run(fmax=1e-3, steps=100)
+
+
+def test_attach_observers():
+    """The ASE Optimizer observer protocol: attach(fn, interval) fires
+    every interval steps (positive) or once at step -interval."""
+    atoms = make_atoms()
+    opt = make_opt(atoms)
+    every, once = [], []
+    opt.attach(lambda: every.append(opt.nsteps), interval=2)
+    opt.attach(lambda: once.append(opt.nsteps), interval=-3)
+    assert opt.run(fmax=1e-3, steps=20) or opt.nsteps == 20
+    assert every == [s for s in range(opt.nsteps + 1) if s % 2 == 0]
+    assert once == [3]
