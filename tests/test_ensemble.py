@@ -413,7 +413,8 @@ def test_ensemble_inequality_constraints():
     st = run_ensemble(pot, x0, cfg, max_steps=200,
                       constraints=make_cons(1.3), comparators=("gt",))
     conv = np.asarray(st.converged)
-    assert conv.sum() >= Bsz - 2, conv
+    # pinned per-seed outcome: all 8 lanes converge (nsteps 25-80)
+    assert conv.sum() == Bsz, (conv, np.asarray(st.nsteps))
     bl = np.linalg.norm(
         np.asarray(st.x).reshape(-1, 4, 3)[:, 0]
         - np.asarray(st.x).reshape(-1, 4, 3)[:, 1], axis=1,
