@@ -137,6 +137,33 @@ class CellBins:
             np.asarray(x, dtype=np.float64).reshape(-1, 3)
         )
 
+    # -- device-side diagnostics ----------------------------------------
+    def overflow_count(self, pos, cell):
+        """Jittable count of atoms beyond their bin's capacity.
+
+        Overflowing atoms silently drop out of every candidate list, so
+        a nonzero count means the energy is wrong — check after large
+        moves (device-side analog of :meth:`max_occupancy`)."""
+        n = self.n
+        nbins = jnp.asarray(self.nbins)
+        if self.pbc:
+            frac = pos @ inv3(cell)
+            frac = frac - jnp.floor(frac)
+            b3 = jnp.clip(
+                (frac / jnp.asarray(self._w)).astype(jnp.int32), 0,
+                nbins - 1,
+            )
+        else:
+            b3 = jnp.clip(
+                ((pos - jnp.asarray(self._lo))
+                 / jnp.asarray(self._w)).astype(jnp.int32),
+                0, nbins - 1,
+            )
+        binid = (b3[:, 0] * nbins[1] + b3[:, 1]) * nbins[2] + b3[:, 2]
+        sbin = jnp.sort(binid)
+        rank = jnp.arange(n) - jnp.searchsorted(sbin, sbin, side="left")
+        return jnp.sum(rank >= self.capacity)
+
     # -- device-side candidate gather -----------------------------------
     def candidates(self, pos, cell):
         """Per-atom neighbor candidates with masked distances.

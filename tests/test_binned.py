@@ -170,3 +170,27 @@ def test_binned_pair_chunked_matches_full():
                  (x,), (v,))[1]
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
                                atol=1e-10)
+
+
+def test_overflow_count_device_side():
+    """The jittable overflow counter flags capacity overruns (the
+    silent-pair-drop hazard) without a host round trip."""
+    import jax
+    from sella_tpu.potentials import BinnedPairPotential, LennardJones
+
+    rng = np.random.RandomState(4)
+    pos = rng.uniform(0, 12.0, size=(100, 3))
+    x = jnp.asarray(pos.ravel())
+    cell = jnp.eye(3) * 12.0
+    inner = LennardJones(pbc=True, sigma=1.0, epsilon=1.0)
+    ok = BinnedPairPotential(inner, rc=2.5, x0=x, cell=cell)
+    tight = BinnedPairPotential(inner, rc=2.5, x0=x, cell=cell,
+                                capacity=1)
+    count_ok = int(jax.jit(ok._bins.overflow_count)(
+        x.reshape(-1, 3), cell))
+    count_tight = int(jax.jit(tight._bins.overflow_count)(
+        x.reshape(-1, 3), cell))
+    assert count_ok == 0
+    assert count_tight > 0
+    # agrees with the host-side diagnostic
+    assert (tight.max_occupancy(x) > tight.capacity) == (count_tight > 0)
