@@ -5,6 +5,12 @@ The sequential tier mirrors the reference's user surface
 jax-native potentials instead of ASE calculators.
 Run: python examples/01_saddle_search.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running without pip install
 import numpy as np
 
 from sella_tpu import Atoms, Constraints, Sella

@@ -3,6 +3,12 @@
 This is the capability the reference does not have — the TPU tier.
 Run: python examples/02_batched_ensemble.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running without pip install
 import jax.numpy as jnp
 import numpy as np
 

@@ -2,6 +2,12 @@
 batched — the reference's convergence advantage at ensemble scale.
 Run: python examples/03_internal_coordinates.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running without pip install
 import jax.numpy as jnp
 import numpy as np
 

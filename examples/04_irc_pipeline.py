@@ -2,6 +2,12 @@
 then follow every reaction path forward AND reverse to its minima.
 Run: python examples/04_irc_pipeline.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running without pip install
 import jax.numpy as jnp
 import numpy as np
 

@@ -3,6 +3,12 @@ relaxes positions and lattice under the log-deformation
 parameterization with a cell mask.
 Run: python examples/05_cell_optimization.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running without pip install
 import numpy as np
 
 from sella_tpu import Atoms, Sella

@@ -6,6 +6,12 @@ the Hessian is never formed. Set order=1 for a minimum-mode-following
 saddle search on the same machinery.
 Run: python examples/06_largescale_emt.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running without pip install
 import time
 
 import jax

@@ -9,6 +9,12 @@ Converges in ~10 steps from the bridge midpoint (measured on a v5e:
 lam = -0.44 eV/A^2 along the hop mode, fmax < 0.02 eV/A).
 Run: python examples/07_largescale_saddle.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running without pip install
 import numpy as np
 import jax
 import jax.numpy as jnp
