@@ -3,7 +3,11 @@ from .binned import BinnedPairPotential, CellBins
 from .emt import EMT, BinnedEMT
 from .host import HostBatchedCalculator
 from .pair import Harmonic, LennardJones, MorsePotential
-from .sharded import ChunkedPairPotential, ShardedPairPotential
+from .sharded import (
+    ChunkedPairPotential,
+    ShardedBinnedPotential,
+    ShardedPairPotential,
+)
 from .sw import StillingerWeber
 from .tip3p import TIP3P
 
@@ -15,6 +19,7 @@ __all__ = [
     "CellBins",
     "ChunkedPairPotential",
     "HostBatchedCalculator",
+    "ShardedBinnedPotential",
     "ShardedPairPotential",
     "StillingerWeber",
     "ASECalculatorWrapper",

@@ -328,6 +328,16 @@ class BinnedPairPotential(Potential):
     def ncells(self) -> int:
         return self._bins.ncells
 
+    def _rows_energy(self, pos, cell, table, rows):
+        """Partial energy owned by the atoms in ``rows`` (their half of
+        the pair sum); sentinel rows (== n) contribute zero."""
+        _, r2, valid = self._bins.gather_rows(pos, cell, table, rows)
+        r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+        e = self.inner.pair_energy(r)
+        if self.shift:
+            e = e - self.inner.pair_energy(jnp.asarray(self.rc))
+        return 0.5 * jnp.sum(jnp.where(valid, e, 0.0))
+
     def energy(self, x, cell):
         import jax
 
@@ -336,13 +346,7 @@ class BinnedPairPotential(Potential):
         table = self._bins.bucket_table(pos, cell)
 
         def rows_energy(rows):
-            _, r2, valid = self._bins.gather_rows(pos, cell, table,
-                                                  rows)
-            r = jnp.sqrt(jnp.where(valid, r2, 1.0))
-            e = self.inner.pair_energy(r)
-            if self.shift:
-                e = e - self.inner.pair_energy(jnp.asarray(self.rc))
-            return 0.5 * jnp.sum(jnp.where(valid, e, 0.0))
+            return self._rows_energy(pos, cell, table, rows)
 
         if self.chunk is None:
             return rows_energy(jnp.arange(n))

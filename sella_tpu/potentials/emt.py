@@ -294,12 +294,14 @@ class BinnedEMT(Potential):
     def validate_cell(self, cell) -> None:
         self._base.validate_cell(cell)
 
-    def energy(self, x, cell):
+    def _rows_energy(self, pos, cell, table, rows):
+        """Energy contribution of the atoms in ``rows`` (their
+        cohesive terms + their half of the pair sum); sentinel
+        rows (== n, chunk/shard padding) contribute exactly zero."""
         E0, s0, V0, eta2, kappa, lam, n0, gamma1, gamma2 = \
             self._base._arrs
         n = self.n
-        pos = x.reshape(n, 3)
-        table = self._bins.bucket_table(pos, cell)
+        dtype = pos.dtype
 
         # padded j-parameter arrays (pad row = 1.0, fully masked)
         def pad(a):
@@ -308,44 +310,46 @@ class BinnedEMT(Potential):
         s0p, eta2p, kappap, n0p = (pad(a) for a in
                                    (s0, eta2, kappa, n0))
 
+        cand, r2, valid = self._bins.gather_rows(pos, cell, table, rows)
+        rows_c = jnp.minimum(rows, n - 1)
+        real = (rows < n).astype(dtype)
+
+        r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+        theta = jax.nn.sigmoid(-self.acut * (r - self.rc))
+        theta = theta * valid.astype(dtype)
+
+        s0j = s0p[cand]
+        eta2j = eta2p[cand]
+        kappaj = kappap[cand]
+        n0j = n0p[cand]
+        chi = n0j / n0[rows_c][:, None]          # chi_ij = n0_j / n0_i
+
+        w1 = chi * jnp.exp(-eta2j * (r - BETA * s0j)) * theta
+        sigma1 = jnp.sum(w1, axis=1) / gamma1[rows_c]
+
+        w2 = chi * jnp.exp(-kappaj * (r / BETA - s0j)) * theta
+        e_pair = -0.5 * jnp.sum(
+            real * V0[rows_c] * jnp.sum(w2, axis=1) / gamma2[rows_c]
+        )
+
+        sigma1 = jnp.maximum(sigma1, 1e-12)
+        ds = -jnp.log(sigma1 / 12.0) / (BETA * eta2[rows_c])
+        xl = lam[rows_c] * ds
+        e_coh = jnp.sum(
+            real * E0[rows_c] * ((1.0 + xl) * jnp.exp(-xl) - 1.0)
+        )
+        e_conv = jnp.sum(
+            real * 6.0 * V0[rows_c] * jnp.exp(-kappa[rows_c] * ds)
+        )
+        return e_coh + e_conv + e_pair
+
+    def energy(self, x, cell):
+        n = self.n
+        pos = x.reshape(n, 3)
+        table = self._bins.bucket_table(pos, cell)
+
         def rows_energy(rows):
-            """Energy contribution of the atoms in ``rows`` (their
-            cohesive terms + their half of the pair sum); sentinel
-            rows (== n, chunk padding) contribute exactly zero."""
-            cand, r2, valid = self._bins.gather_rows(
-                pos, cell, table, rows
-            )
-            rows_c = jnp.minimum(rows, n - 1)
-            real = (rows < n).astype(x.dtype)
-
-            r = jnp.sqrt(jnp.where(valid, r2, 1.0))
-            theta = jax.nn.sigmoid(-self.acut * (r - self.rc))
-            theta = theta * valid.astype(x.dtype)
-
-            s0j = s0p[cand]
-            eta2j = eta2p[cand]
-            kappaj = kappap[cand]
-            n0j = n0p[cand]
-            chi = n0j / n0[rows_c][:, None]      # chi_ij = n0_j / n0_i
-
-            w1 = chi * jnp.exp(-eta2j * (r - BETA * s0j)) * theta
-            sigma1 = jnp.sum(w1, axis=1) / gamma1[rows_c]
-
-            w2 = chi * jnp.exp(-kappaj * (r / BETA - s0j)) * theta
-            e_pair = -0.5 * jnp.sum(
-                real * V0[rows_c] * jnp.sum(w2, axis=1) / gamma2[rows_c]
-            )
-
-            sigma1 = jnp.maximum(sigma1, 1e-12)
-            ds = -jnp.log(sigma1 / 12.0) / (BETA * eta2[rows_c])
-            xl = lam[rows_c] * ds
-            e_coh = jnp.sum(
-                real * E0[rows_c] * ((1.0 + xl) * jnp.exp(-xl) - 1.0)
-            )
-            e_conv = jnp.sum(
-                real * 6.0 * V0[rows_c] * jnp.exp(-kappa[rows_c] * ds)
-            )
-            return e_coh + e_conv + e_pair
+            return self._rows_energy(pos, cell, table, rows)
 
         if self.chunk is None:
             return rows_energy(jnp.arange(n))

@@ -148,3 +148,63 @@ class ChunkedPairPotential(Potential):
             return 0.5 * jnp.sum(e)
 
         return jnp.sum(jax.lax.map(blk_energy, jnp.arange(nblk)))
+
+
+class ShardedBinnedPotential(Potential):
+    """Shard a cell-binned potential's row evaluation over a mesh axis
+    — the multi-chip O(N) path for 100k+-atom systems.
+
+    Wraps a :class:`~sella_tpu.potentials.binned.BinnedPairPotential`
+    or :class:`~sella_tpu.potentials.emt.BinnedEMT`: positions stay
+    replicated (tiny), every device builds the bucket table (O(n log n)
+    integer work, negligible) and evaluates its contiguous block of
+    atom rows' candidate panel, with one ``psum`` per energy. Combines
+    with the inner potential's ``chunk`` contract by construction:
+    per-device work is ``n / ndev`` rows, so memory scales down with
+    the mesh. Gradients and Lanczos/Davidson HVPs shard for free
+    because the sharding lives inside ``energy``.
+    """
+
+    def __init__(self, binned, mesh: Mesh, axis: str = "atoms") -> None:
+        if not hasattr(binned, "_rows_energy"):
+            raise TypeError(
+                f"{type(binned).__name__} exposes no _rows_energy; "
+                "ShardedBinnedPotential needs a cell-binned potential"
+            )
+        if axis not in mesh.shape:
+            raise ValueError(
+                f"mesh has no axis {axis!r}; its axes are "
+                f"{tuple(mesh.shape)}"
+            )
+        self.binned = binned
+        self.mesh = mesh
+        self.axis = axis
+        self.pbc = getattr(binned, "pbc", False)
+        self.n = binned.n
+
+    def max_occupancy(self, x) -> int:
+        return self.binned.max_occupancy(x)
+
+    def energy(self, x, cell):
+        n = self.n
+        ndev = self.mesh.shape[self.axis]
+        blk = -(-n // ndev)
+        axis = self.axis
+        binned = self.binned
+
+        def partial_energy(x_, cell_):
+            d = jax.lax.axis_index(axis)
+            pos = x_.reshape(n, 3)
+            table = binned._bins.bucket_table(pos, cell_)
+            rows = d * blk + jnp.arange(blk)
+            rows = jnp.where(rows < n, rows, n)   # sentinel padding
+            e = binned._rows_energy(pos, cell_, table, rows)
+            return jax.lax.psum(e, axis)
+
+        fn = shard_map(
+            partial_energy,
+            mesh=self.mesh,
+            in_specs=(P(), P()),
+            out_specs=P(),
+        )
+        return fn(x, cell)

@@ -139,3 +139,49 @@ def test_chunked_mmf_minimization():
     st = run_mmf(pot, x0, cell=jnp.asarray(slab.cell), order=0,
                  fmax=5e-3, max_steps=400)
     assert bool(st.converged), int(st.nsteps)
+
+
+def test_sharded_binned_matches_unsharded():
+    """ShardedBinnedPotential == the single-device binned potential
+    (energy/grad/HVP) over the 8-device mesh, for both the pair and
+    the many-body EMT inner."""
+    from jax.sharding import Mesh
+
+    from sella_tpu.potentials import (
+        BinnedEMT,
+        BinnedPairPotential,
+        LennardJones,
+        ShardedBinnedPotential,
+    )
+    from sella_tpu.potentials.emt import fcc_bulk
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("atoms",))
+    rng = np.random.RandomState(5)
+
+    atoms = fcc_bulk("Cu", 3.59, reps=(6, 6, 6))      # 864 atoms
+    x = jnp.asarray(
+        (atoms.positions + 0.05 * rng.normal(
+            size=atoms.positions.shape)).ravel()
+    )
+    cell = jnp.asarray(atoms.cell)
+    inner_lj = LennardJones(pbc=True, sigma=2.3, epsilon=0.4)
+    for base in (
+        BinnedPairPotential(inner_lj, rc=5.5, x0=x, cell=cell),
+        BinnedEMT(atoms.numbers, x, cell),
+    ):
+        sharded = ShardedBinnedPotential(base, mesh)
+        np.testing.assert_allclose(
+            float(jax.jit(sharded.energy)(x, cell)),
+            float(base.energy(x, cell)), rtol=1e-12,
+        )
+        g0 = jax.grad(base.energy)(x, cell)
+        g1 = jax.jit(jax.grad(sharded.energy))(x, cell)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   atol=1e-11)
+        v = jnp.asarray(rng.normal(size=x.shape))
+        h0 = jax.jvp(jax.grad(lambda xx: base.energy(xx, cell)),
+                     (x,), (v,))[1]
+        h1 = jax.jvp(jax.grad(lambda xx: sharded.energy(xx, cell)),
+                     (x,), (v,))[1]
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                                   atol=1e-10)
