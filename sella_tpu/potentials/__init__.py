@@ -2,6 +2,7 @@ from .base import ASECalculatorWrapper, Potential, get_potential
 from .binned import BinnedPairPotential, CellBins
 from .emt import EMT, BinnedEMT
 from .host import HostBatchedCalculator
+from .mlff import MLPotential
 from .pair import Harmonic, LennardJones, MorsePotential
 from .sharded import (
     ChunkedPairPotential,
@@ -19,6 +20,7 @@ __all__ = [
     "CellBins",
     "ChunkedPairPotential",
     "HostBatchedCalculator",
+    "MLPotential",
     "ShardedBinnedPotential",
     "ShardedPairPotential",
     "StillingerWeber",

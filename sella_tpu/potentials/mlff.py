@@ -1,0 +1,173 @@
+"""Minimal invariant message-passing ML potential (MACE-style contract).
+
+BASELINE.json config 5 asks for a "10k-atom slab with JAX ML potential
+(MACE-style) via iterative Davidson, no dense Hessian". Trained
+foundation-model weights are not available in this environment, so this
+module provides the *systems contract* those potentials impose — a
+graph neural network over neighbor lists whose energy is a smooth pure
+function of positions and cell, so forces AND exact Lanczos/Davidson
+Hessian-vector products come from jax transforms and stay O(N) through
+the :class:`~sella_tpu.potentials.binned.CellBins` candidate machinery:
+
+* species embedding -> T rounds of edge-gated message passing with
+  radial-basis edge features under a C^1 cosine cutoff envelope ->
+  per-atom energy readout (summed);
+* rotation/translation invariant by construction (edges enter through
+  interatomic distances only);
+* deterministic random weights from a seed (physics is placeholder;
+  swap ``params`` for trained weights with the same tree structure).
+
+Any real jax-native MLFF (MACE-jax, NequIP-jax, ...) plugs into the
+framework the same way: implement ``energy(x, cell)`` as a pure
+function — every driver tier (sequential Sella/IRC, batched ensembles,
+large-system MMF) consumes it unchanged.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import Potential
+from .binned import CellBins
+
+
+def _init_params(key, nspecies: int, nrbf: int, dim: int,
+                 nlayers: int, dtype):
+    """Deterministic small-weight init; returns a pytree."""
+    ks = jax.random.split(key, 2 + 4 * nlayers + 2)
+    scale = 0.5
+    params = {
+        "embed": scale * jax.random.normal(
+            ks[0], (nspecies, dim), dtype),
+        "layers": [],
+        "readout_w": scale * jax.random.normal(ks[1], (dim, 1), dtype),
+        "readout_b": jnp.zeros((1,), dtype),
+    }
+    for t in range(nlayers):
+        k0, k1, k2, k3 = ks[2 + 4 * t: 6 + 4 * t]
+        params["layers"].append({
+            "edge_w": scale * jax.random.normal(k0, (nrbf, dim), dtype),
+            "edge_b": jnp.zeros((dim,), dtype),
+            "msg_w": scale * jax.random.normal(k1, (dim, dim), dtype)
+            / np.sqrt(dim),
+            "upd_w": scale * jax.random.normal(k2, (dim, dim), dtype)
+            / np.sqrt(dim),
+            "upd_b": jnp.zeros((dim,), dtype),
+            "gate_w": scale * jax.random.normal(k3, (dim, dim), dtype)
+            / np.sqrt(dim),
+        })
+    return params
+
+
+class MLPotential(Potential):
+    """Message-passing potential over cell-binned neighbor lists.
+
+    Parameters
+    ----------
+    numbers : (n,) atomic numbers (embedding indices are the distinct
+        species in sorted order).
+    x0 : (3n,) initial positions — fixes the static neighbor grid.
+    cell : (3, 3) or None.
+    rc : graph cutoff (default 5.0 A) — also the bin edge.
+    nrbf, dim, nlayers : network widths (radial bases, feature width,
+        message-passing rounds).
+    params : optional trained weight pytree (see ``_init_params`` for
+        the structure); default: deterministic random weights.
+    seed : weight seed when ``params`` is None.
+    capacity, margin : see :class:`CellBins`.
+    """
+
+    def __init__(self, numbers, x0, cell=None, rc: float = 5.0,
+                 nrbf: int = 8, dim: int = 16, nlayers: int = 2,
+                 params=None, seed: int = 0,
+                 capacity: Optional[int] = None,
+                 margin: float = 2.0) -> None:
+        numbers = np.asarray(numbers, dtype=int)
+        self.n = len(numbers)
+        self.pbc = cell is not None
+        self.rc = float(rc)
+        species = sorted(set(int(z) for z in numbers))
+        self._spec = jnp.asarray(
+            [species.index(int(z)) for z in numbers])
+        self.nlayers = int(nlayers)
+        self.nrbf = int(nrbf)
+        self.dim = int(dim)
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+        # Gaussian radial bases spanning (0, rc]
+        centers = np.linspace(0.5, rc, nrbf)
+        self._centers = jnp.asarray(centers, dtype)
+        self._gamma = float((nrbf / rc) ** 2)
+        if params is None:
+            params = _init_params(
+                jax.random.PRNGKey(seed), len(species), nrbf, dim,
+                nlayers, dtype,
+            )
+        self.params = params
+        self._bins = CellBins(x0, rc, cell=cell, capacity=capacity,
+                              margin=margin)
+        if self._bins.n != self.n:
+            raise ValueError(
+                f"x0 has {self._bins.n} atoms, numbers has {self.n}"
+            )
+
+    def max_occupancy(self, x) -> int:
+        return self._bins.max_occupancy(x)
+
+    # NOTE: no _rows_energy / chunk mode — message passing couples
+    # neighbors, so row-chunking would truncate the receptive field
+    # (ShardedBinnedPotential correctly rejects this class).
+
+    def energy(self, x, cell):
+        p = self.params
+        n = self.n
+        pos = x.reshape(n, 3)
+        table = self._bins.bucket_table(pos, cell)
+        cand, r2, valid = self._bins.gather_rows(
+            pos, cell, table, jnp.arange(n)
+        )                                          # (n, 27K)
+        mask = valid.astype(x.dtype)
+        r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+
+        # C^1 cosine envelope (0 exactly at rc, where the hard cutoff
+        # mask also flips -> the masked sum stays C^1 in positions);
+        # the envelope multiplies the edge features AFTER the edge MLP
+        # so its bias cannot leak through masked pairs
+        env = 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.minimum(r / self.rc,
+                                                        1.0)))
+        env = env * mask                           # (n, 27K)
+
+        def layer_fn(h, lay):
+            # (n, 27K, *) panels live only inside this rematerialized
+            # region — reverse/HVP passes recompute them per layer, so
+            # peak memory is ONE layer's working set (10k atoms fit a
+            # 16 GB chip; without remat the stack of per-layer panels
+            # OOMs)
+            rbf = jnp.exp(
+                -self._gamma * (r[..., None] - self._centers) ** 2
+            )                                      # (n, 27K, nrbf)
+            edge = jnp.tanh(rbf @ lay["edge_w"] + lay["edge_b"])
+            edge = edge * env[..., None]
+            h_pad = jnp.concatenate(
+                [h, jnp.zeros((1, h.shape[1]), h.dtype)], axis=0
+            )
+            hj = h_pad[cand]                       # (n, 27K, dim)
+            gate = jax.nn.sigmoid(hj @ lay["gate_w"])
+            msg = jnp.sum(
+                edge * gate * (hj @ lay["msg_w"]), axis=1
+            )                                      # (n, dim)
+            return h + jnp.tanh(msg @ lay["upd_w"] + lay["upd_b"])
+
+        h = p["embed"][self._spec]                 # (n, dim)
+        for lay in self.layers_params():
+            h = jax.checkpoint(layer_fn)(h, lay)
+
+        e_atom = (h @ p["readout_w"]).ravel() + p["readout_b"]
+        return jnp.sum(e_atom)
+
+    def layers_params(self):
+        return self.params["layers"]

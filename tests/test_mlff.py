@@ -1,0 +1,94 @@
+"""ML-potential contract tests (BASELINE config 5): a graph potential
+over cell-binned neighbor lists must deliver smooth, invariant
+energies with exact jax forces and HVPs."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sella_tpu.potentials import MLPotential
+from sella_tpu.potentials.emt import fcc_bulk
+
+
+def _setup(reps=(3, 3, 3), pbc=False, seed=0):
+    atoms = fcc_bulk("Cu", 3.59, reps=reps)
+    rng = np.random.RandomState(seed)
+    pos = atoms.positions + 0.05 * rng.normal(size=atoms.positions.shape)
+    x = jnp.asarray(pos.ravel())
+    cell = jnp.asarray(atoms.cell) if pbc else None
+    pot = MLPotential(atoms.numbers, x, cell)
+    return pot, x, (jnp.asarray(atoms.cell) if pbc
+                    else jnp.zeros((3, 3)))
+
+
+def test_forces_fd():
+    pot, x, cell = _setup()
+    g = np.asarray(jax.grad(pot.energy)(x, cell))
+    rng = np.random.RandomState(1)
+    h = 1e-5
+    for _ in range(3):
+        d = rng.normal(size=len(g))
+        d /= np.linalg.norm(d)
+        ep = float(pot.energy(x + h * jnp.asarray(d), cell))
+        em = float(pot.energy(x - h * jnp.asarray(d), cell))
+        np.testing.assert_allclose(
+            (ep - em) / (2 * h), float(g @ d), rtol=1e-5, atol=1e-8
+        )
+
+
+def test_invariance():
+    """Energy is exactly invariant under rigid translation+rotation
+    (free boundaries)."""
+    pot, x, cell = _setup()
+    e0 = float(pot.energy(x, cell))
+    pos = np.asarray(x).reshape(-1, 3)
+    # rotation about z by 30 deg + translation
+    c, s = np.cos(0.5), np.sin(0.5)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    pos2 = pos @ R.T + np.array([1.0, -2.0, 0.5])
+    # rebuild the grid for the moved cloud (free-boundary bounding box)
+    pot2 = MLPotential(np.array([29] * pot.n), pos2.ravel(), None,
+                       params=pot.params)
+    e1 = float(pot2.energy(jnp.asarray(pos2.ravel()), cell))
+    np.testing.assert_allclose(e1, e0, rtol=1e-12)
+
+
+def test_cutoff_smoothness():
+    """Moving one atom across rc changes the energy continuously (C^1
+    cosine envelope zeroes the edge exactly at the mask boundary)."""
+    numbers = np.array([29, 29])
+    es = []
+    for eps in (-1e-7, 1e-7):
+        pos = np.array([[0.0, 0, 0], [5.0 + eps, 0, 0]])
+        pot = MLPotential(numbers, pos.ravel(), None, rc=5.0)
+        es.append(float(pot.energy(jnp.asarray(pos.ravel()),
+                                   jnp.zeros((3, 3)))))
+    assert abs(es[1] - es[0]) < 1e-10, es
+
+
+def test_hvp_and_mmf_step():
+    """Exact HVPs drive one MMF step (the Davidson/Lanczos matrix-free
+    contract) on the periodic system."""
+    from sella_tpu.parallel.largescale import make_mmf_step, mmf_init
+
+    atoms = fcc_bulk("Cu", 3.59, reps=(6, 6, 6))
+    rng = np.random.RandomState(2)
+    pos = atoms.positions + 0.02 * rng.normal(size=atoms.positions.shape)
+    x = jnp.asarray(pos.ravel())
+    cell = jnp.asarray(atoms.cell)
+    pot = MLPotential(atoms.numbers, x, cell)
+    # HVP consistency vs FD of the gradient
+    v = jnp.asarray(rng.normal(size=x.shape))
+    v = v / jnp.linalg.norm(v)
+    hvp = jax.jvp(jax.grad(lambda xx: pot.energy(xx, cell)),
+                  (x,), (v,))[1]
+    h = 1e-5
+    gp = jax.grad(lambda xx: pot.energy(xx, cell))(x + h * v)
+    gm = jax.grad(lambda xx: pot.energy(xx, cell))(x - h * v)
+    np.testing.assert_allclose(
+        np.asarray(hvp), np.asarray((gp - gm) / (2 * h)),
+        rtol=1e-4, atol=1e-7,
+    )
+    state = mmf_init(pot, x, cell)
+    step = jax.jit(make_mmf_step(pot, cell, order=0, fmax=1e-3))
+    out = step(state)
+    assert bool(jnp.isfinite(out.f)) and int(out.nsteps) == 1
