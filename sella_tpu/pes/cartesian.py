@@ -208,6 +208,9 @@ class PES:
         else:
             f = self.atoms.get_potential_energy()
             g = -self.atoms.get_forces().ravel()
+        # stash the raw Cartesian gradient: cell PES wrappers need the
+        # forces for the virial chain rule without a second force call
+        self._last_gcart = g
         self.write_traj()
         return f, g
 

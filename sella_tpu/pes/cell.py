@@ -466,32 +466,21 @@ class CellInternalPES:
         self.eigensolver = self._ipes.eigensolver
 
         pot = self._ipes._potential
-        if pot is None:
-            raise NotImplementedError(
-                "CellInternalPES requires a jax-native Potential"
-            )
         factor = self.exp_cell_factor
         pressure = self.scalar_pressure
         mask_flat = jnp.asarray(np.where(self.cell_mask.ravel())[0])
 
-        def cell_enthalpy(frac, s, L_base, cell0):
+        def cell_of(s, L_base, cell0):
             L = L_base.ravel().at[mask_flat].set(s).reshape(3, 3)
-            cell = expm(L / factor) @ cell0
-            pos = frac @ cell
-            e = pot.energy(pos.ravel(), cell)
-            if pressure != 0.0:
-                e = e + pressure * jnp.abs(jnp.linalg.det(cell))
-            return e
+            return expm(L / factor) @ cell0
 
-        self._cell_grad = jax.jit(jax.grad(cell_enthalpy, argnums=1))
-
+        transport = None
         if rigid_fragments:
-            # rigid-transport-aware cell gradient: the fixed-fractional
-            # convention above is WRONG under rigid transport (fragments
-            # do not deform with the cell), so differentiate through the
-            # exact transport map instead — CoM affine + polar-rotation
-            # orientation (the reference's rotation correction,
-            # ``peswrapper.py:2135-2208`` + tests
+            # rigid transport map: the fixed-fractional convention is
+            # WRONG under rigid transport (fragments do not deform with
+            # the cell), so the atom motion is the exact transport map —
+            # CoM affine + polar-rotation orientation (the reference's
+            # rotation correction, ``peswrapper.py:2135-2208`` + tests
             # ``test_cell_optimization.py:1189-1607``). The polar factor
             # is computed by a fixed-count Newton iteration
             # R <- (R + R^-T)/2 (quadratically convergent near identity,
@@ -511,9 +500,8 @@ class CellInternalPES:
                     R = 0.5 * (R + inv3(R).T)
                 return R
 
-            def cell_enthalpy_rigid(pos, s, L_base, cell_ref, cell0):
-                L = L_base.ravel().at[mask_flat].set(s).reshape(3, 3)
-                cell_new = expm(L / factor) @ cell0
+            def transport(pos, s, L_base, cell_ref, cell0):
+                cell_new = cell_of(s, L_base, cell0)
                 inv_ref = inv3(cell_ref)
                 A = inv_ref @ cell_new           # row-vector affine map
                 R = _polar_rotation(cell_new @ inv_ref)
@@ -528,14 +516,63 @@ class CellInternalPES:
                     new_pos = new_pos.at[gr].set(
                         com @ A + delta @ R.T
                     )
-                e = pot.energy(new_pos.ravel(), cell_new)
+                return new_pos, cell_new
+
+        if pot is not None:
+            def cell_enthalpy(frac, s, L_base, cell0):
+                cell = cell_of(s, L_base, cell0)
+                pos = frac @ cell
+                e = pot.energy(pos.ravel(), cell)
                 if pressure != 0.0:
-                    e = e + pressure * jnp.abs(jnp.linalg.det(cell_new))
+                    e = e + pressure * jnp.abs(jnp.linalg.det(cell))
                 return e
 
-            self._cell_grad_rigid = jax.jit(
-                jax.grad(cell_enthalpy_rigid, argnums=1)
-            )
+            self._cell_grad = jax.jit(jax.grad(cell_enthalpy, argnums=1))
+
+            if rigid_fragments:
+                def cell_enthalpy_rigid(pos, s, L_base, cell_ref, cell0):
+                    new_pos, cell_new = transport(
+                        pos, s, L_base, cell_ref, cell0
+                    )
+                    e = pot.energy(new_pos.ravel(), cell_new)
+                    if pressure != 0.0:
+                        e = e + pressure * jnp.abs(
+                            jnp.linalg.det(cell_new)
+                        )
+                    return e
+
+                self._cell_grad_rigid = jax.jit(
+                    jax.grad(cell_enthalpy_rigid, argnums=1)
+                )
+        else:
+            # host-calculator path (the reference's primary production
+            # use: external DFT supplying forces + virial stress,
+            # ``peswrapper.py:2113-2208``). The cell gradient is
+            # assembled on the host from calc.get_stress; only the
+            # pure-geometry chain rule through the log-deformation map
+            # (and, for rigid fragments, the transport map) runs as a
+            # jax vjp — no potential evaluation inside jax.
+            @jax.jit
+            def param_vjp(s, L_base, cell0, dEdC):
+                _, vjp = jax.vjp(
+                    lambda ss: cell_of(ss, L_base, cell0), s
+                )
+                return vjp(dEdC)[0]
+
+            self._param_vjp = param_vjp
+
+            if rigid_fragments:
+                @jax.jit
+                def transport_vjp(pos, s, L_base, cell_ref, cell0,
+                                  dEdpos, dEdC):
+                    _, vjp = jax.vjp(
+                        lambda ss: transport(
+                            pos, ss, L_base, cell_ref, cell0
+                        ), s,
+                    )
+                    return vjp((dEdpos, dEdC))[0]
+
+                self._transport_vjp = transport_vjp
 
         # own state dict — the inner InternalPES keeps internal-dim
         # quantities (its geodesic reads curr['g'] of length n_internal),
@@ -700,7 +737,9 @@ class CellInternalPES:
             f = f + self.scalar_pressure * abs(
                 np.linalg.det(self.atoms.cell)
             )
-        if self.rigid_fragments:
+        if self._ipes._potential is None:
+            g_cell = self._host_cell_gradient()
+        elif self.rigid_fragments:
             g_cell = np.asarray(
                 self._cell_grad_rigid(
                     jnp.asarray(self.atoms.positions),
@@ -721,6 +760,55 @@ class CellInternalPES:
                 )
             )
         return f, np.concatenate([g_int, g_cell])
+
+    def _host_cell_gradient(self) -> np.ndarray:
+        """Cell gradient from the calculator's virial stress.
+
+        Non-rigid (fixed-fractional) convention: atoms ride affinely
+        with the cell, so ``dE/dC|frac = C^-T V sigma`` — exactly the
+        definition of the virial stress (reference
+        ``peswrapper.py:2135-2208``). With rigid fragments the atom
+        motion is the transport map instead, so the fixed-Cartesian
+        cell derivative ``dE/dC|pos = C^-T (V sigma + P^T F)`` and the
+        position derivative ``dE/dpos = -F`` are pulled back jointly
+        through the transport map's vjp. The pressure term enters as
+        ``sigma + P*I`` in both conventions (PV depends on the cell
+        only).
+        """
+        calc = self.atoms.calc
+        if not hasattr(calc, "get_stress"):
+            raise RuntimeError(
+                "Cell optimization with a host calculator requires "
+                "calc.get_stress(atoms) (Voigt, eV/A^3)."
+            )
+        stress = np.asarray(calc.get_stress(self.atoms))
+        C = self.atoms.cell
+        volume = abs(np.linalg.det(C))
+        sigma = voigt_6_to_full_3x3_stress(stress)
+        if self.scalar_pressure != 0.0:
+            sigma = sigma + self.scalar_pressure * np.eye(3)
+        s = jnp.asarray(self._masked_cell_params())
+        L_base = jnp.asarray(self._L)
+        cell0 = jnp.asarray(self.orig_cell)
+        if self.rigid_fragments:
+            # Cartesian gradient stashed by the inner PES.eval — no
+            # second force call
+            gcart = getattr(self._ipes, "_last_gcart", None)
+            if gcart is None:
+                gcart = -self.atoms.get_forces().ravel()
+            forces = -np.asarray(gcart).reshape(-1, 3)
+            dEdC = np.linalg.inv(C.T) @ (
+                volume * sigma + self.atoms.positions.T @ forces
+            )
+            g = self._transport_vjp(
+                jnp.asarray(self.atoms.positions), s, L_base,
+                jnp.asarray(np.asarray(C)), cell0,
+                jnp.asarray(-forces), jnp.asarray(dEdC),
+            )
+        else:
+            dEdC = volume * np.linalg.inv(C.T) @ sigma
+            g = self._param_vjp(s, L_base, cell0, jnp.asarray(dEdC))
+        return np.asarray(g)
 
     def _refine_cell_block(self, delta: float = 1e-5) -> None:
         """Central-difference cell-cell Hessian block."""

@@ -231,6 +231,98 @@ def test_host_calculator_stress_path():
     np.testing.assert_allclose(g_host, g_native, rtol=1e-6, atol=1e-9)
 
 
+def _host_shim(pot):
+    """Wrap a jax-native potential as a host calculator exposing
+    energy_and_forces + get_stress (the ASE-DFT interface shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    class HostShim:
+        def energy_and_forces(self, atoms):
+            x = jnp.asarray(atoms.positions.ravel())
+            c = jnp.asarray(atoms.cell)
+            f, g = jax.value_and_grad(pot.energy)(x, c)
+            return float(f), -np.asarray(g).reshape(-1, 3)
+
+        def get_stress(self, atoms):
+            c0 = jnp.asarray(atoms.cell)
+            x0 = jnp.asarray(atoms.positions)
+            vol = float(abs(np.linalg.det(atoms.cell)))
+
+            def e_of_strain(eps):
+                F = jnp.eye(3) + eps
+                return pot.energy((x0 @ F.T).ravel(), (c0 @ F.T))
+
+            deps = np.asarray(jax.grad(e_of_strain)(jnp.zeros((3, 3))))
+            s = 0.5 * (deps + deps.T) / vol
+            from sella_tpu.pes.cell import full_3x3_to_voigt_6_stress
+
+            return full_3x3_to_voigt_6_stress(s)
+
+    return HostShim()
+
+
+def test_host_calculator_cell_internal():
+    """CellInternalPES with a host (stress-supplying) calculator must
+    reproduce the jax-native extended gradient — the reference's
+    production DFT path (``peswrapper.py:2113-2208``)."""
+    from sella_tpu import Atoms
+    from sella_tpu.coords.internals import Internals
+    from sella_tpu.pes.cell import CellInternalPES
+    from sella_tpu.potentials import LennardJones
+
+    pot = LennardJones(epsilon=0.0104, sigma=3.4, pbc=True)
+    a = 5.2
+    base = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    ) * a
+    S = np.eye(3)
+    S[0, 1] = 0.03          # shear so every cell DOF is active
+    rng = np.random.RandomState(0)
+    pos0 = (base + 0.05 * rng.normal(size=base.shape)) @ S.T
+
+    def build(host):
+        atoms = Atoms(["Ar"] * 4, pos0.copy(),
+                      cell=(np.eye(3) * a) @ S.T, pbc=True)
+        atoms.calc = _host_shim(pot) if host else pot
+        ints = Internals(atoms)
+        ints.find_all_bonds()
+        return CellInternalPES(atoms, ints)
+
+    pes_native = build(False)
+    pes_host = build(True)
+    g_native = pes_native.get_g()
+    g_host = pes_host.get_g()
+    np.testing.assert_allclose(g_host, g_native, rtol=1e-6, atol=1e-9)
+
+
+def test_host_calculator_cell_internal_rigid():
+    """Host-calculator cell gradient with rigid fragments: the virial +
+    force terms pulled back through the transport-map vjp must match the
+    native autodiff-through-transport gradient."""
+    from sella_tpu import Atoms
+    from sella_tpu.coords.internals import Internals
+    from sella_tpu.pes.cell import CellInternalPES
+    from sella_tpu.potentials import LennardJones
+
+    pot = LennardJones(epsilon=0.0104, sigma=3.4, pbc=True)
+    pos = np.array([
+        [2.0, 2.0, 2.0], [2.0, 2.0, 4.0],
+        [7.0, 5.5, 3.0], [7.0, 7.5, 3.0],
+    ])
+
+    def build(host):
+        atoms = Atoms(["Ar"] * 4, pos.copy(), cell=np.eye(3) * 12.0,
+                      pbc=True)
+        atoms.calc = _host_shim(pot) if host else pot
+        ints = Internals(atoms, allow_fragments=True)
+        return CellInternalPES(atoms, ints, rigid_fragments=True)
+
+    g_native = build(False).get_g()
+    g_host = build(True).get_g()
+    np.testing.assert_allclose(g_host, g_native, rtol=1e-6, atol=1e-10)
+
+
 def test_internals_rebase_cell_preserves_values():
     """Lattice rebase new_cell = M @ cell with ncvec remap n -> n M^-1
     must preserve every internal value and Jacobian exactly (positions
