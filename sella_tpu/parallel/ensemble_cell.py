@@ -125,6 +125,13 @@ def make_ext_energy(potential, cfg: CellEnsembleConfig,
     """The differentiable extended objective z -> E + PV (one scalar;
     gradients give forces and the cell gradient simultaneously —
     the TPU-native collapse of ``peswrapper.py:2752-2819``)."""
+    if not getattr(potential, "has_stress", True):
+        raise ValueError(
+            "this host potential has no stress source: cell DOF "
+            "derivatives would be silently wrong. Construct the "
+            "HostBatchedCalculator with stress_func=... (Voigt virial "
+            "stress per lane) to drive the batched cell tiers."
+        )
     nr3 = 3 * cfg.natoms
     factor = (cfg.exp_cell_factor if cfg.exp_cell_factor > 0
               else float(cfg.natoms))

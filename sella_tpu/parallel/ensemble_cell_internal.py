@@ -156,6 +156,15 @@ def _cell_map(cfg: CellInternalEnsembleConfig, cell0,
         return expm(L / factor) @ cell0
 
     def make_enthalpy(potential):
+        if not getattr(potential, "has_stress", True):
+            raise ValueError(
+                "this host potential has no stress source: cell DOF "
+                "derivatives would be silently wrong. Construct the "
+                "HostBatchedCalculator with stress_func=... (Voigt "
+                "virial stress per lane) to drive the batched cell "
+                "tiers."
+            )
+
         def enthalpy(x, s):
             cell = cell_of(s)
             e = potential.energy(x, cell)

@@ -121,6 +121,12 @@ class CellCartesianPES(PES):
     # -- differentiable extended objective -----------------------------------
     def _build_extended_energy(self) -> None:
         pot = self._potential
+        if not getattr(pot, "has_stress", True):
+            raise ValueError(
+                "this host-batched potential has no stress source: "
+                "cell DOF derivatives would be silently wrong. Pass "
+                "stress_func=... to HostBatchedCalculator."
+            )
         factor = self.exp_cell_factor
         pressure = self.scalar_pressure
         mask_flat = jnp.asarray(np.where(self.cell_mask.ravel())[0])
@@ -518,6 +524,12 @@ class CellInternalPES:
                     )
                 return new_pos, cell_new
 
+        if pot is not None and not getattr(pot, "has_stress", True):
+            raise ValueError(
+                "this host-batched potential has no stress source: "
+                "cell DOF derivatives would be silently wrong. Pass "
+                "stress_func=... to HostBatchedCalculator."
+            )
         if pot is not None:
             def cell_enthalpy(frac, s, L_base, cell0):
                 cell = cell_of(s, L_base, cell0)

@@ -158,6 +158,118 @@ def test_from_ase_calculator_duck_typed():
                                atol=1e-12)
 
 
+def _lj_host_with_stress(eta=1e-6):
+    """Host shim over the jax LJ exposing forces + virial stress (the
+    DFT interface shape), for the batched cell tiers."""
+    from sella_tpu.pes.cell import full_3x3_to_voigt_6_stress
+    from sella_tpu.potentials import LennardJones
+
+    lj = LennardJones(epsilon=0.0104, sigma=3.4, pbc=True)
+
+    def func(X, cell):
+        c = jnp.asarray(cell)
+        E, G = jax.vmap(
+            lambda x: jax.value_and_grad(lj.energy)(x, c)
+        )(jnp.asarray(X))
+        return np.asarray(E), np.asarray(G)
+
+    def stress_func(X, cell):
+        c0 = jnp.asarray(cell)
+        vol = float(abs(np.linalg.det(np.asarray(cell))))
+
+        def one(x):
+            x3 = x.reshape(-1, 3)
+
+            def e_of(eps):
+                F = jnp.eye(3) + eps
+                return lj.energy((x3 @ F.T).ravel(), c0 @ F.T)
+
+            d = jax.grad(e_of)(jnp.zeros((3, 3)))
+            return 0.5 * (d + d.T) / vol
+
+        S = np.asarray(jax.vmap(one)(jnp.asarray(X)))
+        return np.stack([full_3x3_to_voigt_6_stress(s) for s in S])
+
+    host = HostBatchedCalculator(func, natoms=4, eta=eta, pbc=True,
+                                 stress_func=stress_func)
+    return host, lj
+
+
+def test_host_stress_cell_tier_gradient():
+    """Batched cell tier through the host boundary: the virial-stress
+    cell gradient must match the native autodiff extended gradient, and
+    joint (x, cell) FD HVPs must approximate the exact ones."""
+    from sella_tpu.parallel.ensemble_cell import (
+        CellEnsembleConfig,
+        make_ext_energy,
+    )
+
+    host, lj = _lj_host_with_stress()
+    a = 5.2
+    cell0 = np.eye(3) * a
+    cfg = CellEnsembleConfig(natoms=4, ncell=9)
+    mask = np.ones((3, 3), dtype=bool)
+    ext_h, _ = make_ext_energy(host, cfg, cell0, mask)
+    ext_n, _ = make_ext_energy(lj, cfg, cell0, mask)
+
+    base = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    ) * a
+    rng = np.random.RandomState(0)
+    Bsz = 3
+    z = jnp.asarray(np.concatenate([
+        (base[None] + 0.05 * rng.normal(size=(Bsz, 4, 3))).reshape(
+            Bsz, 12
+        ),
+        0.1 * rng.normal(size=(Bsz, 9)),
+    ], axis=1))
+
+    fh, gh = jax.vmap(jax.value_and_grad(ext_h))(z)
+    fn, gn = jax.vmap(jax.value_and_grad(ext_n))(z)
+    np.testing.assert_allclose(np.asarray(fh), np.asarray(fn),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gn),
+                               rtol=1e-7, atol=1e-12)
+
+    u = jnp.asarray(rng.normal(size=(Bsz, 21)))
+    hvp_h = jax.vmap(
+        lambda z1, u1: jax.jvp(jax.grad(ext_h), (z1,), (u1,))[1]
+    )(z, u)
+    hvp_n = jax.vmap(
+        lambda z1, u1: jax.jvp(jax.grad(ext_n), (z1,), (u1,))[1]
+    )(z, u)
+    scale = float(jnp.linalg.norm(hvp_n))
+    np.testing.assert_allclose(np.asarray(hvp_h), np.asarray(hvp_n),
+                               rtol=0, atol=3e-4 * scale)
+
+
+def test_host_without_stress_cell_paths_raise():
+    """A stress-less host potential must be refused by every cell-DOF
+    path (silent zero cell gradients are the failure mode guarded
+    against)."""
+    import pytest
+
+    from sella_tpu.parallel.ensemble_cell import (
+        CellEnsembleConfig,
+        make_ext_energy,
+    )
+
+    pot = _host_wrap()
+    cfg = CellEnsembleConfig(natoms=4, ncell=9)
+    with pytest.raises(ValueError, match="stress"):
+        make_ext_energy(pot, cfg, np.eye(3) * 5.0,
+                        np.ones((3, 3), dtype=bool))
+
+    from sella_tpu.atoms import Atoms
+    from sella_tpu.pes.cell import CellCartesianPES
+
+    atoms = Atoms(["Xe"] * 4, np.random.RandomState(0).normal(
+        size=(4, 3)) * 2.0 + 4.0, cell=np.eye(3) * 9.0, pbc=True)
+    atoms.calc = _host_wrap()
+    with pytest.raises(ValueError, match="stress"):
+        CellCartesianPES(atoms)
+
+
 def test_internal_tier_with_host_potential():
     """Redundant-internal batched tier through the host boundary: the
     Newton back-transform, Gram pinv, and FD-HVP Davidson all compose."""
