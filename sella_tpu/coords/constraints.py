@@ -70,6 +70,7 @@ class Record:
         return (
             self.kind == other.kind
             and self.axis == other.axis
+            and self.fn is other.fn
             and len(self.indices) == len(other.indices)
             and bool(np.all(self.indices == other.indices))
         )
@@ -217,6 +218,25 @@ class Constraints:
                      ncvecs=None):
         self._fix_internal("dihedral", "dihedrals", np.pi / 180.0, indices,
                            target, comparator, ncvecs)
+
+    def fix_other(self, fn, indices, target=None, comparator="eq"):
+        """Constrain a user-defined coordinate (reference ``fix_other``,
+        ``internal.py:2955-2979``): ``fn(pos)`` is a pure jnp scalar
+        function of the gathered ``(k, 3)`` positions; the constraint
+        Jacobian and curvature come from jax AD. Supports eq/lt/gt
+        comparators like every other constraint kind."""
+        indices = np.asarray(indices, dtype=np.int32)
+        rec = Record("other", indices, comparator=comparator, fn=fn)
+        if target is None:
+            target = self._value_of(rec)
+        rec.target = float(target)
+        self._add("other", rec)
+
+    @property
+    def targets(self) -> np.ndarray:
+        """Constraint target values, active rows only (reference
+        ``internal.py:2775-2779``)."""
+        return np.array([r.target for r in self._iter_records()])
 
     def rebase_cell(self, Minv: np.ndarray) -> None:
         """Remap record ncvecs after ``new_cell = M @ old_cell`` (see

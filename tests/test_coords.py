@@ -292,3 +292,79 @@ def test_constraint_hessian_ldot_symmetric_fragment():
         Hfd[:, a] = (gp - gm) / (2 * h)
     atoms.positions = pos
     np.testing.assert_allclose(Hc, Hfd, atol=5e-9)
+
+
+def test_fix_other_custom_coordinate():
+    """fix_other (reference internal.py:2955-2979): residual, AD
+    Jacobian, and AD curvature of a user-defined scalar coordinate."""
+    rng = np.random.RandomState(3)
+    pos = rng.normal(size=(4, 3)) * 1.5
+    atoms = Atoms(["H"] * 4, pos.copy())
+    cons = Constraints(atoms)
+
+    def rsq(p):  # sum of squared distances from atom 0 to atoms 1,2
+        return jnp.sum((p[1:] - p[0]) ** 2)
+
+    cons.fix_other(rsq, [0, 1, 2], target=2.5)
+    assert cons.ncons == 1
+    np.testing.assert_allclose(cons.targets, [2.5])
+
+    # residual matches direct evaluation
+    want = float(rsq(jnp.asarray(pos[[0, 1, 2]]))) - 2.5
+    np.testing.assert_allclose(cons.residual(), [want], rtol=1e-12)
+
+    # Jacobian vs FD through the public residual()
+    drdx = cons.jacobian()
+    assert drdx.shape == (1, 12)
+    h = 1e-6
+    for a in range(12):
+        pp = pos.ravel().copy(); pp[a] += h
+        pm = pos.ravel().copy(); pm[a] -= h
+        atoms.positions = pp.reshape(-1, 3)
+        rp = cons.residual()[0]
+        atoms.positions = pm.reshape(-1, 3)
+        rm = cons.residual()[0]
+        np.testing.assert_allclose(drdx[0, a], (rp - rm) / (2 * h),
+                                   atol=1e-7)
+    atoms.positions = pos.copy()
+
+    # hessian_ldot vs FD of L^T jacobian
+    L = np.array([0.8])
+    Hc = cons.hessian_ldot(L)
+    Hfd = np.zeros((12, 12))
+    for a in range(12):
+        pp = pos.ravel().copy(); pp[a] += h
+        pm = pos.ravel().copy(); pm[a] -= h
+        atoms.positions = pp.reshape(-1, 3)
+        gp = L @ cons.jacobian()
+        atoms.positions = pm.reshape(-1, 3)
+        gm = L @ cons.jacobian()
+        Hfd[:, a] = (gp - gm) / (2 * h)
+    atoms.positions = pos.copy()
+    np.testing.assert_allclose(Hc, Hfd, atol=1e-6)
+
+
+def test_fix_other_inequality_and_distinct_fns():
+    rng = np.random.RandomState(4)
+    pos = rng.normal(size=(3, 3))
+    atoms = Atoms(["H"] * 3, pos.copy())
+    cons = Constraints(atoms)
+
+    def coord_a(p):
+        return jnp.sum(p ** 2)
+
+    def coord_b(p):
+        return jnp.sum(p[:, 0])
+
+    val_a = float(coord_a(jnp.asarray(pos)))
+    # satisfied "lt" inequality deactivates; violated re-activates
+    cons.fix_other(coord_a, [0, 1, 2], target=val_a + 1.0, comparator="lt")
+    # a DIFFERENT fn on the same indices must NOT collide
+    cons.fix_other(coord_b, [0, 1, 2], target=0.0)
+    assert sum(len(v) for v in cons.records.values()) == 2
+
+    cons.disable_satisfied_inequalities()
+    assert cons.ncons == 1  # only the eq constraint stays active
+    atoms.positions = pos * 3.0  # now coord_a > target: violated
+    assert not cons.validate_inequalities()
+    assert cons.ncons == 2
