@@ -119,10 +119,19 @@ def run_config(name, batch, max_steps, chunk, profile=False):
         # eigh_f32: the P-RFO prep + TS-BFGS |B| eighs run in f32
         # (measured identical convergence: 23.0 mean steps / 77.6
         # matvecs / 100% conv, and a ~30% step-time win on v5e)
+        # rs_maxiter=12: measured identical convergence to the default
+        # 18 on this config (21.0 mean steps / 42.2 matvecs, batch=256)
+        # and ~9% faster steps (9.57 vs 10.45 s / 30 steps, v5e).
+        # eval_chunk at >=1024 lanes: the 25-atom periodic EMT's
+        # grad/HVP intermediates exceed HBM when materialized for all
+        # lanes at once; 256-lane chunks bound peak memory (bitwise
+        # identical results).
         cfg = EnsembleConfig(
             natoms=nat, order=1, nproj=3, fmax=0.02, gamma=0.3,
             davidson_max=25, delta0=5e-3,
             diag_budget=max(batch // 8, 1), eigh_f32=True,
+            rs_maxiter=12,
+            eval_chunk=256 if batch >= 1024 else 0,
         )
     else:
         from sella_tpu.potentials import LennardJones

@@ -93,6 +93,15 @@ class EnsembleConfig(NamedTuple):
     #   restart is the batched-tier remedy in the spirit of the
     #   reference's Davidson random restart (``eigensolvers.py:100-109``).
     restart_kick: float = 0.25     # kick stddev per DOF
+    eval_chunk: int = 0            # lanes per potential-eval chunk
+    #   (0 = whole batch at once). Large ensembles of many-atom periodic
+    #   potentials (EMT slab at 4096 lanes) exceed HBM if the vmapped
+    #   energy/grad/HVP intermediates materialize for every lane at
+    #   once; a nonzero chunk runs the potential through ``lax.map``
+    #   over sub-batches of this many lanes, bounding peak memory at
+    #   chunk-sized intermediates while the optimizer linear algebra
+    #   stays whole-batch. Bitwise identical results; only the eval
+    #   scheduling changes. Ignored when the batch is not divisible.
     eigh_f32: bool = False         # run the P-RFO projected eigh and
     #   the TS-BFGS |B| metric in f32 (results cast back to the state
     #   dtype). Empirically identical convergence on the bench configs
@@ -639,21 +648,47 @@ def restricted_step_batched(
 # ---------------------------------------------------------------------------
 # Full batched optimizer step
 # ---------------------------------------------------------------------------
-def _batched_eval(potential, cell):
+def _chunk_lanes(vfn, chunk):
+    """Run a vmapped-over-lanes function in ``chunk``-lane sub-batches.
+
+    ``lax.map`` over the reshaped leading axis serializes the chunks so
+    only one chunk's worth of potential intermediates is live at a time
+    (the memory fix that lets EMT slabs run at 4096 lanes in 16 GB HBM).
+    Falls back to the plain whole-batch call when chunking is disabled
+    or the batch is not divisible by the chunk."""
+    if not chunk:
+        return vfn
+
+    def run(*args):
+        B = args[0].shape[0]
+        if B <= chunk or B % chunk:
+            return vfn(*args)
+        resh = tuple(
+            a.reshape((B // chunk, chunk) + a.shape[1:]) for a in args
+        )
+        out = jax.lax.map(lambda t: vfn(*t), resh)
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape((B,) + o.shape[2:]), out
+        )
+
+    return run
+
+
+def _batched_eval(potential, cell, chunk=0):
     def one(x):
         return jax.value_and_grad(potential.energy)(x, cell)
 
-    return jax.vmap(one)
+    return _chunk_lanes(jax.vmap(one), chunk)
 
 
-def _batched_hvp_full(potential, cell):
+def _batched_hvp_full(potential, cell, chunk=0):
     """Full-space exact HVP of the potential at x along v (batched)."""
 
     def one(x, v):
         gfun = lambda y: jax.grad(potential.energy)(y, cell)
         return jax.jvp(gfun, (x,), (v,))[1]
 
-    return jax.vmap(one)
+    return _chunk_lanes(jax.vmap(one), chunk)
 
 
 def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
@@ -680,7 +715,7 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
     (one batched HVP + Ritz eigh + TS-BFGS would otherwise execute and
     be masked away every step)."""
     K = cfg.subspace_max
-    hvp_full = _batched_hvp_full(potential, cell)
+    hvp_full = _batched_hvp_full(potential, cell, cfg.eval_chunk)
     if cons_jac is not None:
         J = jax.vmap(cons_jac)(x)                       # (B, m, d)
         if cons_active is not None:
@@ -936,7 +971,10 @@ def init_state(potential, x0: jnp.ndarray, cfg: EnsembleConfig,
     dtype = x0.dtype
     if cell is None:
         cell = jnp.zeros((3, 3), dtype)
-    f, g = _batched_eval(potential, cell)(x0)
+    # jit: un-jitted eager dispatch materializes every potential
+    # intermediate unfused, which OOMs large batches that fit fine
+    # once XLA fuses (observed: EMT 25-atom slab at 4096 lanes)
+    f, g = jax.jit(_batched_eval(potential, cell, cfg.eval_chunk))(x0)
     d = cfg.dim
     return SearchState(
         x=x0,
@@ -984,7 +1022,7 @@ def make_step_fn(potential, cfg: EnsembleConfig,
     if cell is None:
         cell = jnp.zeros((3, 3))
 
-    eval_fn = _batched_eval(potential, cell)
+    eval_fn = _batched_eval(potential, cell, cfg.eval_chunk)
     if constraints is None and cfg.ncons > 0:
         raise ValueError(
             f"cfg.ncons == {cfg.ncons} but no constraints function given"
@@ -1426,7 +1464,7 @@ def refresh_fg(state: SearchState, potential, cfg: EnsembleConfig,
     accounting stays exact."""
     if cell is None:
         cell = jnp.zeros((3, 3), state.x.dtype)
-    f, g = _batched_eval(potential, cell)(state.x)
+    f, g = jax.jit(_batched_eval(potential, cell, cfg.eval_chunk))(state.x)
     inc = 1 if mask is None else mask.astype(state.neval.dtype)
     return state._replace(f=f, g=g, neval=state.neval + inc)
 

@@ -554,3 +554,29 @@ def test_ensemble_eigh_f32_quality():
         outcomes[False][1][conv].astype(int)
         - outcomes[True][1][conv].astype(int)
     ).max() <= 5
+
+
+def test_ensemble_eval_chunk_bitwise():
+    """eval_chunk changes only the potential-eval scheduling: a chunked
+    run is bitwise identical to the whole-batch run (same trajectory,
+    same counters)."""
+    Bsz = 8
+    pot = _morse()
+    base = dict(natoms=4, order=1, fmax=1e-3, gamma=1e-3)
+    x0 = _batch_x0(Bsz)
+    s_full = run_ensemble(pot, x0, EnsembleConfig(**base), max_steps=25)
+    s_chunk = run_ensemble(
+        pot, x0, EnsembleConfig(**base, eval_chunk=4), max_steps=25
+    )
+    assert np.array_equal(np.asarray(s_full.x), np.asarray(s_chunk.x))
+    assert np.array_equal(
+        np.asarray(s_full.nmatvec), np.asarray(s_chunk.nmatvec)
+    )
+    assert np.array_equal(
+        np.asarray(s_full.neval), np.asarray(s_chunk.neval)
+    )
+    # non-divisible chunk falls back to whole-batch (still identical)
+    s_odd = run_ensemble(
+        pot, x0, EnsembleConfig(**base, eval_chunk=3), max_steps=25
+    )
+    assert np.array_equal(np.asarray(s_full.x), np.asarray(s_odd.x))
