@@ -126,11 +126,14 @@ def run_config(name, batch, max_steps, chunk, profile=False):
         # grad/HVP intermediates exceed HBM when materialized for all
         # lanes at once; 256-lane chunks bound peak memory (bitwise
         # identical results).
+        # absb="ns": the TS-BFGS |B| metric via Newton-Schulz matmuls
+        # instead of a batched eigh (measured 1107 -> 65 ms at
+        # (4096, 75, 75) f32 on v5e; identical convergence statistics)
         cfg = EnsembleConfig(
             natoms=nat, order=1, nproj=3, fmax=0.02, gamma=0.3,
             davidson_max=25, delta0=5e-3,
             diag_budget=max(batch // 8, 1), eigh_f32=True,
-            rs_maxiter=12,
+            rs_maxiter=12, absb="ns",
             eval_chunk=256 if batch >= 1024 else 0,
         )
     else:
@@ -298,6 +301,60 @@ def run_internal_config(batch, max_steps=150, chunk=10):
     return out
 
 
+def run_queue_config(batch, total, max_steps_per_search=80,
+                     refill_every=5):
+    """Steady-state serving throughput (work-queue mode): ``total`` EMT
+    adatom searches stream through a fixed ``batch``-lane device
+    ensemble with convergence-mask compaction
+    (:func:`sella_tpu.parallel.ensemble.run_ensemble_queue`) — finished
+    lanes are harvested and refilled every ``refill_every`` steps, so
+    the chip never idles on converged lanes and the fixed-ensemble
+    straggler-tail artifact (a whole batch waiting on its slowest lane)
+    disappears. This is the production metric for screening campaigns.
+
+    A warmup pass over one batch-worth of searches compiles the step +
+    refill programs; the timed pass then processes ``total`` fresh
+    starts."""
+    import jax
+    import jax.numpy as jnp
+
+    from sella_tpu.parallel.ensemble import (
+        EnsembleConfig,
+        run_ensemble_queue,
+    )
+
+    pot, x0_all, cell, nat = _emt_setup(total + batch)
+    cfg = EnsembleConfig(
+        natoms=nat, order=1, nproj=3, fmax=0.02, gamma=0.3,
+        davidson_max=25, delta0=5e-3,
+        diag_budget=max(batch // 8, 1), eigh_f32=True, rs_maxiter=12,
+        eval_chunk=256 if batch >= 1024 else 0,
+    )
+    # warmup: one batch-worth end-to-end (compiles step + refill)
+    run_ensemble_queue(
+        pot, x0_all[:batch], cfg, batch,
+        max_steps_per_search=max_steps_per_search, cell=cell,
+        refill_every=refill_every,
+    )
+    t0 = time.perf_counter()
+    results = run_ensemble_queue(
+        pot, x0_all[batch:], cfg, batch,
+        max_steps_per_search=max_steps_per_search, cell=cell,
+        refill_every=refill_every,
+    )
+    elapsed = time.perf_counter() - t0
+    nconv = sum(1 for r in results if r[3])
+    steps = [r[2] for r in results if r[3]]
+    return nconv / elapsed, {
+        "batch": batch,
+        "total_searches": total,
+        "converged_frac": round(nconv / total, 4),
+        "mean_steps_converged": round(float(np.mean(steps)), 1),
+        "elapsed_s": round(elapsed, 2),
+        "refill_every": refill_every,
+    }
+
+
 def run_largescale(natoms_target=10000, nsteps=3):
     """BASELINE config 5: matrix-free MMF on a ~10k-atom slab.
 
@@ -395,6 +452,23 @@ def main():
             "unit": "searches/s",
             "vs_baseline": round(rate / SEQ_BASELINE["lj4"], 1),
             "extra": out,
+        }))
+        return
+
+    if headline == "queue":
+        batch = int(os.environ.get("BENCH_BATCH", "1024"))
+        total = int(os.environ.get("BENCH_TOTAL", "4096"))
+        rate, stats = run_queue_config(batch, total)
+        print(json.dumps({
+            "metric": (
+                "steady-state EMT Cu(111)+adatom saddle searches/sec/"
+                f"chip (work-queue, batch={batch}, total={total}, "
+                "fmax=0.02)"
+            ),
+            "value": round(rate, 3),
+            "unit": "searches/s",
+            "vs_baseline": round(rate / SEQ_BASELINE["emt"], 1),
+            "extra": {"queue": stats},
         }))
         return
 

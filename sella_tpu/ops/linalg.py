@@ -345,6 +345,124 @@ def eigh_refined(A: jnp.ndarray, sweeps: int = 2,
     return lams, V
 
 
+def _interleave_perm(n: int):
+    """Static permutation machinery for the adjacent-pair parallel
+    Jacobi: with the basis kept in the round-robin "tournament"
+    interleaved layout, every round rotates pairs (0,1), (2,3), ... and
+    then re-pairs by applying ONE fixed permutation. Returns
+    (idx0, perm): ``idx0`` maps original -> initial interleaved layout,
+    ``perm`` is the between-rounds relabeling. Host-side, static."""
+    import numpy as _np
+
+    def interleaved(players):
+        half = len(players) // 2
+        top = players[:half]
+        bot = players[:half - 1:-1]          # reversed back half
+        out = []
+        for a, b in zip(top, bot):
+            out += [a, b]
+        return out
+
+    players = list(range(n))
+    L0 = interleaved(players)
+    rotated = [players[0], players[-1]] + players[1:-1]
+    L1 = interleaved(rotated)
+    pos = {pl: i for i, pl in enumerate(L0)}
+    perm = _np.asarray([pos[pl] for pl in L1], _np.int32)
+    return _np.asarray(L0, _np.int32), perm
+
+
+def jacobi_eigh(A: jnp.ndarray, sweeps: int = 8):
+    """Batched symmetric eigh via parallel-order cyclic Jacobi with an
+    interleaved pair layout — pure reshape/elementwise/static-permute
+    XLA, no eigh custom call, no scatters.
+
+    Why: XLA's batched ``eigh`` on TPU costs ~0.9 s for (4096, 72, 72)
+    in f32 (measured v5e) and dominates the ensemble step; a first
+    gather/scatter Jacobi attempt was no faster (TPU scatters are
+    slow). This version keeps the matrix in the round-robin tournament
+    ordering so the n/2 simultaneous Givens rotations always act on
+    ADJACENT index pairs: the row and column updates are reshapes +
+    elementwise arithmetic, and moving to the next round's pairing is
+    one static-index ``take`` (a layout copy XLA handles at HBM
+    bandwidth). One identical ``fori_loop`` body covers all
+    sweeps*(n-1) rounds.
+
+    Fixed ``sweeps`` (quadratic convergence; 8 reaches the f32
+    off-diagonal floor for n <= 128 from cold starts). Computes in f32
+    — the accuracy class of the ``eigh_f32`` fast path it replaces —
+    and returns eigenvalues ascending with matching eigenvector
+    columns, in A's dtype."""
+    dt = A.dtype
+    n = A.shape[-1]
+    if n % 2:
+        # pad with one decoupled huge diagonal entry; it stays an exact
+        # eigenpair, sorts last (ascending), and is sliced off below
+        pad = jnp.zeros(A.shape[:-2] + (n + 1, n + 1), A.dtype)
+        pad = pad.at[..., :n, :n].set(A)
+        pad = pad.at[..., n, n].set(1e30)
+        lams, V = jacobi_eigh(pad, sweeps)
+        return lams[..., :n], V[..., :n, :n]
+    idx0, perm = _interleave_perm(n)
+    half = n // 2
+    batch = A.shape[:-2]
+    Af = A.astype(jnp.float32)
+    # rebase into the interleaved tournament layout
+    Af = jnp.take(jnp.take(Af, idx0, axis=-2), idx0, axis=-1)
+    V0 = jnp.broadcast_to(
+        jnp.eye(n, dtype=jnp.float32)[idx0].T, batch + (n, n)
+    )
+
+    def one_round(_, carry):
+        Ak, Vk = carry
+        diag = jnp.diagonal(Ak, axis1=-2, axis2=-1)
+        app = diag[..., 0::2]                    # (..., n/2)
+        aqq = diag[..., 1::2]
+        apq = jnp.diagonal(Ak, offset=1, axis1=-2, axis2=-1)[..., 0::2]
+        # classical Jacobi angle: tan(2t) = 2 a_pq / (a_qq - a_pp)
+        tau = (aqq - app) / jnp.where(apq == 0, 1.0, 2.0 * apq)
+        t = jnp.where(
+            tau == 0,
+            1.0,  # a_pp == a_qq with a_pq != 0: rotate 45 degrees
+            jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)),
+        )
+        t = jnp.where(apq == 0, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        # left rotation on row pairs: reshape, no indexing
+        Ar = Ak.reshape(batch + (half, 2, n))
+        r0, r1 = Ar[..., 0, :], Ar[..., 1, :]
+        Ak = jnp.stack(
+            [c[..., None] * r0 - s[..., None] * r1,
+             s[..., None] * r0 + c[..., None] * r1], axis=-2
+        ).reshape(batch + (n, n))
+        # right rotation on column pairs
+        Ac = Ak.reshape(batch + (n, half, 2))
+        c0, c1 = Ac[..., 0], Ac[..., 1]
+        Ak = jnp.stack(
+            [c[..., None, :] * c0 - s[..., None, :] * c1,
+             s[..., None, :] * c0 + c[..., None, :] * c1], axis=-1
+        ).reshape(batch + (n, n))
+        # eigenvector columns follow the right rotation
+        Vc = Vk.reshape(batch + (n, half, 2))
+        v0, v1 = Vc[..., 0], Vc[..., 1]
+        Vk = jnp.stack(
+            [c[..., None, :] * v0 - s[..., None, :] * v1,
+             s[..., None, :] * v0 + c[..., None, :] * v1], axis=-1
+        ).reshape(batch + (n, n))
+        # advance to the next round-robin pairing (static relabel)
+        Ak = jnp.take(jnp.take(Ak, perm, axis=-2), perm, axis=-1)
+        Vk = jnp.take(Vk, perm, axis=-1)
+        return (Ak, Vk)
+
+    Af, V = jax.lax.fori_loop(0, sweeps * (n - 1), one_round, (Af, V0))
+    lams = jnp.diagonal(Af, axis1=-2, axis2=-1)
+    order = jnp.argsort(lams, axis=-1)
+    lams = jnp.take_along_axis(lams, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return lams.astype(dt), V.astype(dt)
+
+
 def _default_eigh_mode() -> str:
     """Resolve the session-wide batched-eigh mode.
 
