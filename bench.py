@@ -45,6 +45,22 @@ over the cast traffic). Batch sweep at the new step cost: 256 -> 22.4,
 (re-swept under the f64-default eigh policy: 256 -> 32.3, 512 -> 30.8
 — same conclusion).
 
+Round-3 kernel work (2026-08-18): the remaining hot ops after the
+secular fix were the per-step batched eighs — P-RFO prep (B, 72, 72)
+and the TS-BFGS |B| metric (B, 75, 75), together ~0.5 s of the 0.84 s
+step at batch=1024. The |B| metric needs no eigh at all: the
+Newton-Schulz matrix-sign iteration (absb="ns", pure batched f32
+matmuls) computes it in 65 ms where the eigh took 1107 ms at 4096
+lanes, with identical convergence statistics — EMT headline
+36.0 -> 44.9 (256) and 40.7 -> 56.9 (1024) searches/s. The P-RFO prep
+eigh resists the same treatment (the secular solve needs the full
+eigensystem); a Pallas parallel-Jacobi kernel (ops/pallas_eigh.py,
+whole solve VMEM-resident, zero HBM round-trips between rotations)
+was built and measured VPU-throughput-bound at ~1.5 s for
+(4096, 72, 72) — the 570 dependent rotation rounds are latency-chained
+vector work, while XLA's custom call rides the MXU. Kept available
+(prfo_eigh="jacobi") with the measurement; not the default.
+
 Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
 through the tunnel is unreliable): with every batched eigh routed
 through the f32-factor + f64-refinement path (``SELLA_TPU_EIGH=
@@ -320,6 +336,7 @@ def run_queue_config(batch, total, max_steps_per_search=80,
 
     from sella_tpu.parallel.ensemble import (
         EnsembleConfig,
+        make_queue_fns,
         run_ensemble_queue,
     )
 
@@ -330,17 +347,20 @@ def run_queue_config(batch, total, max_steps_per_search=80,
         diag_budget=max(batch // 8, 1), eigh_f32=True, rs_maxiter=12,
         eval_chunk=256 if batch >= 1024 else 0,
     )
-    # warmup: one batch-worth end-to-end (compiles step + refill)
+    # compile once; the warmup pass then runs the same programs the
+    # timed pass uses (a fresh closure per call would recompile inside
+    # the timed region — minutes through the remote-compile tunnel)
+    fns = make_queue_fns(pot, cfg, cell)
     run_ensemble_queue(
         pot, x0_all[:batch], cfg, batch,
         max_steps_per_search=max_steps_per_search, cell=cell,
-        refill_every=refill_every,
+        refill_every=refill_every, fns=fns,
     )
     t0 = time.perf_counter()
     results = run_ensemble_queue(
         pot, x0_all[batch:], cfg, batch,
         max_steps_per_search=max_steps_per_search, cell=cell,
-        refill_every=refill_every,
+        refill_every=refill_every, fns=fns,
     )
     elapsed = time.perf_counter() - t0
     nconv = sum(1 for r in results if r[3])
@@ -490,14 +510,21 @@ def main():
         return
 
     if headline == "emt":
-        # batch=256 maximizes converged-searches/sec on the v5e-lite
-        # bench chip. 512 and 1024 lanes also run (100% convergence,
-        # measured 12.1 and 12.8 searches/s — per-lane step cost is
-        # latency-bound, so larger batches only amortize, they don't
-        # win); the 4096-lane north-star scale runs in the LJ4 config.
-        batch = int(os.environ.get("BENCH_BATCH", "256"))
+        # Batch sweep on the v5e bench chip, 2026-08-18 (rs_maxiter=12,
+        # eval_chunk, absb="ns"): 256 -> 44.9, 1024 -> 56.9,
+        # 2048 -> 28.7*, 4096 -> 24.5* searches/s, all at 100%
+        # convergence (*fixed-ensemble straggler tail: a handful of
+        # lanes need ~40 steps and the whole batch waits — the
+        # work-queue mode below is the tail-free serving metric).
+        # batch=1024 is the fixed-ensemble sweet spot. The 4096-lane
+        # north-star scale runs end-to-end via BENCH_BATCH=4096
+        # (chunk=1: the 10-step fori wrapper trips a TPU fault at that
+        # size; per-step dispatch is ~2% overhead at 4.8 s/step).
+        batch = int(os.environ.get("BENCH_BATCH", "1024"))
         max_steps = int(os.environ.get("BENCH_MAX_STEPS", "60"))
-        chunk = int(os.environ.get("BENCH_CHUNK", "10"))
+        chunk = int(os.environ.get(
+            "BENCH_CHUNK", "10" if batch < 4096 else "1"
+        ))
         rate, stats = run_config("emt", batch, max_steps, chunk, profile)
         extra = {"emt": stats}
         if os.environ.get("BENCH_SKIP_LJ4", "0") != "1":

@@ -1581,6 +1581,21 @@ def run_ensemble(
     return state
 
 
+def make_queue_fns(potential, cfg: EnsembleConfig,
+                   cell: Optional[jnp.ndarray] = None,
+                   constraints=None, comparators=None):
+    """Jitted (step, refill) pair for :func:`run_ensemble_queue` —
+    build once, pass to every call that shares the config."""
+    step = jax.jit(
+        make_step_fn(potential, cfg, cell, constraints=constraints,
+                     comparators=comparators),
+        donate_argnums=0,
+    )
+    refill = jax.jit(partial(refill_converged, cfg=cfg),
+                     donate_argnums=0)
+    return step, refill
+
+
 def run_ensemble_queue(
     potential,
     x0_all: jnp.ndarray,
@@ -1595,6 +1610,7 @@ def run_ensemble_queue(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    fns=None,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
 
@@ -1608,15 +1624,19 @@ def run_ensemble_queue(
     harvested results) is saved every ``checkpoint_every`` harvest
     cycles; ``resume=True`` continues from an existing checkpoint (at
     most one harvest slice of work is repeated).
+
+    ``fns``: optional ``(step, refill)`` pair from
+    :func:`make_queue_fns` — pass it when calling repeatedly with the
+    same config so the jitted programs are traced/compiled once (a new
+    closure per call otherwise misses jax's jit cache and recompiles).
     """
     x0_all = jnp.asarray(x0_all)
     total = x0_all.shape[0]
-    step = jax.jit(
-        make_step_fn(potential, cfg, cell, constraints=constraints,
-                     comparators=comparators),
-        donate_argnums=0,
-    )
-    refill = jax.jit(partial(refill_converged, cfg=cfg), donate_argnums=0)
+    if fns is None:
+        fns = make_queue_fns(potential, cfg, cell,
+                             constraints=constraints,
+                             comparators=comparators)
+    step, refill = fns
 
     state = init_state(potential, x0_all[:batch], cfg, cell)
     origin = np.arange(batch)          # which input each lane holds

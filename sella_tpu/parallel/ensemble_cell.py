@@ -73,6 +73,8 @@ class CellEnsembleConfig(NamedTuple):
     eig: bool = False              # minima by default (order=0)
     exp_cell_factor: float = 0.0
     scalar_pressure: float = 0.0
+    absb: str = "eigh"             # TS-BFGS |B| metric: "eigh" or "ns"
+    #   (Newton-Schulz matmuls; see ensemble.EnsembleConfig.absb)
 
     @property
     def dim(self) -> int:
@@ -207,7 +209,8 @@ def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
         Vr = jnp.einsum("bik,bkl->bil", V, W)
         YFr = jnp.einsum("bik,bkl->bil", YF, W)
         S_full = jnp.einsum("ij,bjk->bik", Ufree, Vr)
-        H_new = ts_bfgs_update_batched(H, S_full, YFr, colmask)
+        H_new = ts_bfgs_update_batched(H, S_full, YFr, colmask,
+                                       absb=getattr(cfg, 'absb', 'eigh'))
         return jnp.where(active[:, None, None], H_new, H), k
 
     def step(state: CellSearchState, key) -> CellSearchState:
@@ -278,7 +281,8 @@ def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
         dg = g_new - state.g
         m1 = (jnp.linalg.norm(dz, axis=1) > 1e-10)[:, None]
         H2 = ts_bfgs_update_batched(
-            H1, dz[:, :, None], dg[:, :, None], m1 & act[:, None]
+            H1, dz[:, :, None], dg[:, :, None], m1 & act[:, None],
+            absb=getattr(cfg, 'absb', 'eigh'),
         )
         H2 = jnp.where((act & m1[:, 0])[:, None, None], H2, H1)
 

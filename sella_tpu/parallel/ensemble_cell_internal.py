@@ -91,6 +91,8 @@ class CellInternalEnsembleConfig(NamedTuple):
     rigid_fragments: bool = False
     exp_cell_factor: float = 0.0   # <= 0 -> float(natoms) (reference)
     scalar_pressure: float = 0.0
+    absb: str = "eigh"             # TS-BFGS |B| metric: "eigh" or "ns"
+    #   (Newton-Schulz matmuls; see ensemble.EnsembleConfig.absb)
     h0_cell: float = 60.0          # cell-block guess curvature (eV)
     # mis weights per coordinate kind + cell components
     wx: float = 1.0
@@ -452,7 +454,7 @@ def make_cell_internal_step_fn(
         m1 = (jnp.linalg.norm(dz_real, axis=1) > 1e-10)[:, None]
         H2 = ts_bfgs_update_batched(
             state.H, dz_real[:, :, None], dgz[:, :, None],
-            m1 & act[:, None],
+            m1 & act[:, None], absb=getattr(cfg, 'absb', 'eigh'),
         )
         H2 = jnp.where((act & m1[:, 0])[:, None, None], H2, state.H)
 

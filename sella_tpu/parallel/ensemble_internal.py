@@ -109,6 +109,8 @@ class InternalEnsembleConfig(NamedTuple):
     restart_kick: float = 0.25     # kick stddev per real-atom DOF
     eigh_f32: bool = False         # f32 P-RFO prep + TS-BFGS |B| eighs
     #   (see ensemble.EnsembleConfig.eigh_f32)
+    absb: str = "eigh"             # TS-BFGS |B| metric: "eigh" or "ns"
+    #   (Newton-Schulz matmuls; see ensemble.EnsembleConfig.absb)
     # mis weights per coordinate kind (``restricted_step.py:186-243``)
     wx: float = 1.0                # translations
     wb: float = 1.0                # bonds
@@ -460,7 +462,8 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         YFr = jnp.einsum("bik,bkl->bil", YF, W)
         S_full = jnp.einsum("bij,bjk->bik", Ufree_q, Vr)
         H_new = ts_bfgs_update_batched(H, S_full, YFr, colmask,
-                                       cfg.eigh_f32)
+                                       cfg.eigh_f32,
+                                       getattr(cfg, "absb", "eigh"))
         H_out = jnp.where(active[:, None, None], H_new, H)
         return H_out, k
 
@@ -601,7 +604,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         m1 = (jnp.linalg.norm(dq_real, axis=1) > 1e-10)[:, None]
         H2 = ts_bfgs_update_batched(
             H1, dq_real[:, :, None], dgq[:, :, None], m1 & act[:, None],
-            cfg.eigh_f32,
+            cfg.eigh_f32, getattr(cfg, "absb", "eigh"),
         )
         H2 = jnp.where((act & m1[:, 0])[:, None, None], H2, H1)
 

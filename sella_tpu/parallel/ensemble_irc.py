@@ -62,6 +62,8 @@ class IRCEnsembleConfig(NamedTuple):
     method: str = "qn"
     rs: str = "tr"
     order: int = 0
+    absb: str = "eigh"             # TS-BFGS |B| metric: "eigh" or "ns"
+    #   (Newton-Schulz matmuls; see ensemble.EnsembleConfig.absb)
 
     @property
     def dim(self) -> int:
@@ -149,7 +151,7 @@ def make_irc_step_fn(potential, cfg: IRCEnsembleConfig,
         m_piv = act & (jnp.linalg.norm(state.d1, axis=1) > 1e-12)
         H1 = ts_bfgs_update_batched(
             state.H, state.d1[:, :, None], (g1 - state.g)[:, :, None],
-            m_piv[:, None],
+            m_piv[:, None], absb=getattr(cfg, 'absb', 'eigh'),
         )
         H1 = jnp.where(m_piv[:, None, None], H1, state.H)
         neval0 = state.neval + act.astype(jnp.int32)
@@ -183,6 +185,7 @@ def make_irc_step_fn(potential, cfg: IRCEnsembleConfig,
             H_new = ts_bfgs_update_batched(
                 st.H, s[:, :, None], (g_new - st.g)[:, :, None],
                 (moved & (jnp.linalg.norm(s, axis=1) > 1e-12))[:, None],
+                absb=getattr(cfg, 'absb', 'eigh'),
             )
             H_new = jnp.where(moved[:, None, None], H_new, st.H)
             d1_new = st.d1 + s
