@@ -61,6 +61,22 @@ was built and measured VPU-throughput-bound at ~1.5 s for
 vector work, while XLA's custom call rides the MXU. Kept available
 (prfo_eigh="jacobi") with the measurement; not the default.
 
+Work-queue mode (BENCH_CONFIG=queue, 2026-08-18): 4096 EMT searches
+streamed through 1024 lanes with refill. This number includes EVERY
+search's full cost (initial diagonalization included), unlike the
+fixed-ensemble headline whose per-lane bootstrap Davidson lands in the
+untimed warmup chunk — queue vs fixed is full-cost vs steady-state
+throughput, both honest, different questions. Measured: 21.0/s cold
+(refill resets the Hessian; the per-search bootstrap Davidson
+dominates), 30.3/s with inherit_B=1 (refilled lanes inherit the
+previous occupant's converged Hessian — the right warm start when the
+queue holds perturbations of one structure; mean steps 20.2, 100%
+converged). Plumbing fixes that mattered along the way: prebuilt
+jitted (step, refill, refresh) via make_queue_fns (a fresh closure
+per call recompiled inside the timed region), host-side numpy refill
+slices (per-lane device round-trips through the tunnel), and the
+whole harvest interval as one jitted fori_loop program.
+
 Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
 through the tunnel is unreliable): with every batched eigh routed
 through the f32-factor + f64-refinement path (``SELLA_TPU_EIGH=
@@ -350,28 +366,37 @@ def run_queue_config(batch, total, max_steps_per_search=80,
     # compile once; the warmup pass then runs the same programs the
     # timed pass uses (a fresh closure per call would recompile inside
     # the timed region — minutes through the remote-compile tunnel)
-    fns = make_queue_fns(pot, cfg, cell)
+    inherit_B = os.environ.get("BENCH_INHERIT_B", "0") == "1"
+    fns = make_queue_fns(pot, cfg, cell, refill_every=refill_every,
+                         inherit_B=inherit_B)
     run_ensemble_queue(
         pot, x0_all[:batch], cfg, batch,
         max_steps_per_search=max_steps_per_search, cell=cell,
-        refill_every=refill_every, fns=fns,
+        refill_every=refill_every, fns=fns, inherit_B=inherit_B,
     )
     t0 = time.perf_counter()
     results = run_ensemble_queue(
         pot, x0_all[batch:], cfg, batch,
         max_steps_per_search=max_steps_per_search, cell=cell,
-        refill_every=refill_every, fns=fns,
+        refill_every=refill_every, fns=fns, inherit_B=inherit_B,
     )
     elapsed = time.perf_counter() - t0
     nconv = sum(1 for r in results if r[3])
     steps = [r[2] for r in results if r[3]]
+    matvecs = [r[4] for r in results if len(r) > 4]
+    nevals = [r[5] for r in results if len(r) > 5]
     return nconv / elapsed, {
         "batch": batch,
         "total_searches": total,
         "converged_frac": round(nconv / total, 4),
         "mean_steps_converged": round(float(np.mean(steps)), 1),
+        "mean_matvecs": (round(float(np.mean(matvecs)), 1)
+                         if matvecs else None),
+        "mean_force_calls": (round(float(np.mean(nevals)), 1)
+                             if nevals else None),
         "elapsed_s": round(elapsed, 2),
         "refill_every": refill_every,
+        "inherit_B": inherit_B,
     }
 
 

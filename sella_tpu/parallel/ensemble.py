@@ -1476,7 +1476,8 @@ def make_step_fn(potential, cfg: EnsembleConfig,
 
 
 def refill_converged(state: SearchState, x_new: jnp.ndarray,
-                     avail: jnp.ndarray, cfg: EnsembleConfig
+                     avail: jnp.ndarray, cfg: EnsembleConfig,
+                     inherit_B: bool = False,
                      ) -> Tuple[SearchState, jnp.ndarray]:
     """Replace converged lanes with fresh starts from a work queue.
 
@@ -1488,6 +1489,16 @@ def refill_converged(state: SearchState, x_new: jnp.ndarray,
     results before they are overwritten). Jit-friendly: shapes static,
     decisions are masks — this is the convergence-mask compaction of
     SURVEY.md §7 stage 8.
+
+    ``inherit_B=True`` keeps the lane's converged quasi-Newton Hessian
+    as the fresh search's initial Hessian (B_init stays True, so no
+    bootstrap Davidson runs). For screening campaigns where the queue
+    holds perturbations of ONE structure — the intended workload —
+    the previous occupant's curvature is an excellent warm start: each
+    refilled search skips its initial full diagonalization (~20 HVPs +
+    a full Davidson), and the wrong-inertia diag trigger still fires
+    if the inherited curvature misleads. Leave False when queue
+    entries are unrelated structures.
     """
     take = state.converged & avail
     tk = take[:, None]
@@ -1502,8 +1513,10 @@ def refill_converged(state: SearchState, x_new: jnp.ndarray,
         x=jnp.where(tk, x_new, state.x),
         f=jnp.where(take, jnp.zeros_like(state.f), state.f),
         g=jnp.where(tk, jnp.zeros_like(state.g), state.g),
-        B=jnp.where(take[:, None, None], eye, state.B),
-        B_init=jnp.where(take, False, state.B_init),
+        B=state.B if inherit_B
+        else jnp.where(take[:, None, None], eye, state.B),
+        B_init=state.B_init | take if inherit_B
+        else jnp.where(take, False, state.B_init),
         delta=jnp.where(take, jnp.asarray(cfg.delta0, dtype), state.delta),
         rho=jnp.where(take, jnp.ones((), dtype), state.rho),
         nsteps_since_diag=jnp.where(take, 0, state.nsteps_since_diag),
@@ -1583,17 +1596,39 @@ def run_ensemble(
 
 def make_queue_fns(potential, cfg: EnsembleConfig,
                    cell: Optional[jnp.ndarray] = None,
-                   constraints=None, comparators=None):
-    """Jitted (step, refill) pair for :func:`run_ensemble_queue` —
-    build once, pass to every call that shares the config."""
-    step = jax.jit(
-        make_step_fn(potential, cfg, cell, constraints=constraints,
-                     comparators=comparators),
+                   constraints=None, comparators=None,
+                   refill_every: int = 10, inherit_B: bool = False):
+    """Jitted (steps_chunk, refill, refresh) triple for
+    :func:`run_ensemble_queue` — build once, pass to every call that
+    shares the config. ``refill_every`` must match the queue call: the
+    whole harvest interval runs as ONE jitted ``fori_loop`` program, so
+    per-step host dispatch (tunnel latency, ~100 ms+ per call on a
+    remote chip) is paid once per cycle, not once per step."""
+    step1 = make_step_fn(potential, cfg, cell, constraints=constraints,
+                         comparators=comparators)
+
+    def _chunk(state, base_key):
+        def body(i, st):
+            return step1(st, jax.random.fold_in(base_key, i))
+
+        return jax.lax.fori_loop(0, refill_every, body, state)
+
+    step = jax.jit(_chunk, donate_argnums=0)
+    refill = jax.jit(
+        partial(refill_converged, cfg=cfg, inherit_B=inherit_B),
         donate_argnums=0,
     )
-    refill = jax.jit(partial(refill_converged, cfg=cfg),
-                     donate_argnums=0)
-    return step, refill
+    cell_arr = jnp.zeros((3, 3)) if cell is None else cell
+    eval_fn = _batched_eval(potential, cell_arr, cfg.eval_chunk)
+
+    def _refresh(state, mask):
+        f, g = eval_fn(state.x)
+        return state._replace(
+            f=f, g=g, neval=state.neval + mask.astype(state.neval.dtype)
+        )
+
+    refresh = jax.jit(_refresh, donate_argnums=0)
+    return step, refill, refresh
 
 
 def run_ensemble_queue(
@@ -1611,6 +1646,7 @@ def run_ensemble_queue(
     checkpoint_every: int = 1,
     resume: bool = False,
     fns=None,
+    inherit_B: bool = False,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
 
@@ -1635,8 +1671,12 @@ def run_ensemble_queue(
     if fns is None:
         fns = make_queue_fns(potential, cfg, cell,
                              constraints=constraints,
-                             comparators=comparators)
-    step, refill = fns
+                             comparators=comparators,
+                             refill_every=refill_every,
+                             inherit_B=inherit_B)
+    step_chunk, refill, refresh = fns
+    x0_np = np.asarray(x0_all)   # host copy: per-lane refill slices
+    #   must not round-trip the device (tunnel latency per slice)
 
     state = init_state(potential, x0_all[:batch], cfg, cell)
     origin = np.arange(batch)          # which input each lane holds
@@ -1656,9 +1696,8 @@ def run_ensemble_queue(
     cycle = 0
     it = 0
     while len(results) < total:
-        for _ in range(refill_every):
-            state = step(state, jax.random.fold_in(key, it))
-            it += 1
+        state = step_chunk(state, jax.random.fold_in(key, it))
+        it += refill_every
 
         conv = np.asarray(state.converged)
         nsteps = np.asarray(state.nsteps)
@@ -1669,12 +1708,15 @@ def run_ensemble_queue(
         # harvest finished lanes
         xs = np.asarray(state.x)
         fs = np.asarray(state.f)
+        nmv = np.asarray(state.nmatvec)
+        nev = np.asarray(state.neval)
         for lane in np.where(done)[0]:
             oi = origin[lane]
             if oi >= 0 and oi not in results:
                 results[int(oi)] = (
                     xs[lane].copy(), float(fs[lane]),
                     int(nsteps[lane]), bool(conv[lane]),
+                    int(nmv[lane]), int(nev[lane]),
                 )
 
         # refill from the queue (mark timed-out lanes converged so the
@@ -1688,7 +1730,7 @@ def run_ensemble_queue(
         new_origin = origin.copy()
         for k, lane in enumerate(lanes):
             if k < n_take:
-                x_new[lane] = np.asarray(x0_all[next_idx + k])
+                x_new[lane] = x0_np[next_idx + k]
                 avail[lane] = True
                 new_origin[lane] = next_idx + k
             else:
@@ -1696,9 +1738,9 @@ def run_ensemble_queue(
         next_idx += n_take
         origin = new_origin
 
-        state, _ = refill(state, jnp.asarray(x_new), jnp.asarray(avail))
-        state = refresh_fg(state, potential, cfg, cell,
-                           mask=jnp.asarray(avail))
+        avail_j = jnp.asarray(avail)
+        state, _ = refill(state, jnp.asarray(x_new), avail_j)
+        state = refresh(state, avail_j)
         # idle lanes stay marked converged so they are skipped
         idle = jnp.asarray(origin < 0)
         state = state._replace(converged=state.converged | idle)

@@ -42,7 +42,7 @@ def test_queue_processes_more_work_than_batch():
     assert len(results) == total
     nconv = sum(1 for *_ , c in results if c)
     assert nconv >= total - 1
-    for x, f, nsteps, conv in results:
+    for x, f, nsteps, conv, *_ in results:
         if conv:
             assert f < -5.5  # near the LJ4 tetrahedron basin
 
@@ -147,7 +147,7 @@ def test_queue_resume_from_checkpoint(tmp_path, monkeypatch):
         checkpoint_path=side, checkpoint_every=1, resume=True,
     )
     assert len(resumed) == total
-    for (x1, f1, n1, c1), (x2, f2, n2, c2) in zip(full, resumed):
+    for (x1, f1, n1, c1, *_), (x2, f2, n2, c2, *_) in zip(full, resumed):
         assert c1 == c2
         if c1:
             np.testing.assert_allclose(f1, f2, atol=1e-8)
@@ -193,7 +193,7 @@ def test_internal_queue_resume(tmp_path):
         checkpoint_path=path, checkpoint_every=1, resume=True,
     )
     assert len(resumed) == total == len(full)
-    for (x1, f1, n1, c1), (x2, f2, n2, c2) in zip(full, resumed):
+    for (x1, f1, n1, c1, *_), (x2, f2, n2, c2, *_) in zip(full, resumed):
         assert c1 == c2
         if c1:
             np.testing.assert_allclose(f1, f2, atol=1e-8)
