@@ -284,15 +284,19 @@ def run_internal_config(batch, max_steps=150, chunk=10):
     out = {}
     for tier in ("internal", "cartesian"):
         if tier == "internal":
+            # absb env toggle: compare the NS |B| metric here too
+            absb = os.environ.get("BENCH_ABSB", "eigh")
             cfg = InternalEnsembleConfig(
                 natoms=4, nint=ints.nint, order=1, fmax=1e-3,
-                gamma=1e-3, restart_after=60,
+                gamma=1e-3, restart_after=60, absb=absb,
             )
             step = make_internal_step_fn(pot, ints, cfg)
             state = init_internal_state(pot, ints, x0, cfg)
         else:
             ccfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3,
-                                  gamma=1e-3, restart_after=60)
+                                  gamma=1e-3, restart_after=60,
+                                  absb=os.environ.get("BENCH_ABSB",
+                                                      "eigh"))
             step = make_step_fn(pot, ccfg, None)
             state = init_state(pot, x0, ccfg, None)
 
@@ -359,8 +363,11 @@ def run_queue_config(batch, total, max_steps_per_search=80,
     pot, x0_all, cell, nat = _emt_setup(total + batch)
     cfg = EnsembleConfig(
         natoms=nat, order=1, nproj=3, fmax=0.02, gamma=0.3,
-        davidson_max=25, delta0=5e-3,
-        diag_budget=max(batch // 8, 1), eigh_f32=True, rs_maxiter=12,
+        davidson_max=int(os.environ.get("BENCH_DAVIDSON_MAX", "25")),
+        delta0=5e-3,
+        diag_budget=int(os.environ.get("BENCH_DIAG_BUDGET",
+                                       str(max(batch // 8, 1)))),
+        eigh_f32=True, rs_maxiter=12, absb="ns",
         eval_chunk=256 if batch >= 1024 else 0,
     )
     # compile once; the warmup pass then runs the same programs the
