@@ -66,16 +66,20 @@ streamed through 1024 lanes with refill. This number includes EVERY
 search's full cost (initial diagonalization included), unlike the
 fixed-ensemble headline whose per-lane bootstrap Davidson lands in the
 untimed warmup chunk — queue vs fixed is full-cost vs steady-state
-throughput, both honest, different questions. Measured: 21.0/s cold
-(refill resets the Hessian; the per-search bootstrap Davidson
-dominates), 30.3/s with inherit_B=1 (refilled lanes inherit the
-previous occupant's converged Hessian — the right warm start when the
-queue holds perturbations of one structure; mean steps 20.2, 100%
-converged). Plumbing fixes that mattered along the way: prebuilt
-jitted (step, refill, refresh) via make_queue_fns (a fresh closure
-per call recompiled inside the timed region), host-side numpy refill
-slices (per-lane device round-trips through the tunnel), and the
-whole harvest interval as one jitted fori_loop program.
+throughput, both honest, different questions. Measured (final,
+absb="ns" + davidson_max=15): 45.8 searches/s with BENCH_INHERIT_B=1
+(refilled lanes inherit the previous occupant's converged Hessian —
+the right warm start when the queue holds perturbations of one
+structure; mean 20.3 steps / 9.5 matvecs / 21.3 force calls per
+search, 100% of 4096 converged); ~41/s cold-Hessian. Each search's
+FULL cost is inside the timed region here, so 45.8/s vs the
+sequential anchor is the end-to-end 2956x. Fixes that mattered:
+prebuilt jitted (step, refill, refresh, snapshot) via make_queue_fns
+(a fresh closure per call recompiled inside the timed region),
+host-side numpy refill slices and a single packed device->host
+snapshot per cycle (tunnel round trips), the harvest interval as one
+jitted fori_loop program, and the missing absb="ns" in the queue
+config (28.7 -> 41.1/s).
 
 Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
 through the tunnel is unreliable): with every batched eigh routed
@@ -363,7 +367,12 @@ def run_queue_config(batch, total, max_steps_per_search=80,
     pot, x0_all, cell, nat = _emt_setup(total + batch)
     cfg = EnsembleConfig(
         natoms=nat, order=1, nproj=3, fmax=0.02, gamma=0.3,
-        davidson_max=int(os.environ.get("BENCH_DAVIDSON_MAX", "25")),
+        # davidson_max=15 in queue mode: with warm-started lanes the
+        # deep subspace is never needed, and the while_loop cap is
+        # paid at the max over compacted lanes every step (measured
+        # 41.1 -> 45.8 searches/s vs 25; fixed-ensemble mode keeps 25
+        # where the rate metric punishes the added straggler steps)
+        davidson_max=int(os.environ.get("BENCH_DAVIDSON_MAX", "15")),
         delta0=5e-3,
         diag_budget=int(os.environ.get("BENCH_DIAG_BUDGET",
                                        str(max(batch // 8, 1)))),
