@@ -62,18 +62,29 @@ def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
         res_ns = np.asarray([results[i][2] for i in idxs],
                             dtype=np.int64)
         res_cv = np.asarray([results[i][3] for i in idxs], dtype=bool)
+        # matvec/force counters (6-tuple results); absent in payloads
+        # written before these counters existed
+        res_mv = np.asarray(
+            [results[i][4] if len(results[i]) > 4 else -1
+             for i in idxs], dtype=np.int64)
+        res_ne = np.asarray(
+            [results[i][5] if len(results[i]) > 5 else -1
+             for i in idxs], dtype=np.int64)
     else:
         d = int(np.asarray(state.x).shape[1])
         res_x = np.zeros((0, d))
         res_f = np.zeros((0,))
         res_ns = np.zeros((0,), dtype=np.int64)
         res_cv = np.zeros((0,), dtype=bool)
+        res_mv = np.zeros((0,), dtype=np.int64)
+        res_ne = np.zeros((0,), dtype=np.int64)
     payload = dict(
         state._asdict(),
         _origin=np.asarray(origin, dtype=np.int64),
         _next_idx=np.asarray(int(next_idx)),
         _res_idx=idxs, _res_x=res_x, _res_f=res_f,
         _res_nsteps=res_ns, _res_conv=res_cv,
+        _res_nmatvec=res_mv, _res_neval=res_ne,
     )
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
@@ -91,13 +102,18 @@ def load_queue(path: str, state_cls=SearchState):
     state = state_cls(**{k: payload[k] for k in state_cls._fields})
     origin = np.asarray(payload["_origin"], dtype=np.int64)
     next_idx = int(payload["_next_idx"])
+    # counter columns may be absent in payloads written before they
+    # were checkpointed
+    mv = payload.get("_res_nmatvec")
+    ne = payload.get("_res_neval")
     results = {
         int(i): (
             np.asarray(payload["_res_x"][k]),
             float(payload["_res_f"][k]),
             int(payload["_res_nsteps"][k]),
             bool(payload["_res_conv"][k]),
-        )
+        ) + ((int(mv[k]), int(ne[k]))
+             if mv is not None and ne is not None else ())
         for k, i in enumerate(np.asarray(payload["_res_idx"]))
     }
     return state, origin, next_idx, results

@@ -151,6 +151,13 @@ def test_queue_resume_from_checkpoint(tmp_path, monkeypatch):
         assert c1 == c2
         if c1:
             np.testing.assert_allclose(f1, f2, atol=1e-8)
+    # matvec/force accounting survives the checkpoint round trip:
+    # searches harvested BEFORE the preemption point keep their
+    # counters in the resumed result set (6-tuples throughout)
+    assert all(len(r) == 6 for r in resumed)
+    for i in sorted(partial):
+        assert resumed[i][4] == partial[i][4]   # nmatvec
+        assert resumed[i][5] == partial[i][5]   # neval
 
 
 def test_internal_queue_resume(tmp_path):
