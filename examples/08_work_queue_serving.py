@@ -51,7 +51,13 @@ pot = LennardJones()
 # every queue call sharing this config reuses the compiled executables.
 fns = make_queue_fns(pot, cfg, refill_every=5, inherit_B=True)
 
-ckpt = _os.path.join(tempfile.gettempdir(), "sella_tpu_queue_demo_ckpt")
+# Parameter-derived path: a stale checkpoint from a *different* queue
+# configuration (or another user on a shared host) must not be resumed
+# into this one — run_ensemble_queue trusts the payload's lane count.
+ckpt = _os.path.join(
+    tempfile.gettempdir(),
+    f"sella_tpu_queue_demo_ckpt_t{total}_b{batch}_u{_os.getuid()}",
+)
 results = run_ensemble_queue(
     pot, x0_all, cfg, batch,
     max_steps_per_search=300, refill_every=5, fns=fns, inherit_B=True,
@@ -64,7 +70,12 @@ if _os.path.exists(ckpt):           # orbax writes a directory
 
 nconv = sum(1 for r in results if r[3])
 steps = [r[2] for r in results if r[3]]
-matvecs = [r[4] for r in results]
-print(f"{nconv}/{total} saddles converged through {batch} lanes, "
-      f"mean steps {np.mean(steps):.1f}, "
-      f"mean Davidson matvecs {np.mean(matvecs):.1f}")
+# counters live in 6-tuple results; resumed legacy payloads may hold
+# counter-less 4-tuples — skip those rather than averaging sentinels
+matvecs = [r[4] for r in results if len(r) >= 6]
+msg = f"{nconv}/{total} saddles converged through {batch} lanes"
+if steps:
+    msg += f", mean steps {np.mean(steps):.1f}"
+if matvecs:
+    msg += f", mean Davidson matvecs {np.mean(matvecs):.1f}"
+print(msg)

@@ -85,6 +85,26 @@ class Internals:
         self.forbidden = {"bonds": set(), "angles": set(),
                           "dihedrals": set()}
 
+        # The reference folds every constrained coordinate into the
+        # coordinate set itself (``internal.py:3061-3069``): the
+        # constrained DOF must be spanned by q so the IC-space basis
+        # split can separate Ucons from Ufree, and the constrained rows
+        # carry their own guess-Hessian entries (h0cart=70 for
+        # trans/rot, ``internal.py:3793-3818``). Same group order.
+        for rec in cons.records["translations"]:
+            self.add_translation(rec.indices, rec.axis)
+        for rec in cons.records["bonds"]:
+            self.add_bond(rec.indices,
+                          None if rec.ncvecs is None else rec.ncvecs[0])
+        for rec in cons.records["angles"]:
+            self.add_angle(rec.indices, rec.ncvecs)
+        for rec in cons.records["dihedrals"]:
+            self.add_dihedral(rec.indices, rec.ncvecs)
+        for rec in cons.records["other"]:
+            self.add_user_coordinate(rec.fn, rec.indices)
+        for rec in cons.records["rotations"]:
+            self.add_rotation(rec.indices, rec.axis, refpos=rec.ref)
+
     # -- counts (reference property names) -----------------------------------
     @property
     def ntrans(self):
@@ -270,14 +290,16 @@ class Internals:
             lambda p: prim.displacement_value(p, refpos_j, W_j), indices
         )
 
-    def add_rotation(self, indices, axis=None) -> None:
+    def add_rotation(self, indices, axis=None, refpos=None) -> None:
         indices = np.asarray(indices, dtype=np.int64)
         if axis is None:
             for a in range(3):
-                self.add_rotation(indices, a)
+                self.add_rotation(indices, a, refpos=refpos)
             return
+        if refpos is None:
+            refpos = self.all_positions()[indices].copy()
         self.rotations.append(
-            (indices, int(axis), self.all_positions()[indices].copy())
+            (indices, int(axis), np.asarray(refpos, dtype=np.float64))
         )
         self._engine = None
 
@@ -349,14 +371,20 @@ class Internals:
         linear_centers = topo_mod.find_angles(
             t, self.all_positions(), self.atoms.cell, self.atol
         )
+        # skip angles already present (e.g. merged constraint
+        # coordinates — the reference's _internals_set check)
+        have_a = {topo_mod._angle_key(*a) for a in self.angles}
         self.angles.extend(
             a for a in t.angles
             if topo_mod._angle_key(*a) not in self.forbidden["angles"]
+            and topo_mod._angle_key(*a) not in have_a
         )
         # linear-angle improper replacements land in t.dihedrals
+        have_d = {topo_mod._dihedral_key(*d) for d in self.dihedrals}
         self.dihedrals.extend(
             d for d in t.dihedrals
             if topo_mod._dihedral_key(*d) not in self.forbidden["dihedrals"]
+            and topo_mod._dihedral_key(*d) not in have_d
         )
         for j, (a, nca), (b, ncb) in linear_centers:
             self._add_dummy_for_linear_center(j, a, nca, b, ncb)
@@ -425,10 +453,15 @@ class Internals:
         t.angles = self.angles
         t.dihedrals = list(self.dihedrals)
         topo_mod.find_dihedrals(t)
-        self.dihedrals = [
-            d for d in t.dihedrals
-            if topo_mod._dihedral_key(*d) not in self.forbidden["dihedrals"]
-        ]
+        seen: set = set()
+        out = []
+        for d in t.dihedrals:
+            k = topo_mod._dihedral_key(*d)
+            if k in self.forbidden["dihedrals"] or k in seen:
+                continue
+            seen.add(k)
+            out.append(d)
+        self.dihedrals = out
         self._engine = None
 
     def validate_basis(self) -> None:

@@ -47,11 +47,18 @@ def load_state(path: str, state_cls=SearchState) -> tuple:
 # Work-queue checkpointing (preemption-safe sweeps)
 # ---------------------------------------------------------------------------
 def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
-               results: dict):
+               results: dict, retry_state: dict = None):
     """Checkpoint a work queue: the device state pytree plus the host
     bookkeeping (lane->input map, queue cursor, harvested results).
     Everything is arrays, so it rides the same orbax payload as
-    :func:`save_state`."""
+    :func:`save_state`.
+
+    ``retry_state``: optional dict with keys ``pending`` (list of
+    (origin, x_start)), ``retries`` and ``spent`` (dicts by origin) —
+    the unconverged-retry bookkeeping of
+    :func:`~sella_tpu.parallel.ensemble.run_ensemble_queue`; a resumed
+    sweep with ``max_retries > 0`` would deadlock without it (the
+    retried origins would never produce results)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -86,14 +93,34 @@ def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
         _res_nsteps=res_ns, _res_conv=res_cv,
         _res_nmatvec=res_mv, _res_neval=res_ne,
     )
+    if retry_state is not None:
+        pend = retry_state.get("pending", [])
+        d = int(np.asarray(state.x).shape[1])
+        payload["_pend_idx"] = np.asarray(
+            [p[0] for p in pend], dtype=np.int64)
+        payload["_pend_x"] = (
+            np.stack([np.asarray(p[1]) for p in pend])
+            if pend else np.zeros((0, d))
+        )
+        rt = retry_state.get("retries", {})
+        sp = retry_state.get("spent", {})
+        keys = np.asarray(sorted(set(rt) | set(sp)), dtype=np.int64)
+        payload["_retry_idx"] = keys
+        payload["_retry_n"] = np.asarray(
+            [rt.get(int(k), 0) for k in keys], dtype=np.int64)
+        payload["_retry_spent"] = np.asarray(
+            [sp.get(int(k), (0, 0, 0)) for k in keys], dtype=np.int64
+        ).reshape(len(keys), 3)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
 
 
-def load_queue(path: str, state_cls=SearchState):
+def load_queue(path: str, state_cls=SearchState,
+               with_retry_state: bool = False):
     """Restore ``(state, origin, next_idx, results)`` saved by
-    :func:`save_queue`."""
+    :func:`save_queue`; with ``with_retry_state=True`` a fifth element
+    (the retry bookkeeping dict, possibly empty) is appended."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -103,7 +130,10 @@ def load_queue(path: str, state_cls=SearchState):
     origin = np.asarray(payload["_origin"], dtype=np.int64)
     next_idx = int(payload["_next_idx"])
     # counter columns may be absent in payloads written before they
-    # were checkpointed
+    # were checkpointed; negative values are the save-side sentinel for
+    # results that never carried counters — restore those as 4-tuples
+    # rather than inventing (-1, -1) counters that a consumer would
+    # silently average in
     mv = payload.get("_res_nmatvec")
     ne = payload.get("_res_neval")
     results = {
@@ -113,7 +143,26 @@ def load_queue(path: str, state_cls=SearchState):
             int(payload["_res_nsteps"][k]),
             bool(payload["_res_conv"][k]),
         ) + ((int(mv[k]), int(ne[k]))
-             if mv is not None and ne is not None else ())
+             if mv is not None and ne is not None
+             and int(mv[k]) >= 0 and int(ne[k]) >= 0 else ())
         for k, i in enumerate(np.asarray(payload["_res_idx"]))
     }
-    return state, origin, next_idx, results
+    if not with_retry_state:
+        return state, origin, next_idx, results
+    retry_state = {"pending": [], "retries": {}, "spent": {}}
+    if "_pend_idx" in payload:
+        retry_state["pending"] = [
+            (int(i), np.asarray(payload["_pend_x"][k]))
+            for k, i in enumerate(np.asarray(payload["_pend_idx"]))
+        ]
+        rk = np.asarray(payload["_retry_idx"])
+        rn = np.asarray(payload["_retry_n"])
+        rs = np.asarray(payload["_retry_spent"]).reshape(len(rk), 3)
+        retry_state["retries"] = {
+            int(i): int(rn[k]) for k, i in enumerate(rk)
+        }
+        retry_state["spent"] = {
+            int(i): tuple(int(v) for v in rs[k])
+            for k, i in enumerate(rk)
+        }
+    return state, origin, next_idx, results, retry_state

@@ -1428,6 +1428,33 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             kick = cfg.restart_kick * jax.random.normal(
                 jax.random.fold_in(key, 2), x_new.shape, x_new.dtype
             )
+            if cfg.eig and 0 < cfg.order < cfg.nfree:
+                # Mode-following kick: stalled order-k lanes are almost
+                # always limit-cycling around an index-(k+1) region (the
+                # quasi-Newton update keeps losing the surplus negative
+                # mode between diags — measured on LJ4, see bench.py).
+                # Walking downhill ALONG the surplus mode is the escape
+                # direction; isotropic noise mostly re-enters the same
+                # basin. Direction from the already-hoisted P-RFO eigh
+                # (free-subspace eigenvector cfg.order, lifted by
+                # Ufree); random sign — the ridge is two-sided — plus a
+                # small isotropic component to break symmetry.
+                lams_p, V_p, _ = prep
+                vdir = jnp.einsum(
+                    "bif,bf->bi", Ufree, V_p[:, :, cfg.order]
+                )
+                sgn = jnp.where(
+                    jax.random.bernoulli(
+                        jax.random.fold_in(key, 3), 0.5, (Bsz,)
+                    ),
+                    1.0, -1.0,
+                ).astype(x_new.dtype)
+                scale = cfg.restart_kick * np.sqrt(cfg.dim)
+                kick_mode = (
+                    scale * sgn[:, None] * vdir + 0.25 * kick
+                )
+                has_surplus = lams_p[:, cfg.order] < 0
+                kick = jnp.where(has_surplus[:, None], kick_mode, kick)
             x_fin = jnp.where(restart[:, None], x_new + kick, x_new)
 
             f_k, g_k = jax.lax.cond(
@@ -1665,6 +1692,8 @@ def run_ensemble_queue(
     resume: bool = False,
     fns=None,
     inherit_B: bool = False,
+    max_retries: int = 0,
+    retry_kick: float = 0.3,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
 
@@ -1672,6 +1701,16 @@ def run_ensemble_queue(
     their lanes refilled from the queue (convergence-mask compaction) —
     the chip never idles on finished lanes. Returns a list of
     (x_final, f, nsteps, converged) result tuples for every input.
+
+    ``max_retries``: a search that times out unconverged is re-enqueued
+    (up to this many times) from its current geometry plus a random
+    kick of stddev ``retry_kick`` per DOF, instead of being recorded as
+    failed. This is the queue-mode complement of the in-step stagnation
+    restart (``EnsembleConfig.restart_after``): a limit-cycling search
+    goes to the BACK of the queue rather than hogging a lane while the
+    rest of the batch pays full-step cost for it — the retry costs
+    nothing until a lane frees up. Retried searches report cumulative
+    nsteps/nmatvec/neval over all attempts.
 
     ``checkpoint_path`` makes the sweep preemption-safe: the device
     state plus the host bookkeeping (lane->input map, queue cursor,
@@ -1705,10 +1744,25 @@ def run_ensemble_queue(
 
         from .checkpoint import load_queue
 
+    # retry bookkeeping: counts per input, deferred re-starts, and the
+    # step/matvec/eval totals spent by earlier attempts
+    retries: dict = {}
+    pending: list = []              # (origin_idx, x_start) FIFO
+    spent: dict = {}                # origin -> (nsteps, nmatvec, neval)
+    kick_rng = np.random.RandomState(seed ^ 0x5EED)
+
+    if checkpoint_path is not None and resume:
+        import os as _os
+
+        from .checkpoint import load_queue
+
         if _os.path.exists(checkpoint_path):
-            state, origin, next_idx, results = load_queue(
-                checkpoint_path, SearchState
+            state, origin, next_idx, results, retry_state = load_queue(
+                checkpoint_path, SearchState, with_retry_state=True
             )
+            retries = retry_state["retries"]
+            pending = retry_state["pending"]
+            spent = retry_state["spent"]
     key = jax.random.PRNGKey(seed)
 
     cycle = 0
@@ -1729,31 +1783,49 @@ def run_ensemble_queue(
         if not np.any(done):
             continue
         for lane in np.where(done)[0]:
-            oi = origin[lane]
-            if oi >= 0 and oi not in results:
-                results[int(oi)] = (
-                    xs[lane].copy(), float(fs[lane]),
-                    int(nsteps[lane]), bool(conv[lane]),
-                    int(nmv[lane]), int(nev[lane]),
-                )
+            oi = int(origin[lane])
+            if oi < 0 or oi in results:
+                continue
+            s0, m0, e0 = spent.get(oi, (0, 0, 0))
+            if (not conv[lane]) and retries.get(oi, 0) < max_retries:
+                # timed out: back of the queue with a kicked start
+                retries[oi] = retries.get(oi, 0) + 1
+                spent[oi] = (s0 + int(nsteps[lane]),
+                             m0 + int(nmv[lane]), e0 + int(nev[lane]))
+                pending.append((
+                    oi,
+                    xs[lane] + retry_kick * kick_rng.normal(
+                        size=xs[lane].shape
+                    ),
+                ))
+                continue
+            results[oi] = (
+                xs[lane].copy(), float(fs[lane]),
+                s0 + int(nsteps[lane]), bool(conv[lane]),
+                m0 + int(nmv[lane]), e0 + int(nev[lane]),
+            )
 
         # refill from the queue (mark timed-out lanes converged so the
-        # refill mask picks them up too)
+        # refill mask picks them up too): retried jobs first, then
+        # fresh inputs
         state = state._replace(converged=jnp.asarray(done))
-        n_needed = int(done.sum())
-        n_take = min(n_needed, total - next_idx)
         x_new = np.zeros((batch, cfg.dim))
         avail = np.zeros(batch, dtype=bool)
         lanes = np.where(done)[0]
         new_origin = origin.copy()
-        for k, lane in enumerate(lanes):
-            if k < n_take:
-                x_new[lane] = x0_np[next_idx + k]
+        for lane in lanes:
+            if pending:
+                oi, xstart = pending.pop(0)
+                x_new[lane] = xstart
                 avail[lane] = True
-                new_origin[lane] = next_idx + k
+                new_origin[lane] = oi
+            elif next_idx < total:
+                x_new[lane] = x0_np[next_idx]
+                avail[lane] = True
+                new_origin[lane] = next_idx
+                next_idx += 1
             else:
                 new_origin[lane] = -1  # idle lane
-        next_idx += n_take
         origin = new_origin
 
         avail_j = jnp.asarray(avail)
@@ -1767,7 +1839,10 @@ def run_ensemble_queue(
         if checkpoint_path is not None and cycle % checkpoint_every == 0:
             from .checkpoint import save_queue
 
-            save_queue(checkpoint_path, state, origin, next_idx,
-                       results)
+            save_queue(
+                checkpoint_path, state, origin, next_idx, results,
+                retry_state=dict(pending=pending, retries=retries,
+                                 spent=spent),
+            )
 
     return [results[i] for i in range(total)]

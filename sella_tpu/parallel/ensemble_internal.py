@@ -933,11 +933,16 @@ def run_internal_ensemble_queue(
 
         xs = np.asarray(state.x)
         fs = np.asarray(state.f)
+        nmv = np.asarray(state.nmatvec)
+        nev = np.asarray(state.neval)
         for lane in np.where(done)[0]:
             if origin[lane] >= 0 and origin[lane] not in results:
+                # 6-tuple, same shape as the Cartesian queue's results
+                # (x, f, nsteps, converged, nmatvec, neval)
                 results[int(origin[lane])] = (
                     xs[lane].copy(), float(fs[lane]),
                     int(nsteps[lane]), bool(conv[lane]),
+                    int(nmv[lane]), int(nev[lane]),
                 )
 
         # build the replacement block host-side

@@ -419,8 +419,10 @@ class CellInternalPES:
     gradient is ``jax.grad`` of the fixed-fractional enthalpy — the
     reference's virial + expm-Fréchet pipeline is unnecessary.
 
-    Rigid-fragment transport and Niggli reduction are tracked for a later
-    stage.
+    Rigid-fragment transport (``rigid_fragments=True``: CoM/rotation
+    remap under cell deformation, ``peswrapper.py:1947-2010``) and
+    Niggli cell rebase (:meth:`maybe_niggli_reduce`,
+    ``peswrapper.py:1521-1567``) are both implemented below.
     """
 
     n_cell_dof: int

@@ -1,0 +1,19 @@
+"""ASE build shim: ``niggli_reduce`` via sella_tpu's basis reducer.
+
+Only reached when the reference runs with ``niggli=True`` cell
+optimization; reduces the cell in place and remaps scaled positions.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from sella_tpu.utils.lattice import reduce_cell_basis
+
+
+def niggli_reduce(atoms) -> None:
+    cell = atoms.get_cell().array
+    rcell, _op = reduce_cell_basis(cell, pbc=atoms.pbc)
+    scaled = atoms.positions @ np.linalg.pinv(cell)
+    scaled -= np.floor(scaled) * atoms.pbc  # wrap periodic axes
+    atoms.set_cell(rcell, scale_atoms=False)
+    atoms.positions = scaled @ rcell
