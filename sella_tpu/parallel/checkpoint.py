@@ -94,23 +94,25 @@ def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
         _res_nmatvec=res_mv, _res_neval=res_ne,
     )
     if retry_state is not None:
+        # orbax refuses zero-size arrays — empty retry state is encoded
+        # by the keys' ABSENCE (load_queue treats missing keys as empty)
         pend = retry_state.get("pending", [])
-        d = int(np.asarray(state.x).shape[1])
-        payload["_pend_idx"] = np.asarray(
-            [p[0] for p in pend], dtype=np.int64)
-        payload["_pend_x"] = (
-            np.stack([np.asarray(p[1]) for p in pend])
-            if pend else np.zeros((0, d))
-        )
+        if pend:
+            payload["_pend_idx"] = np.asarray(
+                [p[0] for p in pend], dtype=np.int64)
+            payload["_pend_x"] = np.stack(
+                [np.asarray(p[1]) for p in pend])
         rt = retry_state.get("retries", {})
         sp = retry_state.get("spent", {})
         keys = np.asarray(sorted(set(rt) | set(sp)), dtype=np.int64)
-        payload["_retry_idx"] = keys
-        payload["_retry_n"] = np.asarray(
-            [rt.get(int(k), 0) for k in keys], dtype=np.int64)
-        payload["_retry_spent"] = np.asarray(
-            [sp.get(int(k), (0, 0, 0)) for k in keys], dtype=np.int64
-        ).reshape(len(keys), 3)
+        if keys.size:
+            payload["_retry_idx"] = keys
+            payload["_retry_n"] = np.asarray(
+                [rt.get(int(k), 0) for k in keys], dtype=np.int64)
+            payload["_retry_spent"] = np.asarray(
+                [sp.get(int(k), (0, 0, 0)) for k in keys],
+                dtype=np.int64,
+            ).reshape(len(keys), 3)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
@@ -155,6 +157,7 @@ def load_queue(path: str, state_cls=SearchState,
             (int(i), np.asarray(payload["_pend_x"][k]))
             for k, i in enumerate(np.asarray(payload["_pend_idx"]))
         ]
+    if "_retry_idx" in payload:
         rk = np.asarray(payload["_retry_idx"])
         rn = np.asarray(payload["_retry_n"])
         rs = np.asarray(payload["_retry_spent"]).reshape(len(rk), 3)

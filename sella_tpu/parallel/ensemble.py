@@ -155,6 +155,7 @@ class SearchState(NamedTuple):
     best_fmax: jnp.ndarray    # (B,) best fmax since the last restart
     stall: jnp.ndarray        # (B,) int32 steps since best_fmax improved
     nrestarts: jnp.ndarray    # (B,) int32 stagnation restarts taken
+    x_home: jnp.ndarray       # (B, d) pristine start (restart anchor)
 
 
 # ---------------------------------------------------------------------------
@@ -1056,6 +1057,7 @@ def init_state(potential, x0: jnp.ndarray, cfg: EnsembleConfig,
         best_fmax=jnp.full((Bsz,), jnp.inf, dtype),
         stall=jnp.zeros(Bsz, jnp.int32),
         nrestarts=jnp.zeros(Bsz, jnp.int32),
+        x_home=x0.copy(),
     )
 
 
@@ -1425,37 +1427,27 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         nrst = state.nrestarts
         if cfg.restart_after > 0:
             restart = act & ~conv_new & (stall2 >= cfg.restart_after)
-            kick = cfg.restart_kick * jax.random.normal(
+            # Restart from the PRISTINE start, not the current point:
+            # kicking the stalled geometry compounds across restarts and
+            # dissociates clusters onto flat landscape (measured on LJ4:
+            # the unconverged tail after 420 steps was dissociated
+            # fragments with dmax 2-5x the bond length, fmax pinned just
+            # above threshold). Independent perturbed attempts from
+            # x_home — kick stddev grows with the attempt count —
+            # decorrelate instead of diffusing. (A mode-following kick
+            # along the surplus negative eigenvector was also measured:
+            # 97.3% at 420 steps vs 93% for compounding isotropic kicks,
+            # but it shares the dissociation failure; home restarts
+            # subsume it.)
+            scale = cfg.restart_kick * (
+                1.0 + 0.5 * state.nrestarts.astype(x_new.dtype)
+            )
+            kick = scale[:, None] * jax.random.normal(
                 jax.random.fold_in(key, 2), x_new.shape, x_new.dtype
             )
-            if cfg.eig and 0 < cfg.order < cfg.nfree:
-                # Mode-following kick: stalled order-k lanes are almost
-                # always limit-cycling around an index-(k+1) region (the
-                # quasi-Newton update keeps losing the surplus negative
-                # mode between diags — measured on LJ4, see bench.py).
-                # Walking downhill ALONG the surplus mode is the escape
-                # direction; isotropic noise mostly re-enters the same
-                # basin. Direction from the already-hoisted P-RFO eigh
-                # (free-subspace eigenvector cfg.order, lifted by
-                # Ufree); random sign — the ridge is two-sided — plus a
-                # small isotropic component to break symmetry.
-                lams_p, V_p, _ = prep
-                vdir = jnp.einsum(
-                    "bif,bf->bi", Ufree, V_p[:, :, cfg.order]
-                )
-                sgn = jnp.where(
-                    jax.random.bernoulli(
-                        jax.random.fold_in(key, 3), 0.5, (Bsz,)
-                    ),
-                    1.0, -1.0,
-                ).astype(x_new.dtype)
-                scale = cfg.restart_kick * np.sqrt(cfg.dim)
-                kick_mode = (
-                    scale * sgn[:, None] * vdir + 0.25 * kick
-                )
-                has_surplus = lams_p[:, cfg.order] < 0
-                kick = jnp.where(has_surplus[:, None], kick_mode, kick)
-            x_fin = jnp.where(restart[:, None], x_new + kick, x_new)
+            x_fin = jnp.where(
+                restart[:, None], state.x_home + kick, x_new
+            )
 
             f_k, g_k = jax.lax.cond(
                 jnp.any(restart),
@@ -1497,6 +1489,7 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             best_fmax=best2,
             stall=stall2,
             nrestarts=nrst,
+            x_home=state.x_home,
         )
 
     return step
@@ -1554,6 +1547,7 @@ def refill_converged(state: SearchState, x_new: jnp.ndarray,
         best_fmax=jnp.where(take, jnp.inf, state.best_fmax),
         stall=jnp.where(take, 0, state.stall),
         nrestarts=jnp.where(take, 0, state.nrestarts),
+        x_home=jnp.where(tk, x_new, state.x_home),
     )
     return new_state, take
 
@@ -1694,6 +1688,7 @@ def run_ensemble_queue(
     inherit_B: bool = False,
     max_retries: int = 0,
     retry_kick: float = 0.3,
+    mesh=None,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
 
@@ -1736,14 +1731,23 @@ def run_ensemble_queue(
     #   must not round-trip the device (tunnel latency per slice)
 
     state = init_state(potential, x0_all[:batch], cfg, cell)
+    lane_sharding = None
+    if mesh is not None:
+        # shard the lane axis over the mesh; the jitted chunk/refill/
+        # refresh programs then compile sharded executables, and refill
+        # slices are placed with the same layout so no resharding
+        # transfer happens inside the loop
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _shard(a):
+            spec = P(*(("batch",) + (None,) * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        state = jax.tree.map(_shard, state)
+        lane_sharding = NamedSharding(mesh, P("batch", None))
     origin = np.arange(batch)          # which input each lane holds
     next_idx = batch
     results: dict = {}
-    if checkpoint_path is not None and resume:
-        import os as _os
-
-        from .checkpoint import load_queue
-
     # retry bookkeeping: counts per input, deferred re-starts, and the
     # step/matvec/eval totals spent by earlier attempts
     retries: dict = {}
@@ -1788,13 +1792,18 @@ def run_ensemble_queue(
                 continue
             s0, m0, e0 = spent.get(oi, (0, 0, 0))
             if (not conv[lane]) and retries.get(oi, 0) < max_retries:
-                # timed out: back of the queue with a kicked start
-                retries[oi] = retries.get(oi, 0) + 1
+                # timed out: back of the queue. Restart from the
+                # ORIGINAL geometry plus a kick that grows with the
+                # attempt number — a limit-cycling search's current x
+                # is the worst place to restart from (it is the cycle),
+                # while independent perturbed attempts decorrelate.
+                attempt = retries.get(oi, 0) + 1
+                retries[oi] = attempt
                 spent[oi] = (s0 + int(nsteps[lane]),
                              m0 + int(nmv[lane]), e0 + int(nev[lane]))
                 pending.append((
                     oi,
-                    xs[lane] + retry_kick * kick_rng.normal(
+                    x0_np[oi] + attempt * retry_kick * kick_rng.normal(
                         size=xs[lane].shape
                     ),
                 ))
@@ -1828,8 +1837,11 @@ def run_ensemble_queue(
                 new_origin[lane] = -1  # idle lane
         origin = new_origin
 
+        x_new_j = jnp.asarray(x_new)
+        if lane_sharding is not None:
+            x_new_j = jax.device_put(x_new_j, lane_sharding)
         avail_j = jnp.asarray(avail)
-        state, _ = refill(state, jnp.asarray(x_new), avail_j)
+        state, _ = refill(state, x_new_j, avail_j)
         state = refresh(state, avail_j)
         # idle lanes stay marked converged so they are skipped
         idle = jnp.asarray(origin < 0)

@@ -31,8 +31,13 @@ Design (TPU-first, not a port):
   ``peswrapper.py:1011-1031`` get_Hc, evaluated matrix-free).
 * ``set_x`` is a masked Newton iteration on q(x) = q_target with
   dihedral residuals wrapped into (-pi, pi] and best-iterate tracking
-  (the reference's Newton fast path, ``peswrapper.py:749-839``; the
-  geodesic ODE fallback stays sequential-tier-only).
+  (the reference's Newton fast path, ``peswrapper.py:749-839``). Lanes
+  whose Newton residual stays above ``newton_accept`` re-run from a
+  fixed-substep RK4 geodesic initializer — the reference's ODE fallback
+  (``peswrapper.py:841-880, 1200-1221``) with LSODA's adaptivity
+  replaced by a static substep count — followed by a Newton polish;
+  the whole fallback branch executes under ``lax.cond`` only when some
+  lane actually needs it, so well-conditioned steps pay nothing.
 * Dummy atoms and fixed internal coordinates (reference
   ``internal.py:3483-3573`` dummies, ``internal.py:2748-3030``
   constraints) ARE supported, because both reduce to *linear*
@@ -103,6 +108,11 @@ class InternalEnsembleConfig(NamedTuple):
     eig: bool = True
     newton_maxiter: int = 20
     newton_tol: float = 1e-10
+    newton_accept: float = 1e-6    # residual above this after Newton
+    #   engages the geodesic fallback (reference acceptance gate,
+    #   ``peswrapper.py:830-833``)
+    geo_substeps: int = 16         # RK4 substeps of the geodesic
+    #   fallback integrator (0 disables the fallback — Newton only)
     restart_after: int = 0         # stagnation restart (0 = disabled);
     #   see ensemble.EnsembleConfig.restart_after — same mechanism, with
     #   the Hessian reset to the shared Lindh guess
@@ -158,6 +168,7 @@ class InternalSearchState(NamedTuple):
     best_fmax: jnp.ndarray    # (B,) best fmax since the last restart
     stall: jnp.ndarray        # (B,) int32 steps since best_fmax improved
     nrestarts: jnp.ndarray    # (B,) int32 stagnation restarts taken
+    x_home: jnp.ndarray       # (B, 3n) pristine start (restart anchor)
 
 
 def _kind_weights(ints, cfg: InternalEnsembleConfig) -> np.ndarray:
@@ -467,16 +478,15 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         H_out = jnp.where(active[:, None, None], H_new, H)
         return H_out, k
 
-    def newton_set_x(x0, q0, dq_target):
-        """Realize the internal step: find x with q(x) = q0 + dq_target
-        (masked Newton with best-iterate tracking). Returns
-        (x_new, dq_realized). Constrained components of the target are
-        pinned to their fixed values, so the same Newton solve performs
-        the reference's constraint-manifold projection
-        (``peswrapper.py:928-994``) at zero extra cost."""
+    def _pin_target(q0, dq_target):
         q_target = q0 + dq_target
         if ncons:
             q_target = q_target.at[:, cons_idx].set(cons_target[None])
+        return q_target
+
+    def _newton_iter(x_init, q_target):
+        """Masked Newton on q(x) = q_target with best-iterate tracking.
+        Returns (x_best, rinf_best)."""
 
         class _NS(NamedTuple):
             x: jnp.ndarray
@@ -488,9 +498,9 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         def resid(x):
             return wrap_dq(q_target - batch_q(x))
 
-        r0 = resid(x0)
-        st = _NS(x0, x0, jnp.max(jnp.abs(r0), axis=1), jnp.int32(0),
-                 jnp.zeros(x0.shape[0], bool))
+        r0 = resid(x_init)
+        st = _NS(x_init, x_init, jnp.max(jnp.abs(r0), axis=1),
+                 jnp.int32(0), jnp.zeros(x_init.shape[0], bool))
 
         def cond(st):
             return jnp.any(~st.done) & (st.it < cfg.newton_maxiter)
@@ -510,13 +520,89 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             return _NS(x_new, x_best, r_best, st.it + 1, done)
 
         st = jax.lax.while_loop(cond, body, st)
-        # one last residual check on the final iterate
         r_fin = resid(st.x)
         rinf_fin = jnp.max(jnp.abs(r_fin), axis=1)
         better = rinf_fin < st.r_best
-        x_new = jnp.where(better[:, None], st.x, st.x_best)
-        dq_real = wrap_dq(batch_q(x_new) - q0)
-        return x_new, dq_real
+        x_best = jnp.where(better[:, None], st.x, st.x_best)
+        return x_best, jnp.minimum(rinf_fin, st.r_best)
+
+    def _geodesic_x(x0, q_target):
+        """Masked fixed-substep RK4 of the geodesic equation
+        ``xdd = -B+ (dB/dx[xd] xd)`` (the reference's ODE move,
+        ``peswrapper.py:841-880, 1200-1221``, with LSODA's adaptivity
+        replaced by a static substep count — jit/vmap-compatible).
+        Used as the fallback initializer when the Newton fast path
+        fails on a large curved step; a Newton polish afterwards lands
+        exactly on the target manifold."""
+        dq = wrap_dq(q_target - batch_q(x0))
+
+        def xdot(x, dq_vec):
+            Bm = batch_B(x)
+            apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+            return jnp.einsum("bki,bk->bi", Bm, apply_pinv(dq_vec))
+
+        def rhs(carry):
+            x, xd = carry
+            # curvature term dB/dx[xd] · xd via one jvp through B(x)
+            curv = jax.jvp(
+                lambda xx: jnp.einsum("bki,bi->bk", batch_B(xx), xd),
+                (x,), (xd,),
+            )[1]
+            Bm = batch_B(x)
+            apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+            xdd = -jnp.einsum("bki,bk->bi", Bm, apply_pinv(curv))
+            return xd, xdd
+
+        nsub = max(int(cfg.geo_substeps), 1)
+        h = 1.0 / nsub
+        xd0 = xdot(x0, dq)
+
+        def body(_, carry):
+            x, xd = carry
+            k1x, k1v = rhs((x, xd))
+            k2x, k2v = rhs((x + 0.5 * h * k1x, xd + 0.5 * h * k1v))
+            k3x, k3v = rhs((x + 0.5 * h * k2x, xd + 0.5 * h * k2v))
+            k4x, k4v = rhs((x + h * k3x, xd + h * k3v))
+            return (
+                x + (h / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x),
+                xd + (h / 6.0) * (k1v + 2 * k2v + 2 * k3v + k4v),
+            )
+
+        x_end, _ = jax.lax.fori_loop(0, nsub, body, (x0, xd0))
+        return x_end
+
+    def newton_set_x(x0, q0, dq_target):
+        """Realize the internal step: find x with q(x) = q0 + dq_target.
+        Constrained components of the target are pinned to their fixed
+        values, so the same solve performs the reference's
+        constraint-manifold projection (``peswrapper.py:928-994``) at
+        zero extra cost. Newton fast path first; lanes whose residual
+        stays above ``cfg.newton_accept`` re-run from a geodesic RK4
+        initializer (the reference's ODE fallback, ``peswrapper.py:
+        883-903``) plus a Newton polish — the whole fallback runs only
+        when some lane actually needs it (lax.cond)."""
+        q_target = _pin_target(q0, dq_target)
+        x_nw, r_nw = _newton_iter(x0, q_target)
+
+        if getattr(cfg, "geo_substeps", 0) > 0:
+            fail = r_nw > cfg.newton_accept
+
+            def run_geo(_):
+                x_geo = _geodesic_x(x0, q_target)
+                return _newton_iter(x_geo, q_target)
+
+            def skip_geo(_):
+                return x_nw, r_nw
+
+            x_geo, r_geo = jax.lax.cond(
+                jnp.any(fail), run_geo, skip_geo, None
+            )
+            use_geo = fail & (r_geo < r_nw)
+            x_fin = jnp.where(use_geo[:, None], x_geo, x_nw)
+        else:
+            x_fin = x_nw
+        dq_real = wrap_dq(batch_q(x_fin) - q0)
+        return x_fin, dq_real
 
     def step(state: InternalSearchState, key) -> InternalSearchState:
         Bsz = state.x.shape[0]
@@ -657,7 +743,15 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         nrst = state.nrestarts
         if cfg.restart_after > 0:
             restart = act & ~conv_new & (stall2 >= cfg.restart_after)
-            kick = cfg.restart_kick * jax.random.normal(
+            # restart from the PRISTINE start with a kick that grows
+            # with the attempt count — independent perturbed attempts
+            # decorrelate, while kicking the stalled geometry compounds
+            # and dissociates clusters (measured on LJ4; see
+            # ensemble.make_step_fn)
+            scale = cfg.restart_kick * (
+                1.0 + 0.5 * state.nrestarts.astype(x_new.dtype)
+            )
+            kick = scale[:, None] * jax.random.normal(
                 jax.random.fold_in(key, 3), x_new.shape, x_new.dtype
             )
             if cfg.ndummies:
@@ -665,7 +759,9 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
                 # bond+angle: leave them in place, the Newton transform
                 # re-seats them on the next step
                 kick = kick.at[:, nr3:].set(0.0)
-            x_fin = jnp.where(restart[:, None], x_new + kick, x_new)
+            x_fin = jnp.where(
+                restart[:, None], state.x_home + kick, x_new
+            )
 
             def _reeval(_):
                 f2, g2 = batch_eval(x_fin)
@@ -709,8 +805,18 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             best_fmax=best2,
             stall=stall2,
             nrestarts=nrst,
+            x_home=state.x_home,
         )
 
+    # expose the step-realization machinery for direct testing
+    # (tests/test_ensemble_internal.py pins Newton-fails/geodesic-saves
+    # behavior on targets the full driver would need many steps to hit)
+    step.newton_set_x = newton_set_x
+    step.newton_iter = lambda x0, q_target: _newton_iter(x0, q_target)
+    step.geodesic_x = _geodesic_x
+    step.pin_target = _pin_target
+    step.batch_q = batch_q
+    step.wrap_dq = wrap_dq
     return step
 
 
@@ -766,6 +872,7 @@ def init_internal_state(
         best_fmax=jnp.full((Bsz,), jnp.inf, dtype),
         stall=jnp.zeros(Bsz, jnp.int32),
         nrestarts=jnp.zeros(Bsz, jnp.int32),
+        x_home=x0.copy(),
     )
 
 
@@ -817,6 +924,7 @@ def refill_converged_internal(
         best_fmax=jnp.where(take, jnp.inf, state.best_fmax),
         stall=jnp.where(take, 0, state.stall),
         nrestarts=jnp.where(take, 0, state.nrestarts),
+        x_home=jnp.where(tk, x_new, state.x_home),
     )
     return new_state, take
 
@@ -996,10 +1104,14 @@ def run_internal_ensemble_queue(
             cfs = np.asarray(cst.f)
             cconv = np.asarray(cst.converged)
             cns = np.asarray(cst.nsteps)
+            cmv = np.asarray(cst.nmatvec)
+            cev = np.asarray(cst.neval)
             for j, i in enumerate(todo):
                 results[i] = (
                     cxs[j].copy(), float(cfs[j]),
                     results[i][2] + int(cns[j]), bool(cconv[j]),
+                    results[i][4] + int(cmv[j]),
+                    results[i][5] + int(cev[j]),
                 )
 
     out = [results[i] for i in range(total)]

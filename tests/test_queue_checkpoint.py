@@ -124,8 +124,8 @@ def test_queue_resume_from_checkpoint(tmp_path, monkeypatch):
 
     orig_save = ckpt_mod.save_queue
 
-    def capture(p, state, origin, next_idx, results):
-        orig_save(p, state, origin, next_idx, results)
+    def capture(p, state, origin, next_idx, results, **kw):
+        orig_save(p, state, origin, next_idx, results, **kw)
         if not os.path.exists(side):
             shutil.copytree(p, side)
 
