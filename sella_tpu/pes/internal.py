@@ -47,8 +47,9 @@ class InternalPES(PES):
         *args,
         H0: Optional[np.ndarray] = None,
         auto_find_internals: bool = True,
-        iterative_stepper: int = 1,
+        iterative_stepper: int = 0,
         exact_geodesic: bool = True,
+        geodesic_integrator: str = "lsoda",
         **kwargs,
     ) -> None:
         self.int_orig = internals
@@ -75,7 +76,10 @@ class InternalPES(PES):
             self.set_H(H0)
 
         self.bad_int = None
+        # 0 (reference default, ``peswrapper.py:616``): always the
+        # geodesic ODE; 1: Newton fast path with ODE fallback.
         self.iterative_stepper = iterative_stepper
+        self.geodesic_integrator = geodesic_integrator
         # Recompute B+ at every geodesic substep (True) or freeze the
         # step-start B+ for the whole integration (False) — the
         # reference's ``exact_geodesic`` toggle (``peswrapper.py:657,
@@ -178,7 +182,9 @@ class InternalPES(PES):
         (``peswrapper.py:749-839``). Returns None on failure."""
         pos0 = self._get_flat_pos()
         x0 = self.get_x()
-        dx_initial = self.wrap_dx(target - x0)
+        # NOT wrapped — matches the reference (``peswrapper.py:758``),
+        # whose predicted-step bookkeeping uses the raw difference
+        dx_initial = target - x0
         g_int = self.curr.get("g")
         if g_int is None:
             g_int = np.zeros_like(dx_initial)
@@ -224,6 +230,56 @@ class InternalPES(PES):
         dx_final = self.get_x() - x0
         g_final = self.int.jacobian() @ g0_cart
         return dx_initial, dx_final, g_final
+
+    def _set_x_ode(self, target):
+        """Geodesic move via adaptive LSODA — the reference's default
+        stepper (``peswrapper.py:841-880``): same state layout
+        ``y = (x, B+dq, B+g)``, same ``atol=1e-6``/default rtol, same
+        nfev cap, same return contract, so the sequential tier's step
+        realization matches the reference's bit-for-bit stepping."""
+        from scipy.integrate import LSODA
+
+        dq = self.wrap_dx(target - self.get_x())
+        Binv0 = self._get_Binv()
+        self._ode_Binv = Binv0
+        g_int = self.curr.get("g")
+        if g_int is None:
+            g_int = np.zeros_like(dq)
+        x0 = self._get_flat_pos()
+        y0 = np.hstack((x0, Binv0 @ dq, Binv0 @ g_int))
+        n = len(x0)
+
+        def rhs(t, y):
+            x_, xd_, gt_ = y.reshape(3, n)
+            self._set_flat_pos(x_.copy())
+            D_rdot = self.int.hessian_rdot(xd_)
+            Binv = self._get_Binv() if self.exact_geodesic else Binv0
+            out = -Binv @ (D_rdot @ np.column_stack((xd_, gt_)))
+            return np.concatenate((xd_, out[:, 0], out[:, 1]))
+
+        ode = LSODA(rhs, 0.0, y0, t_bound=1.0, atol=1e-6)
+        t0 = 0.0
+        y = y0
+        while ode.status == "running":
+            ode.step()
+            y = ode.y
+            t0 = ode.t
+            self.bad_int = self.int.check_for_bad_internals()
+            if self.bad_int is not None:
+                break
+            if ode.nfev > 1000:
+                raise RuntimeError(
+                    "Geometry update ODE is taking too long to converge!"
+                )
+        if ode.status == "failed":
+            raise RuntimeError("Geometry update ODE failed to converge!")
+
+        x_, xd_, gt_ = y.reshape(3, n)
+        self._set_flat_pos(x_.copy())
+        B = self.int.jacobian()
+        dx_final = t0 * (B @ xd_)
+        g_final = B @ gt_
+        return t0 * dq, dx_final, g_final
 
     def _set_x_geodesic(self, target):
         """Geodesic move: integrate ``xdd = -B+ (dB/dx . xd) xd`` with the
@@ -293,14 +349,19 @@ class InternalPES(PES):
         return dq, dx_final, g_final
 
     def set_x(self, target):
-        """Move to target internal coordinates: Newton fast path with a
-        geodesic RK4 fallback, then constraint-manifold projection
-        (``peswrapper.py:883-903``)."""
+        """Move to target internal coordinates: optional Newton fast
+        path, then the geodesic integrator (LSODA by default — the
+        reference's stepper — or fixed-substep RK4 via
+        ``geodesic_integrator="rk4"``), then constraint-manifold
+        projection (``peswrapper.py:883-903``)."""
         res = None
         if self.iterative_stepper:
             res = self._set_x_newton(target)
         if res is None:
-            res = self._set_x_geodesic(target)
+            if getattr(self, "geodesic_integrator", "lsoda") == "rk4":
+                res = self._set_x_geodesic(target)
+            else:
+                res = self._set_x_ode(target)
         q_after = self.int.calc().copy()
         moved = self._project_to_constraints()
         dx_initial, dx_final, g_final = res

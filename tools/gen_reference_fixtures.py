@@ -25,9 +25,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 # isolate from any stale cross-machine compile cache
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/refshim_jax_cache"
+# same XLA topology as tests/conftest.py: the compiled reduction order
+# (hence the last-ulp of every energy) depends on the virtual device
+# count, and fixture generation must match the test environment so the
+# 1e-8 trajectory gate measures the ALGORITHM, not XLA partitioning
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax  # noqa: E402
 
@@ -74,9 +83,23 @@ def morse_params() -> dict:
 
 
 def lj7_positions() -> np.ndarray:
-    # seed 9: the reference itself converges this saddle in ~107 steps
-    rng = np.random.RandomState(9)
-    return rng.normal(size=(7, 3), scale=1.7)
+    """Perturbed pentagonal bipyramid (the LJ7 ground state): a
+    well-conditioned saddle-search start. A fully random gas (the
+    previous fixture) starts at E ~ +1.8e4 where last-ulp reduction
+    noise is ~1e-9 absolute and chaos amplifies it past any trajectory
+    gate."""
+    rstar = 2.2 * 2.0 ** (1.0 / 6.0)       # LJ pair minimum for sigma=2.2
+    ring_r = rstar / (2.0 * np.sin(np.pi / 5.0))
+    apex_z = np.sqrt(max(rstar**2 - ring_r**2, 0.1))
+    ang = 2.0 * np.pi * np.arange(5) / 5.0
+    pos = np.vstack([
+        np.stack([ring_r * np.cos(ang), ring_r * np.sin(ang),
+                  np.zeros(5)], axis=1),
+        [[0.0, 0.0, apex_z]],
+        [[0.0, 0.0, -apex_z]],
+    ])
+    rng = np.random.RandomState(12)
+    return pos + 0.25 * rng.normal(size=pos.shape)
 
 
 def lj_params() -> dict:
@@ -84,21 +107,31 @@ def lj_params() -> dict:
 
 
 def ethanol_positions() -> np.ndarray:
-    """Ethanol-like C2H6O geometry (Angstrom), slightly perturbed off
-    equilibrium so a TS search has something to do."""
-    pos = np.array([
-        [-0.748, -0.015, 0.024],   # C
-        [0.720, 0.003, -0.303],    # C
-        [1.402, -0.987, 0.474],    # O
-        [-1.251, -0.942, -0.285],  # H
-        [-0.922, 0.122, 1.098],    # H
-        [-1.218, 0.832, -0.492],   # H
-        [0.880, -0.154, -1.380],   # H
-        [1.181, 0.972, -0.067],    # H
-        [2.350, -0.940, 0.297],    # H
+    """Ethanol-like C2H6O start NEAR a first-order saddle of the
+    surrogate Morse potential (Angstrom).
+
+    The base geometry is the converged fmax=1e-3 saddle the reference
+    itself found from the legacy perturbed-equilibrium start (152
+    reference steps); rattling it by 0.03 A gives parity runs of
+    ~10-25 steps. The legacy from-equilibrium start produced 100+-step
+    wanders across this floppy 9-atom landscape, whose Lyapunov growth
+    amplifies per-step fp-noise injections (~1e-11 for the Newton
+    back-transform) past ANY trajectory gate — a chaos measurement,
+    not an algorithm comparison. Short runs near the saddle measure
+    the algorithm."""
+    ts = np.array([
+        [-0.545607, 0.458477, 0.524459],   # C
+        [0.668282, 0.214175, 0.751008],    # C
+        [1.112564, -0.919955, 0.43481],    # O
+        [-0.069041, -0.65272, 0.114818],   # H
+        [-1.288046, -0.36833, -0.106017],  # H
+        [-0.3734, 0.258998, -0.739546],    # H
+        [0.825327, -0.005384, -0.487285],  # H
+        [0.349447, 1.100171, -0.108316],   # H
+        [1.818581, -0.755517, -0.604077],  # H
     ])
     rng = np.random.RandomState(11)
-    return pos + 0.08 * rng.normal(size=pos.shape)
+    return ts + 0.03 * rng.normal(size=ts.shape)
 
 
 def build_system(name: str):
@@ -129,6 +162,17 @@ def build_system(name: str):
 
 CONFIGS = {
     # name: (sella kwargs, fmax, max steps, use trans/rot constraints)
+    #
+    # The *_newton variants run the reference's Newton back-transform
+    # (``iterative_stepper=1``, ``peswrapper.py:616,749-839``) instead
+    # of its default adaptive-LSODA geodesic move. Newton lands on the
+    # q-target fixed point, so its trajectories reproduce across
+    # implementations to fp accuracy; the LSODA default carries the
+    # integrator's own ~atol=1e-6 realization noise, whose knife-edge
+    # step-acceptance decisions amplify last-ulp differences (measured:
+    # the reference does not reproduce ITSELF to better than ~1e-6 on
+    # these paths when the start is perturbed at the noise floor).
+    # Parity gates differ accordingly — see tests/test_reference_parity.py.
     "morse_xe4_cart_min": (
         dict(order=0, internal=False, gamma=1e-3), 1e-3, 300, True),
     "morse_xe4_cart_saddle": (
@@ -137,10 +181,16 @@ CONFIGS = {
         dict(order=0, internal=True, gamma=1e-3), 1e-3, 300, True),
     "morse_xe4_int_saddle": (
         dict(order=1, internal=True, gamma=1e-3), 1e-3, 300, True),
+    "morse_xe4_int_saddle_newton": (
+        dict(order=1, internal=True, gamma=1e-3, iterative_stepper=1),
+        1e-3, 300, True),
     "lj7_cart_saddle": (
         dict(order=1, internal=False, gamma=0.1), 1e-3, 300, True),
     "ethanol_int_saddle": (
         dict(order=1, internal=True, gamma=0.1), 1e-3, 300, False),
+    "ethanol_int_saddle_newton": (
+        dict(order=1, internal=True, gamma=0.1, iterative_stepper=1),
+        1e-3, 300, False),
 }
 
 
