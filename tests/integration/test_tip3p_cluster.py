@@ -49,9 +49,13 @@ def test_water_cluster(internal):
     )
     assert opt.run(fmax=1e-3, steps=500)
 
-    # converged: projected gradient vanishes, constraints hold
+    # converged: projected gradient vanishes, constraints hold.
+    # fmax=1e-3 bounds the max per-ATOM force norm; a single projected
+    # component along a Ufree direction (a unit combination of many
+    # Cartesian components) can reach ~sqrt(natoms)*fmax at the moment
+    # the run stops, so the componentwise gate carries 3x headroom.
     Ufree = opt.pes.get_Ufree()
-    np.testing.assert_allclose(opt.pes.get_g() @ Ufree, 0, atol=1e-3)
+    np.testing.assert_allclose(opt.pes.get_g() @ Ufree, 0, atol=3e-3)
     final = np.asarray(atoms.positions)
     for i in range(nmol):
         d1 = np.linalg.norm(final[3 * i] - final[3 * i + 1])
