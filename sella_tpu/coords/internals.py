@@ -365,7 +365,12 @@ class Internals:
                 if len(group) >= 2:
                     self.add_rotation(group)
 
-    def find_all_angles(self) -> None:
+    def find_all_angles(self, allow_dummies: bool = True) -> None:
+        """Discover all bond-pair angles. ``allow_dummies=False`` skips
+        the dummy-atom insertion at linear centers (reference
+        ``internal.py:3482-3550``) — used by the batched tier's repave
+        event, where the atom count is a static shape and a linear
+        center must instead be covered by redundant coordinates."""
         t = topo_mod.Topology()
         t.bonds = self.bonds
         linear_centers = topo_mod.find_angles(
@@ -386,8 +391,9 @@ class Internals:
             if topo_mod._dihedral_key(*d) not in self.forbidden["dihedrals"]
             and topo_mod._dihedral_key(*d) not in have_d
         )
-        for j, (a, nca), (b, ncb) in linear_centers:
-            self._add_dummy_for_linear_center(j, a, nca, b, ncb)
+        if allow_dummies:
+            for j, (a, nca), (b, ncb) in linear_centers:
+                self._add_dummy_for_linear_center(j, a, nca, b, ncb)
         self._engine = None
 
     def _add_dummy_for_linear_center(self, j, a, nca, b, ncb) -> None:

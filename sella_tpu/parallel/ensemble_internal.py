@@ -11,11 +11,17 @@ XLA program over the whole ensemble.
 
 Design (TPU-first, not a port):
 
-* ONE topology, shared by every lane (the ensemble refines perturbations
-  of the same structure — per-lane topologies would break shape
-  staticity). Built host-side by :class:`~sella_tpu.coords.internals.
-  Internals`; the compiled ``_Engine`` evaluates q/B/dB as pure jnp and
-  vmaps over the batch.
+* ONE union topology layout, shared by every lane, with per-lane
+  coordinate-activity rows (``state.qact``) masking each lane's
+  effective topology inside it. Built host-side by
+  :class:`~sella_tpu.coords.internals.Internals`; the compiled
+  ``_Engine`` evaluates q/B/dB as pure jnp and vmaps over the batch.
+  A lane whose coordinates go singular mid-run is *repaved* in-place
+  (:func:`repave_lanes`): its topology is rebuilt from its current
+  geometry, novel entries are appended to the union (one recompile
+  per growth event), and its Hessian is transferred through Cartesian
+  space — the batched analogue of the reference's bad-internal rebuild
+  (``optimize.py:384-410``).
 * The nonredundant subspace comes from one batched eigh of the Gram
   matrix G = B B^T per geometry: its top ``3 natoms - nproj``
   eigenvectors span range(B) with a STATIC width (replacing the
@@ -169,6 +175,14 @@ class InternalSearchState(NamedTuple):
     stall: jnp.ndarray        # (B,) int32 steps since best_fmax improved
     nrestarts: jnp.ndarray    # (B,) int32 stagnation restarts taken
     x_home: jnp.ndarray       # (B, 3n) pristine start (restart anchor)
+    qact: jnp.ndarray         # (B, nint) bool per-lane coordinate
+    #   activity: rows of B (and residuals/secants in q-space) are
+    #   masked by this, giving every lane its own effective topology
+    #   inside the shared union layout. All-True until a repave event
+    #   (:func:`repave_lanes`) deactivates singular coordinates for a
+    #   lane and/or activates union rows rebuilt from its geometry —
+    #   the batched analogue of the reference's mid-run internals
+    #   rebuild (``optimize.py:384-410``).
 
 
 def _kind_weights(ints, cfg: InternalEnsembleConfig) -> np.ndarray:
@@ -484,9 +498,11 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             q_target = q_target.at[:, cons_idx].set(cons_target[None])
         return q_target
 
-    def _newton_iter(x_init, q_target):
+    def _newton_iter(x_init, q_target, rows):
         """Masked Newton on q(x) = q_target with best-iterate tracking.
-        Returns (x_best, rinf_best)."""
+        ``rows`` (B, nint) masks each lane's inactive coordinates out
+        of both the residual and the Jacobian. Returns
+        (x_best, rinf_best)."""
 
         class _NS(NamedTuple):
             x: jnp.ndarray
@@ -496,7 +512,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             done: jnp.ndarray
 
         def resid(x):
-            return wrap_dq(q_target - batch_q(x))
+            return wrap_dq(q_target - batch_q(x)) * rows
 
         r0 = resid(x_init)
         st = _NS(x_init, x_init, jnp.max(jnp.abs(r0), axis=1),
@@ -513,7 +529,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             r_best = jnp.where(better, rinf, st.r_best)
             done = st.done | (rinf < cfg.newton_tol)
 
-            Bm = batch_B(st.x)
+            Bm = batch_B(st.x) * rows[:, :, None]
             apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
             dx = jnp.einsum("bki,bk->bi", Bm, apply_pinv(r))
             x_new = jnp.where(done[:, None], st.x, st.x + dx)
@@ -526,7 +542,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         x_best = jnp.where(better[:, None], st.x, st.x_best)
         return x_best, jnp.minimum(rinf_fin, st.r_best)
 
-    def _geodesic_x(x0, q_target):
+    def _geodesic_x(x0, q_target, rows):
         """Masked fixed-substep RK4 of the geodesic equation
         ``xdd = -B+ (dB/dx[xd] xd)`` (the reference's ODE move,
         ``peswrapper.py:841-880, 1200-1221``, with LSODA's adaptivity
@@ -534,10 +550,10 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         Used as the fallback initializer when the Newton fast path
         fails on a large curved step; a Newton polish afterwards lands
         exactly on the target manifold."""
-        dq = wrap_dq(q_target - batch_q(x0))
+        dq = wrap_dq(q_target - batch_q(x0)) * rows
 
         def xdot(x, dq_vec):
-            Bm = batch_B(x)
+            Bm = batch_B(x) * rows[:, :, None]
             apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
             return jnp.einsum("bki,bk->bi", Bm, apply_pinv(dq_vec))
 
@@ -545,10 +561,12 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             x, xd = carry
             # curvature term dB/dx[xd] · xd via one jvp through B(x)
             curv = jax.jvp(
-                lambda xx: jnp.einsum("bki,bi->bk", batch_B(xx), xd),
+                lambda xx: jnp.einsum(
+                    "bki,bi->bk", batch_B(xx) * rows[:, :, None], xd
+                ),
                 (x,), (xd,),
             )[1]
-            Bm = batch_B(x)
+            Bm = batch_B(x) * rows[:, :, None]
             apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
             xdd = -jnp.einsum("bki,bk->bi", Bm, apply_pinv(curv))
             return xd, xdd
@@ -571,7 +589,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         x_end, _ = jax.lax.fori_loop(0, nsub, body, (x0, xd0))
         return x_end
 
-    def newton_set_x(x0, q0, dq_target):
+    def newton_set_x(x0, q0, dq_target, rows):
         """Realize the internal step: find x with q(x) = q0 + dq_target.
         Constrained components of the target are pinned to their fixed
         values, so the same solve performs the reference's
@@ -582,14 +600,14 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         883-903``) plus a Newton polish — the whole fallback runs only
         when some lane actually needs it (lax.cond)."""
         q_target = _pin_target(q0, dq_target)
-        x_nw, r_nw = _newton_iter(x0, q_target)
+        x_nw, r_nw = _newton_iter(x0, q_target, rows)
 
         if getattr(cfg, "geo_substeps", 0) > 0:
             fail = r_nw > cfg.newton_accept
 
             def run_geo(_):
-                x_geo = _geodesic_x(x0, q_target)
-                return _newton_iter(x_geo, q_target)
+                x_geo = _geodesic_x(x0, q_target, rows)
+                return _newton_iter(x_geo, q_target, rows)
 
             def skip_geo(_):
                 return x_nw, r_nw
@@ -601,14 +619,15 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             x_fin = jnp.where(use_geo[:, None], x_geo, x_nw)
         else:
             x_fin = x_nw
-        dq_real = wrap_dq(batch_q(x_fin) - q0)
+        dq_real = wrap_dq(batch_q(x_fin) - q0) * rows
         return x_fin, dq_real
 
     def step(state: InternalSearchState, key) -> InternalSearchState:
         Bsz = state.x.shape[0]
         act = ~state.converged
+        rows = state.qact.astype(state.x.dtype)
 
-        Bm = batch_B(state.x)
+        Bm = batch_B(state.x) * rows[:, :, None]
         apply_pinv, Ured_q = _gram_pinv(Bm, cfg.nred)
         Ufree_q = _split_fixed(Ured_q, cons_idx, ncons)
         gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, state.g))
@@ -663,13 +682,13 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         dq_pred = jnp.where(act[:, None], dq_pred, 0.0)
 
         # ---- realize the step + evaluate ----
-        x_new, dq_real = newton_set_x(state.x, state.q, dq_pred)
+        x_new, dq_real = newton_set_x(state.x, state.q, dq_pred, rows)
         x_new = jnp.where(act[:, None], x_new, state.x)
         dq_real = jnp.where(act[:, None], dq_real, 0.0)
         f_new, g_new = batch_eval(x_new)
         neval = state.neval + act.astype(jnp.int32)
 
-        Bm_new = batch_B(x_new)
+        Bm_new = batch_B(x_new) * rows[:, :, None]
         apply_pinv_new, Ured_q_new = _gram_pinv(Bm_new, cfg.nred)
         gq_new = apply_pinv_new(
             jnp.einsum("bij,bj->bi", Bm_new, g_new)
@@ -766,7 +785,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             def _reeval(_):
                 f2, g2 = batch_eval(x_fin)
                 q2 = batch_q(x_fin)
-                Bm2 = batch_B(x_fin)
+                Bm2 = batch_B(x_fin) * rows[:, :, None]
                 ap2, _ = _gram_pinv(Bm2, cfg.nred)
                 gq2 = ap2(jnp.einsum("bij,bj->bi", Bm2, g2))
                 return f2, g2, q2, gq2
@@ -806,14 +825,24 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             stall=stall2,
             nrestarts=nrst,
             x_home=state.x_home,
+            qact=state.qact,
         )
 
     # expose the step-realization machinery for direct testing
     # (tests/test_ensemble_internal.py pins Newton-fails/geodesic-saves
     # behavior on targets the full driver would need many steps to hit)
-    step.newton_set_x = newton_set_x
-    step.newton_iter = lambda x0, q_target: _newton_iter(x0, q_target)
-    step.geodesic_x = _geodesic_x
+    def _ones_rows(x0):
+        return jnp.ones((x0.shape[0], cfg.nint), x0.dtype)
+
+    step.newton_set_x = lambda x0, q0, dq, rows=None: newton_set_x(
+        x0, q0, dq, _ones_rows(x0) if rows is None else rows
+    )
+    step.newton_iter = lambda x0, q_target, rows=None: _newton_iter(
+        x0, q_target, _ones_rows(x0) if rows is None else rows
+    )
+    step.geodesic_x = lambda x0, q_target, rows=None: _geodesic_x(
+        x0, q_target, _ones_rows(x0) if rows is None else rows
+    )
     step.pin_target = _pin_target
     step.batch_q = batch_q
     step.wrap_dq = wrap_dq
@@ -873,6 +902,7 @@ def init_internal_state(
         stall=jnp.zeros(Bsz, jnp.int32),
         nrestarts=jnp.zeros(Bsz, jnp.int32),
         x_home=x0.copy(),
+        qact=jnp.ones((Bsz, cfg.nint), bool),
     )
 
 
@@ -882,16 +912,260 @@ def bad_internals_mask(state: InternalSearchState, ints,
     0/180-deg points where the B matrix loses rank (reference
     ``internal.py:3704-3736``; the default window is much tighter than
     the sequential tier's 15 deg because cluster saddles legitimately
-    converge with nearly-linear angles). Topology is shared across lanes
-    (static shapes), so the reference's rebuild event has no in-jit
-    analogue — spill flagged lanes to the Cartesian tier (or re-seed
-    them) instead."""
+    converge with nearly-linear angles). Flagged lanes can be repaved
+    in-place (:func:`repave_lanes` — fixed-ensemble mode), spilled to
+    the Cartesian tier (queue mode), or re-seeded."""
     a0 = ints.ntrans + ints.nbonds
     ang = state.q[:, a0:a0 + ints.nangles]
     if ang.shape[1] == 0:
         return jnp.zeros(state.q.shape[0], bool)
     atol = np.radians(atol_deg)
-    return jnp.any((ang < atol) | (ang > np.pi - atol), axis=1)
+    bad = (ang < atol) | (ang > np.pi - atol)
+    # coordinates already deactivated for a lane (by a previous repave)
+    # cannot re-trigger the event
+    bad = bad & state.qact[:, a0:a0 + ints.nangles]
+    return jnp.any(bad, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Per-lane repave: the batched analogue of the reference's mid-run
+# bad-internal rebuild (``optimize.py:384-410`` + ``peswrapper.py:
+# 1129-1174``). The shared layout grows into a UNION of every lane's
+# topology; each lane activates only its own rows via ``state.qact``.
+# ---------------------------------------------------------------------------
+
+def _layout_offsets(ints):
+    """Start offsets of the (bonds, angles, dihedrals, others,
+    rotations) blocks in the q-vector layout."""
+    off_b = ints.ntrans
+    off_a = off_b + ints.nbonds
+    off_d = off_a + ints.nangles
+    off_o = off_d + ints.ndihedrals
+    off_r = off_o + ints.nother
+    return off_b, off_a, off_d, off_o, off_r
+
+
+def rebuild_internals_at(ints, pos: np.ndarray):
+    """Rebuild a fresh topology from the given geometry, mirroring the
+    reference's rebuild (``peswrapper.py:1134-1140``: copy the pristine
+    container, re-run discovery) — except linear centers get NO dummy
+    atom (the atom count is a static shape in the batched tier); their
+    bending DOF must be covered by redundant coordinates instead."""
+    at = ints.atoms.copy()
+    at.set_positions(pos)
+    new = type(ints)(at, allow_fragments=ints.allow_fragments,
+                     atol_deg=float(np.degrees(ints.atol)))
+    new.forbidden = {g: set(s) for g, s in ints.forbidden.items()}
+    new.find_all_bonds()
+    new.find_all_angles(allow_dummies=False)
+    new.find_all_dihedrals()
+    return new
+
+
+def merge_novel_internals(base, lane):
+    """Append lane-topology entries missing from ``base`` at the end of
+    their kind blocks (keeping every existing q position stable).
+    Returns ``(merged, (nb, na, nd))`` with the novel counts."""
+    from ..coords import topology as topo_mod
+
+    merged = base.copy()
+    have_b = {topo_mod._bond_key(i, j, nc) for (i, j, nc) in base.bonds}
+    have_a = {topo_mod._angle_key(*a) for a in base.angles}
+    have_d = {topo_mod._dihedral_key(*d) for d in base.dihedrals}
+    nb = na = nd = 0
+    for (i, j, nc) in lane.bonds:
+        k = topo_mod._bond_key(i, j, nc)
+        if k not in have_b:
+            merged.bonds.append((i, j, nc))
+            merged._bond_keys.add(k)
+            have_b.add(k)
+            nb += 1
+    for a in lane.angles:
+        k = topo_mod._angle_key(*a)
+        if k not in have_a:
+            merged.angles.append(a)
+            have_a.add(k)
+            na += 1
+    for d in lane.dihedrals:
+        k = topo_mod._dihedral_key(*d)
+        if k not in have_d:
+            merged.dihedrals.append(d)
+            have_d.add(k)
+            nd += 1
+    merged._engine = None
+    return merged, (nb, na, nd)
+
+
+def _membership_rows(merged, lane) -> np.ndarray:
+    """Activity rows of ``lane``'s topology inside ``merged``'s layout.
+    Translations, user coordinates and rotations are shared (always
+    active)."""
+    from ..coords import topology as topo_mod
+
+    rows = np.zeros(merged.nint, bool)
+    off_b, off_a, off_d, off_o, off_r = _layout_offsets(merged)
+    rows[:off_b] = True
+    rows[off_o:] = True
+    kb = {topo_mod._bond_key(i, j, nc) for (i, j, nc) in lane.bonds}
+    ka = {topo_mod._angle_key(*a) for a in lane.angles}
+    kd = {topo_mod._dihedral_key(*d) for d in lane.dihedrals}
+    for m, (i, j, nc) in enumerate(merged.bonds):
+        rows[off_b + m] = topo_mod._bond_key(i, j, nc) in kb
+    for m, a in enumerate(merged.angles):
+        rows[off_a + m] = topo_mod._angle_key(*a) in ka
+    for m, d in enumerate(merged.dihedrals):
+        rows[off_d + m] = topo_mod._dihedral_key(*d) in kd
+    return rows
+
+
+def _old_to_new_map(base, merged) -> np.ndarray:
+    """Position of every base-layout q entry inside the merged layout
+    (merge appends novel entries at kind-block ends, so each base block
+    shifts rigidly)."""
+    mp = np.empty(base.nint, np.int64)
+    ob = (0,) + _layout_offsets(base)
+    om = (0,) + _layout_offsets(merged)
+    counts = (base.ntrans, base.nbonds, base.nangles, base.ndihedrals,
+              base.nother, base.nrotations)
+    for so, sn, c in zip(ob, om, counts):
+        mp[so:so + c] = sn + np.arange(c)
+    return mp
+
+
+def repave_lanes(state: InternalSearchState, ints, cfg, bad,
+                 cell: Optional[jnp.ndarray] = None,
+                 atol_deg: float = 0.5):
+    """Rebuild the topology of every ``bad`` lane from its CURRENT
+    geometry and keep it converging in-place.
+
+    The batched equivalent of the reference's bad-internal event
+    (driver ``optimize.py:384-410``; PES ``peswrapper.py:1129-1174``):
+
+    1. per bad lane, re-discover bonds/angles/dihedrals at the lane's
+       geometry (:func:`rebuild_internals_at` — near-linear angles are
+       excluded by discovery's ``atol`` window, and linear centers get
+       redundant coverage instead of a dummy atom);
+    2. merge novel entries into the shared union layout (existing q
+       positions never move, so other lanes' state is a pure scatter);
+    3. the bad lane's ``qact`` rows become exactly its rebuilt
+       topology; every other lane keeps its rows (novel rows inactive);
+    4. the bad lane's Hessian is transferred through Cartesian space
+       with the curvilinear corrections (the exact sequential-tier
+       formula, ``pes/internal.py`` ``update_internals``):
+       ``Hx = Bo^T H Bo + hldot_o(gq)``,
+       ``H' = Bn^+T (Hx - hldot_n(gq')) Bn^+``.
+
+    A lane whose rebuilt (masked) B cannot span ``cfg.nred`` directions
+    falls back to the union of rebuilt + previously active rows; if
+    still rank-deficient the lane is left untouched and reported False
+    in the returned mask.
+
+    Returns ``(state', ints', cfg', repaved_mask)``. ``cfg'.nint``
+    grows when the union gained entries — rebuild the step function
+    (and re-shard, if under a mesh) whenever it does.
+    """
+    if cfg.ncons or cfg.ndummies:
+        raise NotImplementedError(
+            "repave supports unconstrained, dummy-free topologies; "
+            "constrained/dummy lanes use the sequential tier or the "
+            "queue's Cartesian spill"
+        )
+    if cell is None:
+        cell = jnp.zeros((3, 3))
+    bad = np.asarray(bad).copy()
+    lanes = np.where(bad)[0]
+    if lanes.size == 0:
+        return state, ints, cfg, bad
+
+    n = cfg.natoms
+    xs = np.asarray(state.x)
+    rebuilt = {
+        int(l): rebuild_internals_at(ints, xs[l].reshape(n, 3))
+        for l in lanes
+    }
+    merged = ints
+    for r in rebuilt.values():
+        merged, _ = merge_novel_internals(merged, r)
+    nint_new = merged.nint
+    cfg_new = cfg._replace(nint=nint_new) if nint_new != cfg.nint else cfg
+
+    # scatter every lane's old state into the new layout
+    mp = _old_to_new_map(ints, merged)
+    Bsz = xs.shape[0]
+    qact = np.zeros((Bsz, nint_new), bool)
+    qact[:, mp] = np.asarray(state.qact)
+    H = np.zeros((Bsz, nint_new, nint_new), dtype=np.asarray(state.H).dtype)
+    H[:, mp[:, None], mp[None, :]] = np.asarray(state.H)
+    novel = np.ones(nint_new, bool)
+    novel[mp] = False
+    if novel.any():
+        hg = np.diag(merged.guess_hessian())
+        H[:, novel, novel] = hg[novel][None, :]
+
+    eng_old = ints._get_engine()
+    eng_new = merged._get_engine()
+    qact_old = np.asarray(state.qact)
+    gq_old_all = np.asarray(state.gq)
+
+    for l in lanes:
+        lane = rebuilt[int(l)]
+        pos = xs[l].reshape(n, 3)
+        rows_new = _membership_rows(merged, lane)
+        Bfull = np.asarray(eng_new._jac_impl(pos, cell))
+        Bn = Bfull * rows_new[:, None]
+        sv = np.linalg.svd(Bn, compute_uv=False)
+        if int(np.sum(sv > 1e-8 * max(sv[0], 1e-300))) < cfg.nred:
+            # rebuilt set too sparse: augment with previously active
+            # rows, EXCLUDING the near-singular angles that triggered
+            # the event
+            off_b, off_a, off_d, _, _ = _layout_offsets(merged)
+            qv = np.asarray(eng_new._calc_impl(pos, cell))
+            atol = np.radians(atol_deg)
+            sing = np.zeros(nint_new, bool)
+            sing[off_a:off_d] = (qv[off_a:off_d] < atol) | (
+                qv[off_a:off_d] > np.pi - atol
+            )
+            rows_new = rows_new | (qact[l] & ~sing)
+            Bn = Bfull * rows_new[:, None]
+            sv = np.linalg.svd(Bn, compute_uv=False)
+            if int(np.sum(sv > 1e-8 * max(sv[0], 1e-300))) < cfg.nred:
+                bad[l] = False      # cannot repave this lane
+                continue
+        # Hessian transfer through Cartesian space
+        Bo = np.asarray(eng_old._jac_impl(pos, cell)) * qact_old[l][:, None]
+        gq_o = gq_old_all[l]
+        g_cart = gq_o @ Bo
+        Binv = np.linalg.pinv(Bn)
+        gq_n = g_cart @ Binv
+        hld_o = np.asarray(eng_old._hldot_impl(pos, cell, jnp.asarray(gq_o)))
+        hld_n = np.asarray(eng_new._hldot_impl(pos, cell, jnp.asarray(gq_n)))
+        Hcart = Bo.T @ np.asarray(state.H[l]) @ Bo + hld_o
+        H[int(l)] = Binv.T @ (Hcart - hld_n) @ Binv
+        qact[int(l)] = rows_new
+
+    # re-derive (q, gq) for every lane in the new masked layout (q
+    # continuity re-bases at principal values — safe, all differences
+    # are dihedral-wrapped, same as the restart re-base)
+    qact_j = jnp.asarray(qact)
+    batch_q = jax.vmap(lambda x: eng_new._calc_impl(x.reshape(n, 3), cell))
+    batch_B = jax.vmap(lambda x: eng_new._jac_impl(x.reshape(n, 3), cell))
+    q = batch_q(state.x)
+    Bm = batch_B(state.x) * qact_j.astype(state.x.dtype)[:, :, None]
+    apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+    gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, state.g))
+
+    badj = jnp.asarray(bad)
+    state_new = state._replace(
+        q=q,
+        gq=gq,
+        H=jnp.asarray(H),
+        qact=qact_j,
+        # repaved lanes restart their stagnation bookkeeping: the fmax
+        # trajectory is not comparable across topologies
+        best_fmax=jnp.where(badj, jnp.inf, state.best_fmax),
+        stall=jnp.where(badj, 0, state.stall),
+    )
+    return state_new, merged, cfg_new, bad
 
 
 def refill_converged_internal(
@@ -925,6 +1199,8 @@ def refill_converged_internal(
         stall=jnp.where(take, 0, state.stall),
         nrestarts=jnp.where(take, 0, state.nrestarts),
         x_home=jnp.where(tk, x_new, state.x_home),
+        # refilled lanes restart on the full shared topology
+        qact=jnp.where(tk, True, state.qact),
     )
     return new_state, take
 
@@ -957,6 +1233,7 @@ def refresh_internal(state: InternalSearchState, potential, ints,
     Bm = jax.vmap(lambda x: engine._jac_impl(x.reshape(n, 3), cell))(
         state.x
     )
+    Bm = Bm * state.qact.astype(Bm.dtype)[:, :, None]
     apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
     gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, g))
     inc = 1 if mask is None else mask.astype(state.neval.dtype)
@@ -1128,38 +1405,83 @@ def run_internal_ensemble(
     mesh=None,
     seed: int = 0,
     steps_per_call: int = 1,
+    repave: bool = False,
+    repave_atol_deg: float = 0.5,
+    max_repaves_per_lane: int = 2,
 ):
     """Host loop driving the jitted batched internal step (mirror of
-    :func:`sella_tpu.parallel.ensemble.run_ensemble`)."""
+    :func:`sella_tpu.parallel.ensemble.run_ensemble`).
+
+    ``repave=True`` enables the per-lane bad-internal recovery
+    (:func:`repave_lanes`): between jitted calls, lanes whose active
+    angles hit the singular 0/180-deg window are rebuilt in-place from
+    their current geometry — the fixed-ensemble analogue of the
+    reference's mid-run rebuild (``optimize.py:384-410``). When the
+    union layout grows, the step function is rebuilt (one recompile
+    per growth event) and sharding is re-applied. With ``repave=True``
+    the return value is ``(state, ints)`` — the topology may have
+    grown, and the final ``ints`` is needed to interpret ``state.q``.
+    """
     step = make_internal_step_fn(potential, ints, cfg, cell)
 
-    def multi_step(state, key):
-        def body(i, st):
-            return step(st, jax.random.fold_in(key, i))
+    def _make_multi(step_fn):
+        def multi_step(state, key):
+            def body(i, st):
+                return step_fn(st, jax.random.fold_in(key, i))
 
-        return jax.lax.fori_loop(0, steps_per_call, body, state)
+            return jax.lax.fori_loop(0, steps_per_call, body, state)
+
+        return jax.jit(multi_step, donate_argnums=0)
 
     state = init_internal_state(potential, ints, jnp.asarray(x0), cfg,
                                 cell)
 
-    if mesh is not None:
+    def _shard(st):
+        if mesh is None:
+            return st
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        state = jax.tree.map(
+        return jax.tree.map(
             lambda a: jax.device_put(
                 a,
                 NamedSharding(
                     mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
                 ),
             ),
-            state,
+            st,
         )
 
-    multi_jit = jax.jit(multi_step, donate_argnums=0)
+    state = _shard(state)
+    multi_jit = _make_multi(step)
     key = jax.random.PRNGKey(seed)
     n_calls = (max_steps + steps_per_call - 1) // steps_per_call
+    nrepaves = np.zeros(state.x.shape[0], np.int64)
     for i in range(n_calls):
+        if repave:
+            # checked BEFORE stepping (like the reference's per-step
+            # check_for_bad_internals, ``optimize.py:384-410``): a lane
+            # that starts — or lands — inside the singular window is
+            # repaved before the next step tries to use its B matrix
+            bad = np.array(
+                bad_internals_mask(state, ints, repave_atol_deg)
+            )
+            bad &= ~np.asarray(state.converged)
+            bad &= nrepaves < max_repaves_per_lane
+            if bad.any():
+                nint_before = cfg.nint
+                state, ints, cfg, done = repave_lanes(
+                    state, ints, cfg, bad, cell,
+                    atol_deg=repave_atol_deg,
+                )
+                nrepaves[bad] += 1      # count attempts, even failed
+                if cfg.nint != nint_before:
+                    step = make_internal_step_fn(potential, ints, cfg,
+                                                 cell)
+                    multi_jit = _make_multi(step)
+                state = _shard(state)
         state = multi_jit(state, jax.random.fold_in(key, i))
         if bool(jnp.all(state.converged)):
             break
+    if repave:
+        return state, ints
     return state

@@ -1,0 +1,169 @@
+"""Per-lane bad-internal repave in the fixed batched internal tier.
+
+The reference rebuilds a structure's internals mid-run when a
+coordinate goes singular and transfers the Hessian through Cartesian
+space (driver ``/root/reference/sella/optimize/optimize.py:384-410``,
+PES ``peswrapper.py:1129-1174``). The batched tier's analogue
+(:func:`sella_tpu.parallel.ensemble_internal.repave_lanes`) rebuilds
+only the affected lane's topology inside a shared union layout with
+per-lane activity rows (``state.qact``) — the lane keeps converging
+in-place instead of being spilled or retired.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sella_tpu.coords.internals import Internals
+from sella_tpu.atoms import Atoms
+from sella_tpu.parallel.ensemble_internal import (
+    InternalEnsembleConfig,
+    bad_internals_mask,
+    init_internal_state,
+    merge_novel_internals,
+    rebuild_internals_at,
+    repave_lanes,
+    run_internal_ensemble,
+    _membership_rows,
+    _old_to_new_map,
+)
+from sella_tpu.potentials import LennardJones
+
+R0 = 2.0 ** (1.0 / 6.0)     # LJ pair minimum for sigma=eps=1
+
+
+def _tet():
+    return np.array(
+        [[0.0, 0.0, 0.0],
+         [1.0, 0.0, 0.0],
+         [0.5, np.sqrt(3.0) / 2.0, 0.0],
+         [0.5, np.sqrt(3.0) / 6.0, np.sqrt(2.0 / 3.0)]]
+    ) * R0
+
+
+def _near_linear():
+    """4 atoms: A-B-C almost collinear (179.8 deg at B), D off-axis.
+
+    Evaluated against a tetrahedron-built topology, the A-B-C angle
+    sits inside the 0.5-deg singular window -> bad-internal event."""
+    th = np.radians(0.2)
+    a = np.zeros(3)
+    b = np.array([R0, 0.0, 0.0])
+    c = b + R0 * np.array([np.cos(th), np.sin(th), 0.0])
+    d = np.array([R0, 0.75 * R0, 0.6 * R0])
+    return np.stack([a, b, c, d])
+
+
+def _base_ints():
+    at = Atoms("X4" if False else ["He"] * 4, _tet())
+    ints = Internals(at)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    return ints
+
+
+def _cfg(ints, order=0, **kw):
+    return InternalEnsembleConfig(
+        natoms=4, nint=ints.nint, order=order, fmax=1e-3,
+        gamma=0.1, eig=(order > 0), **kw,
+    )
+
+
+def test_rebuild_at_excludes_near_linear_angle():
+    ints = _base_ints()
+    lane = rebuild_internals_at(ints, _near_linear())
+    # no dummies ever (static shapes)
+    assert lane.ndummies == 0
+    # the near-linear A-B-C angle must not be discovered
+    for (i, j, k, nc) in lane.angles:
+        assert {i, j, k} != {0, 1, 2}
+
+
+def test_merge_keeps_positions_and_appends():
+    ints = _base_ints()
+    lane = rebuild_internals_at(ints, _near_linear())
+    merged, (nb, na, nd) = merge_novel_internals(ints, lane)
+    assert merged.nint == ints.nint + nb + na + nd
+    # every base entry keeps its in-kind order
+    assert merged.bonds[: ints.nbonds] == ints.bonds
+    assert merged.angles[: ints.nangles] == ints.angles
+    assert merged.dihedrals[: ints.ndihedrals] == ints.dihedrals
+    mp = _old_to_new_map(ints, merged)
+    assert mp.shape == (ints.nint,)
+    assert len(np.unique(mp)) == ints.nint
+    rows = _membership_rows(merged, lane)
+    assert rows.shape == (merged.nint,)
+
+
+def test_repave_lanes_transfers_state():
+    ints = _base_ints()
+    cfg = _cfg(ints)
+    pot = LennardJones()
+    x0 = jnp.asarray(
+        np.stack([_tet().ravel(), _near_linear().ravel()])
+    )
+    state = init_internal_state(pot, ints, x0, cfg)
+
+    bad = np.asarray(bad_internals_mask(state, ints, 0.5))
+    assert list(bad) == [False, True]
+
+    st2, ints2, cfg2, done = repave_lanes(state, ints, cfg, bad)
+    assert done[1] and not done[0]
+    assert cfg2.nint == ints2.nint >= cfg.nint
+    # lane 0 untouched: all its (mapped) rows still active
+    qact = np.asarray(st2.qact)
+    mp = _old_to_new_map(ints, ints2)
+    assert qact[0, mp].all()
+    # lane 1: the singular angle must be inactive
+    off_a = ints2.ntrans + ints2.nbonds
+    for m, (i, j, k, nc) in enumerate(ints2.angles):
+        if {i, j, k} == {0, 1, 2} and j == 1:
+            assert not qact[1, off_a + m]
+    # transferred Hessian is finite and symmetric
+    H1 = np.asarray(st2.H[1])
+    assert np.all(np.isfinite(H1))
+    np.testing.assert_allclose(H1, H1.T, atol=1e-8)
+    # the new masked B spans the full nonredundant space for lane 1
+    eng = ints2._get_engine()
+    Bn = np.asarray(
+        eng._jac_impl(np.asarray(st2.x[1]).reshape(4, 3),
+                      jnp.zeros((3, 3)))
+    ) * qact[1][:, None]
+    sv = np.linalg.svd(Bn, compute_uv=False)
+    assert int(np.sum(sv > 1e-8 * sv[0])) == cfg.nred
+
+
+@pytest.mark.parametrize("order", [0])
+def test_lane_converges_in_place_after_repave(order):
+    """The VERDICT gate: a lane whose angle is singular mid-run is
+    repaved and still converges in-place (not spilled/retired)."""
+    ints = _base_ints()
+    cfg = _cfg(ints, order=order)
+    pot = LennardJones()
+    rng = np.random.RandomState(0)
+    lanes = [
+        _tet().ravel() + 0.05 * rng.normal(size=12),
+        _near_linear().ravel(),
+        _tet().ravel() + 0.05 * rng.normal(size=12),
+    ]
+    x0 = jnp.asarray(np.stack(lanes))
+
+    state, ints2 = run_internal_ensemble(
+        pot, ints, x0, cfg, max_steps=150, repave=True,
+    )
+    conv = np.asarray(state.converged)
+    assert conv.all(), (conv, np.asarray(state.nsteps))
+    # the repave actually happened: the near-linear lane runs on a
+    # reduced/rebuilt row set
+    qact = np.asarray(state.qact)
+    assert not qact[1].all()
+    # and it landed at a genuine LJ4 stationary point: per-atom
+    # projected forces below fmax
+    import jax
+
+    g = jax.grad(pot.energy)(state.x[1], jnp.zeros((3, 3)))
+    fnorm = np.linalg.norm(np.asarray(g).reshape(4, 3), axis=1)
+    # raw gradient bound is loose (rigid modes excluded in-run); the
+    # cluster's full gradient still sits near zero at a minimum
+    assert fnorm.max() < 5e-3, fnorm
