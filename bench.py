@@ -495,6 +495,9 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
     cfg = EnsembleConfig(
         natoms=4, order=1, fmax=1e-3, gamma=1e-3,
         diag_budget=max(batch // 8, 1), restart_after=30,
+        # converged means a GENUINE index-1 point: the inertia gate
+        # blocks flat dissociated plateaus from inflating the count
+        conv_inertia=True,
     )
     fns = make_queue_fns(pot, cfg, refill_every=10)
     # warmup batch: compiles step/refill/refresh/snapshot — untimed

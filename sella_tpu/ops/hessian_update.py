@@ -76,10 +76,13 @@ def bootstrap_scaled_identity(
 
 
 # -- individual multi-secant update deltas (each returns Bplus - B) ---------
+# All K x K subproblem solves go through the SVD-based ``lstsq`` rather
+# than ``jnp.linalg.solve``: XLA lowers the latter to an LU
+# decomposition that TPU implements only for f32/c64, so LU would pin
+# the eager update family to the host. lstsq is TPU-resident for f64
+# and additionally tolerates rank-deficient secant sets.
 def _ms_bfgs(B, S, Y):
-    return Y @ jnp.linalg.solve(Y.T @ S, Y.T) - B @ S @ jnp.linalg.solve(
-        S.T @ B @ S, S.T @ B
-    )
+    return Y @ lstsq(Y.T @ S, Y.T) - B @ S @ lstsq(S.T @ B @ S, S.T @ B)
 
 
 def _ms_ts_bfgs(B, S, Y, lams, vecs):
@@ -97,27 +100,27 @@ def _ms_ts_bfgs(B, S, Y, lams, vecs):
 
 def _ms_psb(B, S, Y):
     J = Y - B @ S
-    U = jnp.linalg.solve(S.T @ S, S.T).T
+    U = lstsq(S.T @ S, S.T).T
     UJT = U @ J.T
     return (UJT + UJT.T) - U @ (J.T @ S) @ U.T
 
 
 def _ms_dfp(B, S, Y):
     J = Y - B @ S
-    U = jnp.linalg.solve(S.T @ Y, Y.T).T
+    U = lstsq(S.T @ Y, Y.T).T
     UJT = U @ J.T
     return (UJT + UJT.T) - U @ (J.T @ S) @ U.T
 
 
 def _ms_sr1(B, S, Y):
     YBS = Y - B @ S
-    return YBS @ jnp.linalg.solve(YBS.T @ S, YBS.T)
+    return YBS @ lstsq(YBS.T @ S, YBS.T)
 
 
 def _ms_greenstadt(B, S, Y):
     J = Y - B @ S
     MS = B @ S
-    U = jnp.linalg.solve(S.T @ MS, MS.T).T
+    U = lstsq(S.T @ MS, MS.T).T
     UJT = U @ J.T
     return (UJT + UJT.T) - U @ (J.T @ S) @ U.T
 
@@ -160,15 +163,23 @@ def update_H(
 
     if method == "BFGS_auto":
         # Use BFGS only when both B and S^T Ytilde are positive definite
-        # (``hessian_update.py:80-87``). Eager-only branch: the decision
-        # is data-dependent.
-        if lams is None:
-            lams = jnp.linalg.eigvalsh(B)
-        method = "TS-BFGS"
-        if bool(jnp.all(lams > 0)):
-            lams_sty, _ = eigh_gen(sym(S.T @ Ytilde), sym(S.T @ S))
-            if bool(jnp.all(lams_sty > 0)):
-                method = "BFGS"
+        # (``hessian_update.py:80-87``). The decision is data-dependent,
+        # so it is implemented as a traceable select — both deltas are
+        # computed and ``jnp.where`` picks — making the reference's
+        # recommended minimization default usable under jit/vmap (the
+        # reference's Python branch is eager-only). The matrices are
+        # tiny (nsecant ≤ subspace size), so the double compute is
+        # noise next to one batched eigh.
+        if lams is None or vecs is None:
+            lams, vecs = jnp.linalg.eigh(B)
+        lams_sty, _ = eigh_gen(sym(S.T @ Ytilde), sym(S.T @ S))
+        use_bfgs = jnp.all(lams > 0) & jnp.all(lams_sty > 0)
+        d_ts = _ms_ts_bfgs(B, S, Ytilde, lams, vecs)
+        d_bfgs = _ms_bfgs(B, S, Ytilde)
+        # NaNs/infs from the (unselected) BFGS solve on an indefinite
+        # system must not leak through the select
+        d_bfgs = jnp.where(jnp.isfinite(d_bfgs), d_bfgs, 0.0)
+        return sym(B + jnp.where(use_bfgs, d_bfgs, d_ts))
 
     if method == "TS-BFGS":
         if lams is None or vecs is None:

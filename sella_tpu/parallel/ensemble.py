@@ -105,6 +105,21 @@ class EnsembleConfig(NamedTuple):
     #   convergence statistics on the bench configs). The metric
     #   weights the multi-secant update; it does not need eigh-exact
     #   small eigenvalues.
+    conv_inertia: bool = False     # gate convergence on the projected
+    #   quasi-Newton inertia matching ``order`` (exactly `order`
+    #   negative eigenvalues; > 0 leftmost for minimizations). The
+    #   reference's convergence test is force-only
+    #   (``optimize.py:445-455``), which accepts flat DISSOCIATED
+    #   configurations (observed on LJ4: a detached atom leaves fmax
+    #   below threshold on an index-!=order plateau). The inertia comes
+    #   from the P-RFO prep eigendecomposition the step already
+    #   computes, so the gate is free; a gated lane keeps stepping and
+    #   eventually takes a stagnation restart. Off by default to keep
+    #   step-for-step parity with the reference semantics.
+    update: str = "TS-BFGS"        # quasi-Newton update family:
+    #   "TS-BFGS" (reference saddle default), "BFGS", or "BFGS_auto"
+    #   (reference minimization default, ``hessian_update.py:80-87``)
+    #   — per-lane traceable dispatch, see quasi_newton_update_batched
     eval_chunk: int = 0            # lanes per potential-eval chunk
     #   (0 = whole batch at once). Large ensembles of many-atom periodic
     #   potentials (EMT slab at 4096 lanes) exceed HBM if the vmapped
@@ -334,6 +349,85 @@ def ts_bfgs_update_batched(
     )
     Bp = B + delta
     return 0.5 * (Bp + jnp.swapaxes(Bp, -1, -2))
+
+
+def bfgs_update_batched(
+    B: jnp.ndarray, S: jnp.ndarray, Y: jnp.ndarray, mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched multi-secant plain BFGS (``hessian_update.py:114``):
+    ``B+ = B + Y (Y^T S)^+ Y^T - B S (S^T B S)^+ S^T B`` with inactive
+    secant columns zeroed (they fall out as rank deficiency in the
+    pseudo-inverse solves). ``Y^T S`` is symmetrized — the Ritz-rotated
+    probes the diag path feeds in satisfy the multi-secant condition
+    only approximately."""
+    mask_f = mask.astype(B.dtype)
+    S = S * mask_f[:, None, :]
+    Y = Y * mask_f[:, None, :]
+    YTS = jnp.einsum("bdi,bdj->bij", Y, S)
+    YTS = 0.5 * (YTS + jnp.swapaxes(YTS, -1, -2))
+    t1 = jnp.einsum("bdi,bij,bej->bde", Y, _sym_pinv(YTS), Y)
+    BS = jnp.einsum("bij,bjk->bik", B, S)
+    STBS = jnp.einsum("bdi,bdj->bij", S, BS)
+    STBS = 0.5 * (STBS + jnp.swapaxes(STBS, -1, -2))
+    t2 = jnp.einsum("bdi,bij,bej->bde", BS, _sym_pinv(STBS), BS)
+    Bp = B + t1 - t2
+    return 0.5 * (Bp + jnp.swapaxes(Bp, -1, -2))
+
+
+def _pd_mask(A: jnp.ndarray) -> jnp.ndarray:
+    """(B,) bool — is each (symmetric) matrix positive definite?
+    Cholesky-based: NaNs in the factor mean an indefinite pivot. Much
+    cheaper than a batched eigh, which is the point — BFGS_auto must
+    not reintroduce the eigh the ``absb="ns"`` path removed."""
+    L = jnp.linalg.cholesky(A)
+    return jnp.all(jnp.isfinite(L), axis=(-2, -1))
+
+
+def quasi_newton_update_batched(
+    B: jnp.ndarray, S: jnp.ndarray, Y: jnp.ndarray, mask: jnp.ndarray,
+    f32: bool = False, absb: str = "eigh", method: str = "TS-BFGS",
+) -> jnp.ndarray:
+    """Batched quasi-Newton update dispatch (``EnsembleConfig.update``).
+
+    ``TS-BFGS`` (default, the reference's saddle recommendation),
+    ``BFGS``, or ``BFGS_auto`` — the reference's recommended
+    *minimization* default (``hessian_update.py:80-87``): plain BFGS
+    whenever both B and the secant overlap ``S^T Y`` (in the ``S^T S``
+    metric) are positive definite on a lane, TS-BFGS otherwise. The
+    reference's dispatch is an eager Python branch; here it is a
+    per-lane traceable select, so heterogeneous ensembles mix both
+    updates inside one jitted step."""
+    if method == "TS-BFGS":
+        return ts_bfgs_update_batched(B, S, Y, mask, f32, absb)
+    if method == "BFGS":
+        return bfgs_update_batched(B, S, Y, mask)
+    if method != "BFGS_auto":
+        raise ValueError(f"Unknown batched update method {method}")
+    mask_f = mask.astype(B.dtype)
+    Sm = S * mask_f[:, None, :]
+    Ym = Y * mask_f[:, None, :]
+    K = S.shape[-1]
+    pad = jnp.eye(K, dtype=B.dtype)[None] * (1.0 - mask_f)[:, None, :]
+    STY = jnp.einsum("bdi,bdj->bij", Sm, Ym)
+    STY = 0.5 * (STY + jnp.swapaxes(STY, -1, -2)) + pad
+    STS = jnp.einsum("bdi,bdj->bij", Sm, Sm) + pad
+    # lam(STY, STS) > 0 <=> whitened STY is PD; STS is PD after the
+    # inactive-column identity padding
+    Ls = jnp.linalg.cholesky(STS)
+    Li = _btrisolve_lower(
+        Ls, jnp.broadcast_to(jnp.eye(K, dtype=B.dtype), Ls.shape)
+    )
+    W = jnp.einsum("bij,bjk,blk->bil", Li, STY, Li)
+    use_bfgs = _pd_mask(B) & _pd_mask(0.5 * (W + jnp.swapaxes(W, -1, -2)))
+    B_bf = bfgs_update_batched(B, S, Y, mask)
+    B_bf = jnp.where(jnp.isfinite(B_bf), B_bf, 0.0)
+    B_ts = ts_bfgs_update_batched(B, S, Y, mask, f32, absb)
+    return jnp.where(use_bfgs[:, None, None], B_bf, B_ts)
+
+
+def _btrisolve_lower(L: jnp.ndarray, Bv: jnp.ndarray) -> jnp.ndarray:
+    """Batched lower-triangular solve L X = Bv."""
+    return jax.scipy.linalg.solve_triangular(L, Bv, lower=True)
 
 
 def eigh_maybe_f32(A: jnp.ndarray, f32: bool = False):
@@ -843,9 +937,10 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
 
     B_boot = bootstrap_B_batched(S_full, YFr, mask, cfg.dim)
     B_base = jnp.where(B_init[:, None, None], B, B_boot)
-    B_new = ts_bfgs_update_batched(B_base, S_full, YFr, mask,
-                                   getattr(cfg, 'eigh_f32', False),
-                                   getattr(cfg, 'absb', 'eigh'))
+    B_new = quasi_newton_update_batched(
+        B_base, S_full, YFr, mask,
+        getattr(cfg, 'eigh_f32', False), getattr(cfg, 'absb', 'eigh'),
+        getattr(cfg, 'update', 'TS-BFGS'))
     B_out = jnp.where(active[:, None, None], B_new, B)
     return B_out, B_init | active, k
 
@@ -1089,6 +1184,11 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         cell = jnp.zeros((3, 3))
 
     eval_fn = _batched_eval(potential, cell, cfg.eval_chunk)
+    hvp_audit = (
+        _batched_hvp_full(potential, cell, cfg.eval_chunk)
+        if getattr(cfg, "conv_inertia", False) and cfg.order > 0
+        else None
+    )
     if constraints is None and cfg.ncons > 0:
         raise ValueError(
             f"cfg.ncons == {cfg.ncons} but no constraints function given"
@@ -1247,6 +1347,19 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         prep = prfo_prepare_batched(g_free, Hproj, cfg.order,
                                     cfg.eigh_f32, cfg.prfo_eigh)
 
+        # ---- inertia gate for convergence (see conv_inertia) ----
+        if getattr(cfg, "conv_inertia", False):
+            lams_c = prep[0]
+            if cfg.order > 0:
+                bad_i = jnp.any(lams_c[:, : cfg.order] > 0, axis=1)
+                if cfg.order < cfg_w.nfree:
+                    bad_i = bad_i | (lams_c[:, cfg.order] < 0)
+            else:
+                bad_i = lams_c[:, 0] < 0
+            inertia_ok = ~bad_i
+        else:
+            inertia_ok = None
+
         # ---- trust-region step ----
         s_full, smag = restricted_step_batched(
             g_free, Hproj, Ufree, state.delta, cfg_w, prep=prep
@@ -1340,8 +1453,9 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         m1 = (jnp.linalg.norm(s_full, axis=1) > 1e-8)[:, None]
         B_boot = bootstrap_B_batched(S1, Y1, m1, cfg.dim)
         B_base = jnp.where(B_init1[:, None, None], B1, B_boot)
-        B2 = ts_bfgs_update_batched(B_base, S1, Y1, m1 & act[:, None],
-                                    cfg.eigh_f32, cfg.absb)
+        B2 = quasi_newton_update_batched(
+            B_base, S1, Y1, m1 & act[:, None],
+            cfg.eigh_f32, cfg.absb, getattr(cfg, 'update', 'TS-BFGS'))
         B2 = jnp.where((act & m1[:, 0])[:, None, None], B2, B1)
         B_init2 = B_init1 | (act & m1[:, 0])
 
@@ -1417,6 +1531,32 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             conv_now = conv_now & (
                 jnp.max(jnp.abs(c_new), axis=1) < cfg.ctol
             )
+        if inertia_ok is not None:
+            conv_now = conv_now & inertia_ok
+        if hvp_audit is not None:
+            # True-curvature audit (the part the quasi-Newton B cannot
+            # give): at a genuine index-1 point the curvature along the
+            # claimed leftmost mode is strongly negative; at a flat
+            # dissociated plateau the stale mode measures either ~0 or
+            # a large POSITIVE bound-cluster curvature. One exact HVP,
+            # run only on steps where some lane newly satisfies the
+            # force criterion.
+            newly = act & conv_now
+            v_free0 = prep[1][:, :, 0]
+            v_aud = jnp.einsum("bij,bj->bi", Ufree, v_free0)
+
+            def _audit(_):
+                Hv = hvp_audit(x_new, v_aud)
+                return jnp.einsum("bi,bi->b", v_aud, Hv)
+
+            c_aud = jax.lax.cond(
+                jnp.any(newly), _audit,
+                lambda _: jnp.full(Bsz, -jnp.inf, x_new.dtype), None,
+            )
+            conv_now = conv_now & (
+                c_aud < -getattr(cfg, "conv_curv_min", 1e-3)
+            )
+            nmv = nmv + newly.astype(jnp.int32)
         conv_new = state.converged | (act & conv_now)
 
         # ---- stagnation restart (no reference analog; see config) ----

@@ -124,10 +124,13 @@ def test_ensemble_ns_metric_converges():
         (tet[None] + 0.08 * rng.normal(size=(8, 4, 3))).reshape(8, 12)
     )
     pot = LennardJones()
+    # conv_inertia: without the gate, one seed-dependent lane can
+    # "converge" on a flat dissociated plateau (fmax-only criterion);
+    # the gate blocks that and the home-anchored restart rescues it
     st = run_ensemble(
         pot, x0,
         EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3,
-                       restart_after=50, absb="ns"),
+                       restart_after=50, absb="ns", conv_inertia=True),
         max_steps=300,
     )
     conv = np.asarray(st.converged)
