@@ -105,6 +105,12 @@ class CellSearchState(NamedTuple):
     nsteps: jnp.ndarray
     neval: jnp.ndarray
     nmatvec: jnp.ndarray
+    cell0: jnp.ndarray        # (B, 3, 3) per-lane base cell — the
+    #   log-deformation reference. Constant between rebase events;
+    #   :func:`niggli_rebase_cell_lanes` replaces a skewed lane's base
+    #   with a reduced lattice basis and zeroes its cell params (the
+    #   batched analogue of the sequential ``maybe_niggli_reduce``,
+    #   reference ``optimize.py:437-440`` + ``peswrapper.py:2511-2555``)
 
 
 def _const_free_basis(natoms: int, ncell: int, nproj: int) -> np.ndarray:
@@ -122,11 +128,15 @@ def _const_free_basis(natoms: int, ncell: int, nproj: int) -> np.ndarray:
     return Q[:, 3:]
 
 
-def make_ext_energy(potential, cfg: CellEnsembleConfig,
-                    cell0: jnp.ndarray, cell_mask: np.ndarray):
-    """The differentiable extended objective z -> E + PV (one scalar;
-    gradients give forces and the cell gradient simultaneously —
-    the TPU-native collapse of ``peswrapper.py:2752-2819``)."""
+def make_ext_energy_c0(potential, cfg: CellEnsembleConfig,
+                       cell_mask: np.ndarray):
+    """The differentiable extended objective (z, cell0) -> E + PV with
+    the base cell as a per-call argument: each lane carries its OWN
+    base cell (``CellSearchState.cell0``), which is what makes the
+    per-lane Niggli rebase (:func:`niggli_rebase_cell_lanes`) and
+    heterogeneous base cells possible inside one compiled program.
+    Gradients w.r.t. z give forces and the cell gradient simultaneously
+    — the TPU-native collapse of ``peswrapper.py:2752-2819``."""
     if not getattr(potential, "has_stress", True):
         raise ValueError(
             "this host potential has no stress source: cell DOF "
@@ -145,15 +155,14 @@ def make_ext_energy(potential, cfg: CellEnsembleConfig,
             f"cfg.ncell={cfg.ncell}"
         )
     pressure = cfg.scalar_pressure
-    cell0 = jnp.asarray(cell0)
 
-    def cell_of(s):
+    def cell_of(s, cell0):
         L = jnp.zeros(9, s.dtype).at[mask_flat].set(s).reshape(3, 3)
         return expm(L / factor) @ cell0
 
-    def ext_energy(z):
+    def ext_energy(z, cell0):
         x, s = z[:nr3], z[nr3:]
-        cell = cell_of(s)
+        cell = cell_of(s, cell0)
         e = potential.energy(x, cell)
         if pressure != 0.0:
             e = e + pressure * jnp.abs(jnp.linalg.det(cell))
@@ -162,22 +171,39 @@ def make_ext_energy(potential, cfg: CellEnsembleConfig,
     return ext_energy, cell_of
 
 
+def make_ext_energy(potential, cfg: CellEnsembleConfig,
+                    cell0: jnp.ndarray, cell_mask: np.ndarray):
+    """Back-compat wrapper of :func:`make_ext_energy_c0` with the base
+    cell closed over (one shared base cell)."""
+    e2, c2 = make_ext_energy_c0(potential, cfg, cell_mask)
+    cell0 = jnp.asarray(cell0)
+    return (lambda z: e2(z, cell0)), (lambda s: c2(s, cell0))
+
+
 def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
-                      cell0, cell_mask: Optional[np.ndarray] = None):
-    """Build the jittable batched atom+cell RS-(P-)RFO step."""
+                      cell0=None, cell_mask: Optional[np.ndarray] = None):
+    """Build the jittable batched atom+cell RS-(P-)RFO step.
+
+    ``cell0`` is accepted for back-compat but unused: since the
+    per-lane Niggli rebase, the base cell lives in the state
+    (``CellSearchState.cell0``), so one compiled step serves every
+    (possibly per-lane-rebased) base cell without recompiling."""
+    del cell0
     if cell_mask is None:
         cell_mask = np.ones((3, 3), dtype=bool)
-    ext_energy, _ = make_ext_energy(potential, cfg, cell0, cell_mask)
+    ext_energy, _ = make_ext_energy_c0(potential, cfg, cell_mask)
     nr3 = 3 * cfg.natoms
     n = cfg.natoms
 
-    batch_eval = jax.vmap(jax.value_and_grad(ext_energy))
+    batch_eval = jax.vmap(jax.value_and_grad(ext_energy, argnums=0))
 
-    def batch_hvp(z, u):
-        def one(z1, u1):
-            return jax.jvp(jax.grad(ext_energy), (z1,), (u1,))[1]
+    def batch_hvp(z, u, c0):
+        def one(z1, u1, c01):
+            return jax.jvp(
+                lambda zz: jax.grad(ext_energy)(zz, c01), (z1,), (u1,)
+            )[1]
 
-        return jax.vmap(one)(z, u)
+        return jax.vmap(one)(z, u, c0)
 
     Ufree_np = _const_free_basis(cfg.natoms, cfg.ncell, cfg.nproj)
     Ufree = jnp.asarray(Ufree_np)               # (dim, nfree) constant
@@ -190,13 +216,13 @@ def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
     def to_full(v):                              # (B, nfree) -> (B, dim)
         return v @ Ufree.T
 
-    def davidson_absorb(z, g, H, active, key):
+    def davidson_absorb(z, g, H, active, key, c0):
         """Batched Davidson with exact extended-objective HVPs; every
         probe absorbed into H (TS-BFGS, ``peswrapper.py:508-556``)."""
 
         def hvp_free(v_free):
             u = to_full(v_free)
-            w = batch_hvp(z, u)
+            w = batch_hvp(z, u, c0)
             return to_free(w), w
 
         P = jnp.einsum("ij,bjk,kl->bil", Ufree.T, H, Ufree)
@@ -242,7 +268,7 @@ def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
         def run_diag(_):
             return davidson_absorb(
                 state.z, state.g, state.H, ev,
-                jax.random.fold_in(key, 0),
+                jax.random.fold_in(key, 0), state.cell0,
             )
 
         def skip_diag(_):
@@ -264,7 +290,7 @@ def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
         dz = jnp.where(act[:, None], dz, 0.0)
 
         z_new = state.z + dz
-        f_new, g_new = batch_eval(z_new)
+        f_new, g_new = batch_eval(z_new, state.cell0)
         neval = state.neval + act.astype(jnp.int32)
 
         # ---- trust ratio ----
@@ -326,6 +352,7 @@ def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
             nsteps=state.nsteps + act.astype(jnp.int32),
             neval=neval,
             nmatvec=nmv,
+            cell0=state.cell0,
         )
 
     return step
@@ -343,15 +370,18 @@ def init_cell_state(
     block, identity on the cell block (``peswrapper.py:2470-2509``)."""
     if cell_mask is None:
         cell_mask = np.ones((3, 3), dtype=bool)
-    ext_energy, _ = make_ext_energy(potential, cfg, cell0, cell_mask)
+    ext_energy, _ = make_ext_energy_c0(potential, cfg, cell_mask)
     x0 = jnp.asarray(x0)
     Bsz = x0.shape[0]
     dtype = x0.dtype
     if s0 is None:
         s0 = jnp.zeros((Bsz, cfg.ncell), dtype)
     z0 = jnp.concatenate([x0, jnp.asarray(s0, dtype)], axis=1)
+    cell0 = jnp.asarray(cell0, dtype)
+    if cell0.ndim == 2:                  # one shared base cell
+        cell0 = jnp.broadcast_to(cell0[None], (Bsz, 3, 3))
 
-    f, g = jax.vmap(jax.value_and_grad(ext_energy))(z0)
+    f, g = jax.vmap(jax.value_and_grad(ext_energy, argnums=0))(z0, cell0)
 
     H0 = np.zeros((cfg.dim, cfg.dim))
     H0[: 3 * cfg.natoms, : 3 * cfg.natoms] = 70.0 * np.eye(3 * cfg.natoms)
@@ -370,18 +400,20 @@ def init_cell_state(
         nsteps=jnp.zeros(Bsz, jnp.int32),
         neval=jnp.ones(Bsz, jnp.int32),
         nmatvec=jnp.zeros(Bsz, jnp.int32),
+        cell0=cell0,
     )
 
 
-def cells_of(state: CellSearchState, cfg: CellEnsembleConfig, cell0,
+def cells_of(state: CellSearchState, cfg: CellEnsembleConfig, cell0=None,
              cell_mask: Optional[np.ndarray] = None) -> jnp.ndarray:
-    """Per-lane 3x3 cells realized from the state's cell parameters."""
+    """Per-lane 3x3 cells realized from the state's cell parameters.
+    ``cell0`` is accepted for back-compat but ignored — the base cells
+    live in ``state.cell0``."""
+    del cell0
     if cell_mask is None:
         cell_mask = np.ones((3, 3), dtype=bool)
-    _, cell_of = make_ext_energy(
-        _NullPotential(), cfg, cell0, cell_mask
-    )
-    return jax.vmap(cell_of)(state.z[:, 3 * cfg.natoms:])
+    _, cell_of = make_ext_energy_c0(_NullPotential(), cfg, cell_mask)
+    return jax.vmap(cell_of)(state.z[:, 3 * cfg.natoms:], state.cell0)
 
 
 class _NullPotential:
@@ -400,9 +432,16 @@ def run_cell_ensemble(
     mesh=None,
     seed: int = 0,
     steps_per_call: int = 1,
+    niggli: bool = False,
+    niggli_angle: float = 30.0,
 ) -> CellSearchState:
     """Host loop driving the jitted batched atom+cell step (mirror of
-    :func:`sella_tpu.parallel.ensemble.run_ensemble`)."""
+    :func:`sella_tpu.parallel.ensemble.run_ensemble`).
+
+    ``niggli=True`` checks every lane's realized cell between jitted
+    chunks and rebases skewed lanes onto a reduced lattice basis
+    (:func:`niggli_rebase_cell_lanes`) — no recompilation, the base
+    cell is per-lane state."""
     step = make_cell_step_fn(potential, cfg, cell0, cell_mask)
 
     def multi_step(state, key):
@@ -417,15 +456,21 @@ def run_cell_ensemble(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        state = jax.tree.map(
-            lambda a: jax.device_put(
-                a,
-                NamedSharding(
-                    mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+        def _shard(st):
+            return jax.tree.map(
+                lambda a: jax.device_put(
+                    a,
+                    NamedSharding(
+                        mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+                    ),
                 ),
-            ),
-            state,
-        )
+                st,
+            )
+
+        state = _shard(state)
+    else:
+        def _shard(st):
+            return st
 
     multi_jit = jax.jit(multi_step, donate_argnums=0)
     key = jax.random.PRNGKey(seed)
@@ -434,6 +479,12 @@ def run_cell_ensemble(
         state = multi_jit(state, jax.random.fold_in(key, i))
         if bool(jnp.all(state.converged)):
             break
+        if niggli:
+            state, hit = niggli_rebase_cell_lanes(
+                state, cfg, cell_mask, niggli_angle, potential
+            )
+            if hit.any():
+                state = _shard(state)
     return state
 
 
@@ -465,22 +516,150 @@ def refill_converged_cell(
         nsteps=jnp.where(take, 0, state.nsteps),
         neval=jnp.where(take, 0, state.neval),
         nmatvec=jnp.where(take, 0, state.nmatvec),
+        cell0=state.cell0,
     )
     return new_state, take
 
 
 def refresh_cell(state: CellSearchState, potential,
-                 cfg: CellEnsembleConfig, cell0,
+                 cfg: CellEnsembleConfig, cell0=None,
                  cell_mask: Optional[np.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None) -> CellSearchState:
     """Recompute (f, g) for all lanes — call once after refill; only
-    ``mask`` lanes' neval counters advance."""
+    ``mask`` lanes' neval counters advance. ``cell0`` is accepted for
+    back-compat but ignored (base cells live in ``state.cell0``)."""
+    del cell0
     if cell_mask is None:
         cell_mask = np.ones((3, 3), dtype=bool)
-    ext_energy, _ = make_ext_energy(potential, cfg, cell0, cell_mask)
-    f, g = jax.vmap(jax.value_and_grad(ext_energy))(state.z)
+    ext_energy, _ = make_ext_energy_c0(potential, cfg, cell_mask)
+    f, g = jax.vmap(jax.value_and_grad(ext_energy, argnums=0))(
+        state.z, state.cell0
+    )
     inc = 1 if mask is None else mask.astype(state.neval.dtype)
     return state._replace(f=f, g=g, neval=state.neval + inc)
+
+
+def niggli_rebase_cell_lanes(
+    state: CellSearchState, cfg: CellEnsembleConfig,
+    cell_mask: Optional[np.ndarray] = None,
+    angle_threshold: float = 30.0,
+    potential=None,
+):
+    """Per-lane cell rebase for the batched atom+cell tier — the
+    batched analogue of the sequential ``maybe_niggli_reduce``
+    (``pes/cell.py``; reference driver trigger ``optimize.py:437-440``,
+    transform ``peswrapper.py:151-211, 2511-2555``).
+
+    Host-side event (call between jitted step chunks, like the
+    internal tier's repave): for every unconverged lane whose realized
+    cell has an angle more than ``angle_threshold`` degrees from 90,
+
+    1. reduce the lattice basis (``utils.lattice.reduce_cell_basis``
+       — same lattice, compact representation),
+    2. reset the lane's base cell (``state.cell0``) to the reduced
+       cell and its log-deformation params to zero (Cartesian
+       positions stay untouched — see the in-body note),
+    3. transform the Hessian cell blocks by
+       ``T = J_old^{-1} (M^{-1} ⊗ I) J_new`` (parameterization
+       Jacobians by autodiff through expm; the unimodular M maps
+       same-lattice cell-matrix perturbations between the two
+       representations).
+
+    No recompile: the base cell is per-lane state, so the same
+    compiled step keeps running. With ``potential`` given, (f, g) of
+    the rebased lanes are re-evaluated (physically identical point —
+    the fresh values only refresh the gradient's parameterization).
+
+    Returns ``(state', rebased_mask)``.
+    """
+    from ..pes.cell import _cell_param_jacobian
+    from ..utils.lattice import reduce_cell_basis
+
+    if cell_mask is None:
+        cell_mask = np.ones((3, 3), dtype=bool)
+    midx = np.where(np.asarray(cell_mask, bool).ravel())[0]
+    factor = (cfg.exp_cell_factor if cfg.exp_cell_factor > 0
+              else float(cfg.natoms))
+    nr3 = 3 * cfg.natoms
+
+    zs = np.asarray(state.z).copy()
+    c0 = np.asarray(state.cell0).copy()
+    H = np.asarray(state.H).copy()
+    conv = np.asarray(state.converged)
+    Bsz = zs.shape[0]
+    rebased = np.zeros(Bsz, bool)
+
+    def _angle_dev(cell):
+        devs = []
+        for i, j in ((0, 1), (0, 2), (1, 2)):
+            c = cell[i] @ cell[j] / (
+                np.linalg.norm(cell[i]) * np.linalg.norm(cell[j])
+            )
+            devs.append(
+                abs(np.degrees(np.arccos(np.clip(c, -1, 1))) - 90.0)
+            )
+        return max(devs)
+
+    from scipy.linalg import expm as _sexpm
+
+    for lane in range(Bsz):
+        if conv[lane]:
+            continue
+        L = np.zeros(9)
+        L[midx] = zs[lane, nr3:]
+        L = L.reshape(3, 3)
+        cell = _sexpm(L / factor) @ c0[lane]
+        if _angle_dev(cell) <= angle_threshold:
+            continue
+        new_cell, M = reduce_cell_basis(cell)
+        if _angle_dev(new_cell) >= _angle_dev(cell) - 1e-9:
+            continue                     # reduction gained nothing
+
+        # Positions are NOT wrapped into the reduced cell (unlike the
+        # sequential tier, which mirrors ASE's user-visible
+        # convention): wrapping shifts atoms by lattice vectors, which
+        # changes the "fixed Cartesian position under cell
+        # perturbation" chart and makes the Hessian/gradient transform
+        # below only approximate (measured O(1) error on wrapped
+        # atoms' image terms). Leaving Cartesian positions untouched
+        # keeps the chart change EXACT (pinned to 1e-14 in
+        # tests/test_cell_niggli_batched.py); a PBC potential is
+        # indifferent to atoms sitting outside the cell.
+
+        # Hessian transform dL_old = T dL_new for the SAME physical
+        # lattice perturbation: new-rep generators relate to old by
+        # the unimodular M (new_cell = M @ cell), so equivalent cell-
+        # matrix perturbations satisfy dC_old = M^{-1} dC_new, giving
+        # T = J_old^{-1} (M^{-1} ⊗ I) J_new. NOTE the reference
+        # (``peswrapper.py:151-211``) drops the M^{-1} factor — its
+        # transform maps gradients/Hessians with O(1) error whenever
+        # the reduction is nontrivial (verified numerically:
+        # tests/test_cell_niggli_batched.py pins the exact chain rule
+        # to 1e-14); this is a deliberate fix, not a port.
+        J_old = _cell_param_jacobian(L, c0[lane], factor)
+        J_new = _cell_param_jacobian(np.zeros((3, 3)), new_cell, factor)
+        K = np.kron(np.linalg.inv(M), np.eye(3))
+        T = np.linalg.solve(J_old, K @ J_new)[np.ix_(midx, midx)]
+        H[lane, nr3:, nr3:] = T.T @ H[lane, nr3:, nr3:] @ T
+        H[lane, :nr3, nr3:] = H[lane, :nr3, nr3:] @ T
+        H[lane, nr3:, :nr3] = T.T @ H[lane, nr3:, :nr3]
+
+        zs[lane, nr3:] = 0.0
+        c0[lane] = new_cell
+        rebased[lane] = True
+
+    if not rebased.any():
+        return state, rebased
+
+    state = state._replace(
+        z=jnp.asarray(zs), cell0=jnp.asarray(c0), H=jnp.asarray(H)
+    )
+    if potential is not None:
+        state = refresh_cell(
+            state, potential, cfg, cell_mask=cell_mask,
+            mask=jnp.asarray(rebased),
+        )
+    return state, rebased
 
 
 def run_cell_ensemble_queue(

@@ -384,11 +384,19 @@ class CellCartesianPES(PES):
         self.atoms.positions = frac @ new_cell
         self.atoms.cell = new_cell
 
-        # new parameterization Jacobian at L = 0 about the new cell
+        # new parameterization Jacobian at L = 0 about the new cell.
+        # Same-lattice perturbations of the two representations relate
+        # by dC_old = M^{-1} dC_new (new_cell = M @ cell, unimodular),
+        # hence the (M^{-1} ⊗ I) factor. The reference
+        # (``peswrapper.py:151-211``) drops that factor — an O(1)
+        # transform error whenever the reduction is nontrivial
+        # (deliberate fix; exact chain rule pinned to 1e-14 in
+        # tests/test_cell_niggli_batched.py).
         J_new = _cell_param_jacobian(
             np.zeros((3, 3)), new_cell, self.exp_cell_factor
         )
-        T_full = np.linalg.solve(J_old, J_new)
+        K = np.kron(np.linalg.inv(M), np.eye(3))
+        T_full = np.linalg.solve(J_old, K @ J_new)
         midx = np.where(self.cell_mask.ravel())[0]
         T = T_full[np.ix_(midx, midx)]
 
@@ -1091,10 +1099,12 @@ class CellInternalPES:
         self.atoms.cell = new_cell
         self.int.rebase_cell(Minv)
 
+        # (M^{-1} ⊗ I) factor: see CellCartesianPES.maybe_niggli_reduce
         J_new = _cell_param_jacobian(
             np.zeros((3, 3)), new_cell, self.exp_cell_factor
         )
-        T_full = np.linalg.solve(J_old, J_new)
+        K = np.kron(np.linalg.inv(M), np.eye(3))
+        T_full = np.linalg.solve(J_old, K @ J_new)
         midx = np.where(self.cell_mask.ravel())[0]
         T = T_full[np.ix_(midx, midx)]
 

@@ -388,14 +388,24 @@ def test_niggli_reduction_internal():
     # force convergence of this MIC-rough skewed start takes ~1000
     # steps — the rebase mechanics, not the LJ tail, are under test)
     e_start = pes.get_f()
-    opt.run(fmax=8e-3, steps=150)
+    opt.run(fmax=8e-3, steps=220)
     assert pes.get_f() < -1.5 < e_start
-    c = atoms.cell
+    # The rebase mechanism guarantees the cell never wanders past the
+    # 30-deg trigger (cos 0.5) — the transient angle at an arbitrary
+    # step count is trajectory-dependent, so pin the guarantee, plus
+    # that the final basis is already reduction-stable (a fresh
+    # reduction finds nothing shorter).
+    c = np.asarray(atoms.cell)
     for i, j in ((0, 1), (0, 2), (1, 2)):
         cosang = abs(
             c[i] @ c[j] / (np.linalg.norm(c[i]) * np.linalg.norm(c[j]))
         )
-        assert cosang < 0.35, cosang
+        assert cosang < 0.5, cosang
+    from sella_tpu.utils.lattice import reduce_cell_basis
+
+    c_red, _ = reduce_cell_basis(c)
+    assert np.linalg.norm(c_red, axis=1).max() \
+        <= np.linalg.norm(c, axis=1).max() * (1 + 1e-9)
 
 
 def test_voigt_roundtrip():
