@@ -211,9 +211,14 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None):
         # them (71% -> 96% converged at 600 steps, measured batch=256)
         # eigh_f32 measured HARMFUL here: the (B, 6, 6) eighs are too
         # small to win from f32, and the cast traffic adds ~45% elapsed
+        # dmax_restart: a lane whose max pair distance exceeds 3.5
+        # (compact LJ4 stationary points stay below ~2.3) has
+        # dissociated onto flat landscape; restart it immediately
+        # instead of letting the stall counter drain first
         cfg = EnsembleConfig(
             natoms=4, order=1, fmax=fmax or 1e-3, gamma=1e-3,
             diag_budget=max(batch // 8, 1), restart_after=30,
+            dmax_restart=3.5,
         )
 
     step = make_step_fn(pot, cfg, cell)
@@ -498,6 +503,11 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
         # converged means a GENUINE index-1 point: the inertia gate
         # blocks flat dissociated plateaus from inflating the count
         conv_inertia=True,
+        # immediate dissociation restart (max pair distance > 3.5,
+        # vs <~2.3 for compact LJ4 stationary points): dissociated
+        # lanes waste their whole step budget drifting on the flat
+        # plateau before the stall counter fires
+        dmax_restart=3.5,
     )
     fns = make_queue_fns(pot, cfg, refill_every=10)
     # warmup batch: compiles step/refill/refresh/snapshot — untimed
@@ -508,7 +518,7 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
     results = run_ensemble_queue(
         pot, x0_all[batch:], cfg, batch,
         max_steps_per_search=max_steps_per_search, refill_every=10,
-        fns=fns, max_retries=3, retry_kick=0.3,
+        fns=fns, max_retries=3, retry_kick=0.15,
     )
     elapsed = time.perf_counter() - t0
     nconv = sum(1 for r in results if r[3])

@@ -93,6 +93,12 @@ class EnsembleConfig(NamedTuple):
     #   restart is the batched-tier remedy in the spirit of the
     #   reference's Davidson random restart (``eigensolvers.py:100-109``).
     restart_kick: float = 0.25     # kick stddev per DOF
+    dmax_restart: float = 0.0      # 0 = off; else restart a lane from
+    #   home IMMEDIATELY when its max pair distance exceeds this (the
+    #   cluster dissociated onto flat landscape — without the trigger
+    #   the lane drifts until the stall counter drains, wasting its
+    #   step budget). Only meaningful for cluster searches; requires
+    #   restart_after > 0.
     prfo_eigh: str = "eigh"        # P-RFO prep eigendecomposition:
     #   "eigh" (XLA custom call, honors eigh_f32) or "jacobi" (batched
     #   parallel-order Jacobi in pure gather/scatter/elementwise XLA —
@@ -1553,10 +1559,17 @@ def make_step_fn(potential, cfg: EnsembleConfig,
                 jnp.any(newly), _audit,
                 lambda _: jnp.full(Bsz, -jnp.inf, x_new.dtype), None,
             )
-            conv_now = conv_now & (
-                c_aud < -getattr(cfg, "conv_curv_min", 1e-3)
-            )
+            audit_ok = c_aud < -getattr(cfg, "conv_curv_min", 1e-3)
+            conv_now = conv_now & audit_ok
+            # A rejected lane is locally DONE-but-wrong: forces are
+            # under the criterion, so further trust-region steps are
+            # ~zero and the lane would sit there re-paying the audit
+            # HVP every step until the stall counter drains. Hand it
+            # to the restart trigger immediately instead.
+            audit_fail = newly & ~audit_ok
             nmv = nmv + newly.astype(jnp.int32)
+        else:
+            audit_fail = None
         conv_new = state.converged | (act & conv_now)
 
         # ---- stagnation restart (no reference analog; see config) ----
@@ -1567,6 +1580,24 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         nrst = state.nrestarts
         if cfg.restart_after > 0:
             restart = act & ~conv_new & (stall2 >= cfg.restart_after)
+            if audit_fail is not None:
+                # curvature-audit rejection: restart NOW (see above)
+                restart = restart | (audit_fail & ~conv_new)
+            if getattr(cfg, "dmax_restart", 0.0) > 0:
+                # Immediate lost-lane detection: a cluster whose max
+                # pair distance exceeds the threshold has dissociated
+                # onto flat landscape — steps there are pure waste
+                # (measured: ~25% of unconverged LJ4 tail at 150 steps
+                # was dissociated-then-stalled). Restart from home NOW
+                # rather than letting the stall counter drain first.
+                pos_b = x_new.reshape(Bsz, cfg.natoms, 3)
+                dvec = pos_b[:, :, None, :] - pos_b[:, None, :, :]
+                dmax = jnp.sqrt(
+                    jnp.max(jnp.sum(dvec * dvec, axis=-1), axis=(1, 2))
+                )
+                restart = restart | (
+                    act & ~conv_new & (dmax > cfg.dmax_restart)
+                )
             # Restart from the PRISTINE start, not the current point:
             # kicking the stalled geometry compounds across restarts and
             # dissociates clusters onto flat landscape (measured on LJ4:
@@ -1579,8 +1610,11 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             # 97.3% at 420 steps vs 93% for compounding isotropic kicks,
             # but it shares the dissociation failure; home restarts
             # subsume it.)
-            scale = cfg.restart_kick * (
-                1.0 + 0.5 * state.nrestarts.astype(x_new.dtype)
+            # growth capped at 3x: an uncapped kick eventually exceeds
+            # the bond length and flings the restarted cluster straight
+            # back onto the dissociated plateau it was rescued from
+            scale = cfg.restart_kick * jnp.minimum(
+                1.0 + 0.5 * state.nrestarts.astype(x_new.dtype), 3.0
             )
             kick = scale[:, None] * jax.random.normal(
                 jax.random.fold_in(key, 2), x_new.shape, x_new.dtype
@@ -1941,9 +1975,16 @@ def run_ensemble_queue(
                 retries[oi] = attempt
                 spent[oi] = (s0 + int(nsteps[lane]),
                              m0 + int(nmv[lane]), e0 + int(nev[lane]))
+                # sqrt growth: a linearly growing kick passes the bond
+                # length by attempt 3-4 and hands the retry a
+                # dissociated/hot start whose x_home (the restart
+                # anchor) is itself bad — measured on LJ4: retries with
+                # attempt*0.3 kicks rescued almost nothing, while a
+                # fresh modest draw succeeds at the population rate
                 pending.append((
                     oi,
-                    x0_np[oi] + attempt * retry_kick * kick_rng.normal(
+                    x0_np[oi]
+                    + np.sqrt(attempt) * retry_kick * kick_rng.normal(
                         size=xs[lane].shape
                     ),
                 ))

@@ -528,6 +528,49 @@ def test_ensemble_stagnation_restart():
     )
 
 
+def test_ensemble_dmax_restart_rescues_dissociated_lane():
+    """``dmax_restart`` fires IMMEDIATELY on a dissociated lane.
+
+    A cluster lane whose max pair distance exceeds the threshold sits
+    on flat landscape where every further step is wasted; the trigger
+    restarts it from ``x_home`` right away instead of waiting for the
+    ``restart_after`` stall counter (set prohibitively high here to
+    prove the dmax path alone is responsible)."""
+    from sella_tpu.parallel.ensemble import make_step_fn
+    from sella_tpu.potentials import LennardJones
+
+    pot = LennardJones()
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(3)
+    home = tet[None] + 0.1 * rng.normal(size=(4, 4, 3))
+    # lane 1 current geometry: one atom pulled 6 sigma away (dmax ~ 6)
+    diss = home.copy()
+    diss[1, 3] += np.array([6.0, 0.0, 0.0])
+    cfg = EnsembleConfig(
+        natoms=4, order=1, fmax=1e-3, gamma=1e-3,
+        restart_after=10_000, dmax_restart=3.5, conv_inertia=True,
+    )
+    # consistent (x, f, g) for the dissociated geometry, then point
+    # x_home at the compact start the restart should return to
+    state = init_state(pot, jnp.asarray(diss.reshape(4, 12)), cfg)
+    state = state._replace(x_home=jnp.asarray(home.reshape(4, 12)))
+    step = jax.jit(make_step_fn(pot, cfg), donate_argnums=0)
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        state = step(state, jax.random.fold_in(key, i))
+    nrst = np.asarray(state.nrestarts)
+    assert nrst[1] >= 1, nrst
+    assert (nrst[[0, 2, 3]] == 0).all(), nrst
+    pos = np.asarray(state.x).reshape(4, 4, 3)
+    dmax = np.sqrt(((pos[:, :, None] - pos[:, None]) ** 2).sum(-1)).max(
+        axis=(1, 2)
+    )
+    assert dmax[1] < 3.5, dmax
+
+
 def test_ensemble_eigh_f32_quality():
     """The f32 P-RFO/|B| eigh fast path preserves convergence quality
     (same lanes converge, step counts within a step or two)."""
