@@ -122,6 +122,19 @@ class EnsembleConfig(NamedTuple):
     #   computes, so the gate is free; a gated lane keeps stepping and
     #   eventually takes a stagnation restart. Off by default to keep
     #   step-for-step parity with the reference semantics.
+    #   NOTE the quasi-Newton inertia is evaluated at the PRE-step
+    #   geometry while the force criterion uses the post-step one, so
+    #   this gate lags the converging step by one geometry. For
+    #   order>0 the exact-HVP curvature audit below closes the gap AT
+    #   the new geometry; for order=0 a lane whose leftmost curvature
+    #   flips sign on the converging step itself can pass one step
+    #   early (bounded by the trust radius of that final, sub-fmax
+    #   step).
+    conv_curv_min: float = 1e-3    # minimum |leftmost curvature| the
+    #   conv_inertia HVP audit demands of a saddle lane (the exact-HVP
+    #   check that the quasi-Newton inertia is not an artifact); a
+    #   genuine saddle softer than this is held un-converged, so soften
+    #   the gate for low-curvature systems.
     update: str = "TS-BFGS"        # quasi-Newton update family:
     #   "TS-BFGS" (reference saddle default), "BFGS", or "BFGS_auto"
     #   (reference minimization default, ``hessian_update.py:80-87``)

@@ -434,6 +434,7 @@ def run_cell_ensemble(
     steps_per_call: int = 1,
     niggli: bool = False,
     niggli_angle: float = 30.0,
+    pbc: Optional[np.ndarray] = None,
 ) -> CellSearchState:
     """Host loop driving the jitted batched atom+cell step (mirror of
     :func:`sella_tpu.parallel.ensemble.run_ensemble`).
@@ -441,7 +442,8 @@ def run_cell_ensemble(
     ``niggli=True`` checks every lane's realized cell between jitted
     chunks and rebases skewed lanes onto a reduced lattice basis
     (:func:`niggli_rebase_cell_lanes`) — no recompilation, the base
-    cell is per-lane state."""
+    cell is per-lane state. ``pbc`` (per-axis bools) restricts the
+    rebase to the periodic sub-basis for slabs/wires."""
     step = make_cell_step_fn(potential, cfg, cell0, cell_mask)
 
     def multi_step(state, key):
@@ -481,7 +483,7 @@ def run_cell_ensemble(
             break
         if niggli:
             state, hit = niggli_rebase_cell_lanes(
-                state, cfg, cell_mask, niggli_angle, potential
+                state, cfg, cell_mask, niggli_angle, potential, pbc=pbc
             )
             if hit.any():
                 state = _shard(state)
@@ -544,6 +546,7 @@ def niggli_rebase_cell_lanes(
     cell_mask: Optional[np.ndarray] = None,
     angle_threshold: float = 30.0,
     potential=None,
+    pbc: Optional[np.ndarray] = None,
 ):
     """Per-lane cell rebase for the batched atom+cell tier — the
     batched analogue of the sequential ``maybe_niggli_reduce``
@@ -570,6 +573,12 @@ def niggli_rebase_cell_lanes(
     the rebased lanes are re-evaluated (physically identical point —
     the fresh values only refresh the gradient's parameterization).
 
+    With ``pbc`` given (per-axis bools), only angles BETWEEN periodic
+    rows count as skew and the reduction never mixes a non-periodic
+    axis (slab vacuum direction) into the periodic basis — the lattice
+    change would not be physically equivalent otherwise. Lanes with a
+    degenerate (near-zero) cell row are skipped, never NaN-classified.
+
     Returns ``(state', rebased_mask)``.
     """
     from ..pes.cell import _cell_param_jacobian
@@ -577,6 +586,15 @@ def niggli_rebase_cell_lanes(
 
     if cell_mask is None:
         cell_mask = np.ones((3, 3), dtype=bool)
+    if pbc is None:
+        periodic_axes = (0, 1, 2)
+    else:
+        pbc = np.asarray(pbc, dtype=bool)
+        periodic_axes = tuple(i for i in range(3) if pbc[i])
+    axis_pairs = [
+        (i, j) for ai, i in enumerate(periodic_axes)
+        for j in periodic_axes[ai + 1:]
+    ]
     midx = np.where(np.asarray(cell_mask, bool).ravel())[0]
     factor = (cfg.exp_cell_factor if cfg.exp_cell_factor > 0
               else float(cfg.natoms))
@@ -590,11 +608,12 @@ def niggli_rebase_cell_lanes(
     rebased = np.zeros(Bsz, bool)
 
     def _angle_dev(cell):
-        devs = []
-        for i, j in ((0, 1), (0, 2), (1, 2)):
-            c = cell[i] @ cell[j] / (
-                np.linalg.norm(cell[i]) * np.linalg.norm(cell[j])
-            )
+        norms = np.linalg.norm(cell, axis=1)
+        if np.any(norms[list(periodic_axes)] < 1e-10):
+            return None              # degenerate row: skip, don't NaN
+        devs = [0.0]
+        for i, j in axis_pairs:
+            c = cell[i] @ cell[j] / (norms[i] * norms[j])
             devs.append(
                 abs(np.degrees(np.arccos(np.clip(c, -1, 1))) - 90.0)
             )
@@ -609,10 +628,12 @@ def niggli_rebase_cell_lanes(
         L[midx] = zs[lane, nr3:]
         L = L.reshape(3, 3)
         cell = _sexpm(L / factor) @ c0[lane]
-        if _angle_dev(cell) <= angle_threshold:
+        dev = _angle_dev(cell)
+        if dev is None or dev <= angle_threshold:
             continue
-        new_cell, M = reduce_cell_basis(cell)
-        if _angle_dev(new_cell) >= _angle_dev(cell) - 1e-9:
+        new_cell, M = reduce_cell_basis(cell, pbc=pbc)
+        new_dev = _angle_dev(new_cell)
+        if new_dev is None or new_dev >= dev - 1e-9:
             continue                     # reduction gained nothing
 
         # Positions are NOT wrapped into the reduced cell (unlike the

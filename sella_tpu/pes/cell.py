@@ -910,7 +910,11 @@ class CellInternalPES:
             f, g = self.eval()
         else:
             f, g = None, None
-        if self.curr.get("x") is not None:
+        # ``last`` only advances on a NEW geometry — filling in (f, g)
+        # at an unchanged point must not clobber it with a g=None
+        # snapshot, or the first quasi-Newton secant is silently
+        # dropped (reference ``peswrapper.py:300-320`` ``new_point``)
+        if self.curr.get("x") is not None and not same:
             self.last = dict(self.curr)
         self.curr["x"] = self.get_x()
         self.curr["sig_cell"] = sig

@@ -67,12 +67,47 @@ class Potential:
     def hessian(self, x: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
         return jax.hessian(self.energy)(x, cell)
 
+    @partial(jax.jit, static_argnums=0)
+    def energy_and_strain_grad(
+        self, x: jnp.ndarray, cell: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Energy and dE/d(strain): the AD route to the virial stress.
+
+        Applies an infinitesimal affine deformation ``F = I + eps`` to
+        positions AND cell and differentiates at ``eps = 0`` — the
+        textbook definition ASE calculators realize analytically per
+        potential. Stress = sym(dE/deps) / volume (ASE convention,
+        eV/A^3); exact for any jax-native ``energy(x, cell)``."""
+        def deformed(eps):
+            F = jnp.eye(3, dtype=cell.dtype) + eps
+            pos = x.reshape(-1, 3) @ F.T
+            return self.energy(pos.ravel(), cell @ F.T)
+
+        return jax.value_and_grad(deformed)(jnp.zeros((3, 3), cell.dtype))
+
     # -- host convenience (ASE-calculator-like surface) ---------------------
     def energy_and_forces(self, atoms) -> Tuple[float, np.ndarray]:
         x = jnp.asarray(atoms.positions.ravel())
         cell = jnp.asarray(atoms.cell)
         f, g = self.energy_and_grad(x, cell)
         return float(f), -np.asarray(g).reshape(-1, 3)
+
+    def energy_and_stress(self, atoms) -> Tuple[float, np.ndarray]:
+        """Voigt stress [xx, yy, zz, yz, xz, xy] in eV/A^3 — the
+        host-facing surface the cell PES classes and the shim ASE
+        calculator consume (reference analog:
+        ``/root/reference/sella/peswrapper.py:2129``)."""
+        x = jnp.asarray(atoms.positions.ravel())
+        cell = np.asarray(atoms.cell, dtype=np.float64)
+        vol = abs(np.linalg.det(cell))
+        if vol <= 0.0:
+            raise ValueError("stress requires a full-rank cell")
+        e, d = self.energy_and_strain_grad(x, jnp.asarray(cell))
+        d = np.asarray(d)
+        sig = 0.5 * (d + d.T) / vol
+        voigt = np.array([sig[0, 0], sig[1, 1], sig[2, 2],
+                          sig[1, 2], sig[0, 2], sig[0, 1]])
+        return float(e), voigt
 
 
 def displacements(x: jnp.ndarray, cell: jnp.ndarray, pbc: bool):

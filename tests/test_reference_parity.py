@@ -42,6 +42,8 @@ import pytest
 
 from sella_tpu import Atoms, Constraints, Sella
 from sella_tpu.potentials import LennardJones, MorsePotential
+from sella_tpu.potentials.emt import EMT
+from sella_tpu.utils.elements import chemical_symbols
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "reference")
 
@@ -50,28 +52,71 @@ STRICT = [
     "morse_xe4_cart_saddle",
     "morse_xe4_int_min",
     "lj7_cart_saddle",
+    # round 3: constraint machinery beyond trans/rot
+    "morse_xe4_cart_saddle_bond_eq",
+    "morse_xe4_cart_min_ineq_active",
+    # round 3: Cartesian + cell DOF (closed-form set_x)
+    "cu_bulk_cellcart_min",
 ]
 NEWTON = [
     "morse_xe4_int_saddle_newton",
     "ethanol_int_saddle_newton",
+    # round 3: dummy atoms (Newton back-transform)
+    "hcch_int_min_newton",
 ]
 NOISE_FLOOR = [
     "morse_xe4_int_saddle",
     "ethanol_int_saddle",
+    # round 3: internal + cell DOF. The reference's CellInternalPES
+    # back-transform is ALWAYS the adaptive-LSODA ODE
+    # (``peswrapper.py:2033`` — iterative_stepper is ignored by the
+    # cell+internal class), so per the round-2 control experiment
+    # (tools/noise_floor_control.py) strict gates are unattainable.
+    "xe4_crystal_cellint_min",
 ]
 
-_DRIVER_KEYS = ("name", "fmax", "max_steps", "use_cons", "spec")
+_DRIVER_KEYS = ("name", "fmax", "max_steps", "use_cons", "cons_recipe",
+                "spec")
 
 
 def _potential(spec: dict):
     kind = spec["kind"]
     if kind == "morse":
         return MorsePotential(
-            epsilon=spec["epsilon"], r0=spec["r0"], rho0=spec["rho0"]
+            epsilon=spec["epsilon"], r0=spec["r0"], rho0=spec["rho0"],
+            pbc=bool(spec.get("pbc", False)),
         )
     if kind == "lj":
         return LennardJones(epsilon=spec["epsilon"], sigma=spec["sigma"])
+    if kind == "emt":
+        numbers = [chemical_symbols.index(s) for s in spec["symbols"]]
+        return EMT(numbers, pbc=bool(spec.get("pbc", False)))
     raise KeyError(kind)
+
+
+def _make_constraints(recipe, atoms):
+    """Mirror of tools/gen_reference_fixtures.make_constraints — the
+    SAME recipe, by name, on the sella_tpu side (duplicated because the
+    generator module imports the reference package at import time)."""
+    if recipe is None:
+        return None
+    cons = Constraints(atoms)
+    if recipe == "transrot":
+        cons.fix_translation()
+        cons.fix_rotation()
+        return cons
+    if recipe == "bond_angle_eq":
+        cons.fix_translation()
+        cons.fix_rotation()
+        cons.fix_bond((0, 1))
+        cons.fix_angle((0, 1, 2))
+        return cons
+    if recipe == "ineq_active":
+        cons.fix_translation()
+        d23 = float(np.linalg.norm(atoms.positions[3] - atoms.positions[2]))
+        cons.fix_bond((2, 3), target=5.0 * d23, comparator="gt")
+        return cons
+    raise KeyError(recipe)
 
 
 class _MatvecCounter:
@@ -109,22 +154,25 @@ def _run_traced(name: str):
     atoms = Atoms(
         spec["symbols"],
         data["positions"][0].copy(),
+        cell=(np.array(data["cell"][0]) if "cell" in spec else None),
+        pbc=spec.get("pbc", False),
         calculator=_potential(spec),
     )
-    cons = None
-    if cfg["use_cons"]:
-        cons = Constraints(atoms)
-        cons.fix_translation()
-        cons.fix_rotation()
+    recipe = cfg.get(
+        "cons_recipe", "transrot" if cfg.get("use_cons") else None
+    )
+    cons = _make_constraints(recipe, atoms)
 
     kwargs = {k: v for k, v in cfg.items() if k not in _DRIVER_KEYS}
     np.random.seed(2024)
-    rec = {k: [] for k in ("positions", "energy", "delta", "rho", "nmatvec")}
+    rec = {k: [] for k in ("positions", "cell", "energy", "delta", "rho",
+                           "nmatvec")}
     with _MatvecCounter() as mv:
         opt = Sella(atoms, constraints=cons, logfile=None, **kwargs)
 
         def snap():
             rec["positions"].append(np.array(atoms.positions, copy=True))
+            rec["cell"].append(np.array(atoms.cell, copy=True))
             rec["energy"].append(float(opt.pes.get_f()))
             rec["delta"].append(float(opt.delta))
             rec["rho"].append(float(opt.rho))
@@ -165,6 +213,11 @@ def test_reference_parity_strict(name):
     np.testing.assert_allclose(
         np.array(rec["delta"]), data["delta"], rtol=1e-6, atol=1e-10
     )
+    if data["cell"].size and np.any(data["cell"]):
+        np.testing.assert_allclose(
+            np.array(rec["cell"]), data["cell"], atol=1e-8,
+            err_msg="per-step CELL trajectory diverged from reference",
+        )
 
     # Davidson matvec counts: within 1 per step (north star)
     mv_ref = data["nmatvec"]
@@ -198,6 +251,13 @@ def test_reference_parity_newton(name):
     )
     np.testing.assert_allclose(pos_mine, pos_ref, atol=1e-6)
     assert abs(rec["energy"][-1] - data["energy"][-1]) < 1e-8
+    if data["cell"].size and np.any(data["cell"]):
+        cell_mine = np.array(rec["cell"])
+        np.testing.assert_allclose(
+            cell_mine[:k], data["cell"][:k], atol=1e-8,
+            err_msg="early CELL trajectory diverged",
+        )
+        np.testing.assert_allclose(cell_mine, data["cell"], atol=1e-6)
 
     mv_ref = data["nmatvec"]
     mv_mine = np.array(rec["nmatvec"])
@@ -220,7 +280,23 @@ def test_reference_parity_noise_floor(name):
     pos_ref = data["positions"]
     pos_mine = np.array(rec["positions"])
     k = min(5, len(pos_ref) - 1, len(pos_mine) - 1)
-    np.testing.assert_allclose(pos_mine[:k], pos_ref[:k], atol=1e-5)
+    # Cell configs ride every atom affinely on the cell DOF, so the
+    # per-step LSODA realization noise (~1e-6 per
+    # tools/noise_floor_control.py) enters multiplied by the move's
+    # affine amplitude: measured 3.4e-5 over 5 steps on
+    # xe4_crystal_cellint_min vs <1e-5 on the molecular configs.
+    early_atol = 5e-5 if np.any(data["cell"]) else 1e-5
+    np.testing.assert_allclose(pos_mine[:k], pos_ref[:k], atol=early_atol)
+    if data["cell"].size and np.any(data["cell"]):
+        cell_mine = np.array(rec["cell"])
+        np.testing.assert_allclose(
+            cell_mine[:k], data["cell"][:k], atol=2 * early_atol,
+            err_msg="early CELL trajectory diverged",
+        )
+        np.testing.assert_allclose(
+            cell_mine[-1], data["cell"][-1], atol=1e-4,
+            err_msg="final cell diverged",
+        )
 
     # effort within 40% (step counts legitimately differ once the
     # realization noise crosses a diag-schedule decision)
@@ -229,3 +305,61 @@ def test_reference_parity_noise_floor(name):
     mv_ref = max(int(data["nmatvec"][-1]), 1)
     mv_mine = rec["nmatvec"][-1]
     assert abs(mv_mine - mv_ref) <= max(0.4 * mv_ref, 4)
+
+
+def test_reference_parity_irc():
+    """Per-outer-step IRC parity (forward + reverse) against a trace of
+    the reference ``IRC`` driver (``/root/reference/sella/optimize/
+    irc.py:74-165``) from the same converged-TS geometry. The IRC inner
+    loop runs on the Cartesian PES (closed-form set_x), so strict gates
+    apply: trajectory 1e-8 per outer step, matvecs within 1."""
+    from sella_tpu import IRC
+
+    path = os.path.join(FIXDIR, "lj4_irc.npz")
+    if not os.path.exists(path):
+        pytest.skip("lj4_irc fixture not generated")
+    data = np.load(path)
+    cfg = json.loads(str(data["config"]))
+    spec = cfg["spec"]
+    irc_kwargs = {k: v for k, v in cfg.items() if k not in _DRIVER_KEYS}
+
+    atoms = Atoms(
+        spec["symbols"], data["ts_positions"].copy(),
+        calculator=_potential(spec),
+    )
+    np.random.seed(2024)
+    with _MatvecCounter() as mv:
+        irc = IRC(atoms, logfile=None, **irc_kwargs)
+        for direction in ("forward", "reverse"):
+            rec = {"positions": [], "energy": [], "nmatvec": []}
+            converged = False
+            for converged in irc.irun(cfg["fmax"], steps=cfg["max_steps"],
+                                      direction=direction):
+                rec["positions"].append(np.array(atoms.positions,
+                                                 copy=True))
+                rec["energy"].append(float(irc.pes.get_f()))
+                rec["nmatvec"].append(int(mv.n))
+                if converged:
+                    break
+
+            assert bool(converged) == bool(data[f"{direction}_converged"])
+            pos_ref = data[f"{direction}_positions"]
+            pos_mine = np.array(rec["positions"])
+            assert pos_mine.shape == pos_ref.shape, (
+                f"{direction}: outer-step count mismatch "
+                f"mine={len(pos_mine)} ref={len(pos_ref)}"
+            )
+            np.testing.assert_allclose(
+                pos_mine, pos_ref, atol=1e-8,
+                err_msg=f"{direction} IRC trajectory diverged",
+            )
+            np.testing.assert_allclose(
+                np.array(rec["energy"]), data[f"{direction}_energy"],
+                rtol=0, atol=1e-8,
+            )
+            mv_ref = data[f"{direction}_nmatvec"]
+            mv_mine = np.array(rec["nmatvec"])
+            assert np.max(np.abs(mv_mine - mv_ref)) <= 1, (
+                f"{direction}: matvec counts diverged: "
+                f"mine={mv_mine.tolist()} ref={mv_ref.tolist()}"
+            )

@@ -49,9 +49,13 @@ sella = import_reference_sella()
 from sella import Constraints, Sella  # noqa: E402  (the REFERENCE package)
 import sella.linalg as _slin  # noqa: E402
 
+from sella import IRC  # noqa: E402  (the REFERENCE package)
+
 from tools.refshim.ase import Atoms  # noqa: E402
 from tools.refshim.calculators import PotentialCalculator  # noqa: E402
 from sella_tpu.potentials import LennardJones, MorsePotential  # noqa: E402
+from sella_tpu.potentials.emt import EMT  # noqa: E402
+from sella_tpu.utils.elements import chemical_symbols  # noqa: E402
 from sella_tpu.utils.units import kB  # noqa: E402
 
 MATVECS = {"n": 0}
@@ -134,12 +138,78 @@ def ethanol_positions() -> np.ndarray:
     return ts + 0.03 * rng.normal(size=ts.shape)
 
 
+def cu_bulk_data():
+    """Strained + rattled 2x2x2 conventional fcc-Cu supercell (32
+    atoms): the BASELINE config-3 regime (bulk metal, atom + cell DOF).
+    The 7.22 A cell satisfies the EMT one-image-shell validity bound
+    (rc ~ 4.8 A) throughout the small applied strain."""
+    a = 3.61
+    base = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    )
+    pos = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                pos.extend((base + np.array([ix, iy, iz])) * a)
+    pos = np.array(pos)
+    cell0 = np.diag([2 * a, 2 * a, 2 * a])
+    rng = np.random.RandomState(21)
+    eps = 0.015 * rng.normal(size=(3, 3))
+    eps = 0.5 * (eps + eps.T)
+    F = np.eye(3) + eps
+    cell = cell0 @ F.T
+    pos = pos @ F.T + 0.04 * rng.normal(size=pos.shape)
+    return pos, cell
+
+
+def xe4_crystal_data():
+    """Strained + rattled 4-atom conventional fcc-Xe cell (a = 6.69 A
+    puts nearest neighbors at the Morse r0 = 4.73 A): a small periodic
+    crystal whose internal-coordinate topology (MIC image bonds/angles)
+    stays cheap enough for a full reference trace — the 32-atom EMT
+    analogue takes minutes per reference Sella CONSTRUCTION."""
+    a = 6.69
+    base = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    ) * a
+    cell0 = np.eye(3) * a
+    rng = np.random.RandomState(17)
+    eps = 0.05 * rng.normal(size=(3, 3))
+    eps = 0.5 * (eps + eps.T)
+    F = np.eye(3) + eps
+    return base @ F.T + 0.25 * rng.normal(size=base.shape), cell0 @ F.T
+
+
+def hcch_positions():
+    """Near-linear H-C-C-H chain: both inner angles are ~178 deg, which
+    forces the reference's topology discovery to insert dummy atoms
+    (``/root/reference/sella/internal.py:3483-3573``)."""
+    z = np.array([0.0, 1.2, 2.4, 3.6])
+    pos = np.stack([np.zeros(4), np.zeros(4), z], axis=1)
+    rng = np.random.RandomState(31)
+    pos[:, :2] += 0.03 * rng.normal(size=(4, 2))
+    return pos
+
+
+def lj4_positions():
+    """Perturbed LJ4 tetrahedron (sigma=1): the well-conditioned
+    first-order-saddle start used by the IRC fixtures."""
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(7)
+    return tet + 0.12 * rng.normal(size=(4, 3))
+
+
 def build_system(name: str):
     """Returns (symbols, positions, sella_tpu_potential, spec).
 
     ``spec`` is embedded in the fixture so the parity test can rebuild
     the identical potential without importing this module (or the
-    reference)."""
+    reference). Periodic systems carry ``cell`` + ``pbc`` in the spec.
+    """
     if name.startswith("morse_xe4"):
         spec = dict(kind="morse", symbols=["Xe"] * 4, **morse_params())
         return (spec["symbols"], morse_xe4_positions(),
@@ -148,6 +218,11 @@ def build_system(name: str):
         spec = dict(kind="lj", symbols=["Ar"] * 7, **lj_params())
         return (spec["symbols"], lj7_positions(),
                 LennardJones(**lj_params()), spec)
+    if name.startswith("lj4"):
+        spec = dict(kind="lj", symbols=["Ar"] * 4,
+                    epsilon=1.0, sigma=1.0)
+        return (spec["symbols"], lj4_positions(),
+                LennardJones(epsilon=1.0, sigma=1.0), spec)
     if name.startswith("ethanol"):
         params = dict(epsilon=4.0, r0=1.3, rho0=1.3 * 3.0)
         spec = dict(
@@ -157,11 +232,76 @@ def build_system(name: str):
         )
         return (spec["symbols"], ethanol_positions(),
                 MorsePotential(**params), spec)
+    if name.startswith("xe4_crystal"):
+        pos, cell = xe4_crystal_data()
+        params = dict(epsilon=226.9 * kB, r0=4.73, rho0=4.73 * 1.099)
+        spec = dict(kind="morse", symbols=["Xe"] * 4, pbc=True,
+                    cell=cell.tolist(), **params)
+        return (spec["symbols"], pos,
+                MorsePotential(pbc=True, **params), spec)
+    if name.startswith("cu_bulk"):
+        pos, cell = cu_bulk_data()
+        symbols = ["Cu"] * len(pos)
+        numbers = [chemical_symbols.index("Cu")] * len(pos)
+        spec = dict(kind="emt", symbols=symbols, pbc=True,
+                    cell=cell.tolist())
+        return symbols, pos, EMT(numbers, pbc=True), spec
+    if name.startswith("hcch"):
+        params = dict(epsilon=4.0, r0=1.2, rho0=1.2 * 3.0)
+        spec = dict(kind="morse", symbols=["H", "C", "C", "H"], **params)
+        return (spec["symbols"], hcch_positions(),
+                MorsePotential(**params), spec)
     raise KeyError(name)
 
 
+def make_constraints(recipe, atoms, Cons):
+    """Shared constraint recipes: the parity test applies the SAME
+    recipe (by name, from the fixture config) on the sella_tpu side."""
+    if recipe is None:
+        return None
+    cons = Cons(atoms)
+    if recipe == "transrot":
+        cons.fix_translation()
+        cons.fix_rotation()
+        return cons
+    if recipe == "bond_angle_eq":
+        # equality constraints beyond trans/rot: exercises scons,
+        # Lagrange multipliers, and the nullspace basis split with a
+        # nontrivial constraint Jacobian
+        # (``/root/reference/sella/peswrapper.py:429-438,476-481``).
+        cons.fix_translation()
+        cons.fix_rotation()
+        cons.fix_bond((0, 1))
+        cons.fix_angle((0, 1, 2))
+        return cons
+    if recipe == "ineq_active":
+        # A 'gt' inequality that stays VIOLATED (hence active) for the
+        # whole, deliberately truncated run. The reference cannot
+        # execute an inequality STATE FLIP at all in its shipped form:
+        # ``disable_satisfied_inequalities`` changes the active mask at
+        # unchanged positions, but every basis/Jacobian cache is keyed
+        # on positions only (``peswrapper.py:297-303,395-407``;
+        # ``internal.py`` 'jacobian_B' cache), so the next
+        # ``get_scons`` sees a stale row count and lstsq raises
+        # "Incompatible dimensions"; independently,
+        # ``Constraints.residual`` wraps the ACTIVE-subset vector with
+        # FULL-layout offsets (``internal.py:2577-2587``), which
+        # IndexErrors on any rotation constraint after an inactive row.
+        # Both were reproduced on this machine (round 3). The fixture
+        # therefore (a) uses proj_rot=False and (b) caps max_steps
+        # below the first flip, exercising the active-inequality
+        # machinery (retry loop, inequality rows in the basis) that IS
+        # executable.
+        cons.fix_translation()
+        d23 = float(np.linalg.norm(atoms.positions[3] - atoms.positions[2]))
+        cons.fix_bond((2, 3), target=5.0 * d23, comparator="gt")
+        return cons
+    raise KeyError(recipe)
+
+
 CONFIGS = {
-    # name: (sella kwargs, fmax, max steps, use trans/rot constraints)
+    # name: (sella kwargs, fmax, max steps, constraint recipe)
+    # recipe: None | "transrot" | "bond_ineq" (see make_constraints)
     #
     # The *_newton variants run the reference's Newton back-transform
     # (``iterative_stepper=1``, ``peswrapper.py:616,749-839``) instead
@@ -174,48 +314,84 @@ CONFIGS = {
     # these paths when the start is perturbed at the noise floor).
     # Parity gates differ accordingly — see tests/test_reference_parity.py.
     "morse_xe4_cart_min": (
-        dict(order=0, internal=False, gamma=1e-3), 1e-3, 300, True),
+        dict(order=0, internal=False, gamma=1e-3), 1e-3, 300, "transrot"),
     "morse_xe4_cart_saddle": (
-        dict(order=1, internal=False, gamma=1e-3), 1e-3, 300, True),
+        dict(order=1, internal=False, gamma=1e-3), 1e-3, 300, "transrot"),
     "morse_xe4_int_min": (
-        dict(order=0, internal=True, gamma=1e-3), 1e-3, 300, True),
+        dict(order=0, internal=True, gamma=1e-3), 1e-3, 300, "transrot"),
     "morse_xe4_int_saddle": (
-        dict(order=1, internal=True, gamma=1e-3), 1e-3, 300, True),
+        dict(order=1, internal=True, gamma=1e-3), 1e-3, 300, "transrot"),
     "morse_xe4_int_saddle_newton": (
         dict(order=1, internal=True, gamma=1e-3, iterative_stepper=1),
-        1e-3, 300, True),
+        1e-3, 300, "transrot"),
     "lj7_cart_saddle": (
-        dict(order=1, internal=False, gamma=0.1), 1e-3, 300, True),
+        dict(order=1, internal=False, gamma=0.1), 1e-3, 300, "transrot"),
     "ethanol_int_saddle": (
-        dict(order=1, internal=True, gamma=0.1), 1e-3, 300, False),
+        dict(order=1, internal=True, gamma=0.1), 1e-3, 300, None),
     "ethanol_int_saddle_newton": (
         dict(order=1, internal=True, gamma=0.1, iterative_stepper=1),
-        1e-3, 300, False),
+        1e-3, 300, None),
+    # -- round 3: cell PES classes (BASELINE config 3 regime) ----------
+    # Cartesian + cell: closed-form position/cell update -> strict gates.
+    "cu_bulk_cellcart_min": (
+        dict(order=0, internal=False, optimize_cell=True, gamma=1e-3),
+        1e-3, 300, None),
+    # Internal + cell DOF on a periodic Morse-Xe crystal (small enough
+    # for a full reference trace — the reference's internal machinery
+    # on 32-atom EMT bulk takes minutes per construction). NOTE the
+    # reference's ``CellInternalPES.set_x`` (``peswrapper.py:2033``)
+    # ALWAYS back-transforms through the adaptive-LSODA ODE —
+    # ``iterative_stepper`` is ignored by the cell+internal class — so
+    # this config is noise-floor class by the round-2 control
+    # experiment (tools/noise_floor_control.py), never strict/Newton.
+    "xe4_crystal_cellint_min": (
+        dict(order=0, internal=True, optimize_cell=True, gamma=1e-3),
+        1e-3, 300, None),
+    # -- round 3: constrained configs -----------------------------------
+    "morse_xe4_cart_saddle_bond_eq": (
+        dict(order=1, internal=False, gamma=1e-3), 1e-3, 300,
+        "bond_angle_eq"),
+    # truncated run: see make_constraints("ineq_active") for why the
+    # reference cannot execute an inequality state FLIP as shipped.
+    "morse_xe4_cart_min_ineq_active": (
+        dict(order=0, internal=False, gamma=1e-3, proj_rot=False),
+        1e-3, 10, "ineq_active"),
+    # -- round 3: dummy-atom config (near-linear angles) ----------------
+    "hcch_int_min_newton": (
+        dict(order=0, internal=True, gamma=1e-3, iterative_stepper=1),
+        1e-3, 100, None),
+}
+
+# IRC fixtures: (IRC kwargs, fmax, max outer steps per direction)
+IRC_CONFIGS = {
+    "lj4_irc": (dict(dx=0.15, eta=1e-4, gamma=0.01, ninner_iter=20),
+                5e-2, 100),
 }
 
 
 def run_one(name: str, outdir: str) -> dict:
-    kwargs, fmax, max_steps, use_cons = CONFIGS[name]
+    kwargs, fmax, max_steps, recipe = CONFIGS[name]
     symbols, positions, potential, spec = build_system(name)
-    atoms = Atoms(symbols, positions.copy())
+    atoms = Atoms(
+        symbols, positions.copy(),
+        cell=np.array(spec["cell"]) if "cell" in spec else None,
+        pbc=spec.get("pbc", False),
+    )
     calc = PotentialCalculator(potential)
     atoms.calc = calc
 
-    cons = None
-    if use_cons:
-        cons = Constraints(atoms)
-        cons.fix_translation()
-        cons.fix_rotation()
+    cons = make_constraints(recipe, atoms, Constraints)
 
     MATVECS["n"] = 0
     np.random.seed(2024)  # reference Davidson restart path uses np.random
     opt = Sella(atoms, constraints=cons, logfile=None, **kwargs)
 
-    rec = {k: [] for k in
-           ("positions", "energy", "delta", "rho", "ncalls", "nmatvec")}
+    rec = {k: [] for k in ("positions", "cell", "energy", "delta", "rho",
+                           "ncalls", "nmatvec")}
 
     def snap():
         rec["positions"].append(atoms.positions.copy())
+        rec["cell"].append(np.array(atoms.cell.array, copy=True))
         rec["energy"].append(float(opt.pes.get_f()))
         rec["delta"].append(float(opt.delta))
         rec["rho"].append(float(opt.rho))
@@ -233,6 +409,7 @@ def run_one(name: str, outdir: str) -> dict:
 
     out = dict(
         positions=np.array(rec["positions"]),
+        cell=np.array(rec["cell"]),
         energy=np.array(rec["energy"]),
         delta=np.array(rec["delta"]),
         rho=np.array(rec["rho"]),
@@ -242,7 +419,8 @@ def run_one(name: str, outdir: str) -> dict:
         nsteps=np.array(int(opt.nsteps), dtype=np.int64),
         config=np.array(json.dumps(
             dict(name=name, fmax=fmax, max_steps=max_steps,
-                 use_cons=use_cons, spec=spec, **kwargs)
+                 cons_recipe=recipe, use_cons=recipe == "transrot",
+                 spec=spec, **kwargs)
         )),
     )
     path = os.path.join(outdir, f"{name}.npz")
@@ -256,15 +434,82 @@ def run_one(name: str, outdir: str) -> dict:
     return out
 
 
+def run_irc(name: str, outdir: str) -> dict:
+    """Reference IRC trace: converge a saddle with the reference Sella
+    first, then follow the path forward and reverse from it, recording
+    every outer step of each direction
+    (``/root/reference/sella/optimize/irc.py:74-165``)."""
+    irc_kwargs, fmax, max_steps = IRC_CONFIGS[name]
+    symbols, positions, potential, spec = build_system(name)
+
+    # stage 1: the saddle (not part of the fixture trace; its converged
+    # geometry is the IRC start, embedded as ts_positions)
+    atoms = Atoms(symbols, positions.copy())
+    calc = PotentialCalculator(potential)
+    atoms.calc = calc
+    cons = make_constraints("transrot", atoms, Constraints)
+    np.random.seed(2024)
+    opt = Sella(atoms, constraints=cons, logfile=None, order=1, gamma=1e-3)
+    assert opt.run(fmax=1e-4, steps=300), "saddle stage did not converge"
+    ts_positions = atoms.positions.copy()
+
+    # stage 2: IRC from the saddle, fresh atoms/counters
+    atoms = Atoms(symbols, ts_positions.copy())
+    calc = PotentialCalculator(potential)
+    atoms.calc = calc
+    MATVECS["n"] = 0
+    np.random.seed(2024)
+    irc = IRC(atoms, logfile=None, **irc_kwargs)
+
+    out = dict(
+        ts_positions=ts_positions,
+        config=np.array(json.dumps(
+            dict(name=name, fmax=fmax, max_steps=max_steps, spec=spec,
+                 **irc_kwargs)
+        )),
+    )
+    for direction in ("forward", "reverse"):
+        rec = {k: [] for k in ("positions", "energy", "ncalls", "nmatvec")}
+        converged = False
+        for converged in irc.irun(fmax, steps=max_steps,
+                                  direction=direction):
+            rec["positions"].append(atoms.positions.copy())
+            rec["energy"].append(float(irc.pes.get_f()))
+            rec["ncalls"].append(int(calc.ncalls))
+            rec["nmatvec"].append(int(MATVECS["n"]))
+            if converged:
+                break
+        out[f"{direction}_positions"] = np.array(rec["positions"])
+        out[f"{direction}_energy"] = np.array(rec["energy"])
+        out[f"{direction}_ncalls"] = np.array(rec["ncalls"], dtype=np.int64)
+        out[f"{direction}_nmatvec"] = np.array(
+            rec["nmatvec"], dtype=np.int64)
+        out[f"{direction}_converged"] = np.array(bool(converged))
+        print(
+            f"{name}[{direction}]: converged={bool(converged)} "
+            f"outer_steps={len(rec['positions']) - 1} "
+            f"ncalls={calc.ncalls} nmatvec={MATVECS['n']} "
+            f"E={rec['energy'][-1]:.8f}"
+        )
+
+    path = os.path.join(outdir, f"{name}.npz")
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, **out)
+    return out
+
+
 def main() -> None:
     outdir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "fixtures", "reference",
     )
     os.makedirs(outdir, exist_ok=True)
-    names = sys.argv[2:] or list(CONFIGS)
+    names = sys.argv[2:] or (list(CONFIGS) + list(IRC_CONFIGS))
     for name in names:
-        run_one(name, outdir)
+        if name in IRC_CONFIGS:
+            run_irc(name, outdir)
+        else:
+            run_one(name, outdir)
 
 
 if __name__ == "__main__":

@@ -89,20 +89,20 @@ EPSILONS = (0.0, 1e-12, 1e-8, 3e-7)
 
 
 def run_reference(name: str, eps: float, seed: int = 77):
-    kwargs, fmax, max_steps, use_cons = gen.CONFIGS[name]
-    symbols, positions, potential, _spec = gen.build_system(name)
+    kwargs, fmax, max_steps, recipe = gen.CONFIGS[name]
+    symbols, positions, potential, spec = gen.build_system(name)
     if eps:
         rng = np.random.RandomState(seed)
         positions = positions + eps * rng.normal(size=positions.shape)
-    atoms = Atoms(symbols, positions.copy())
+    atoms = Atoms(
+        symbols, positions.copy(),
+        cell=np.array(spec["cell"]) if "cell" in spec else None,
+        pbc=spec.get("pbc", False),
+    )
     calc = PotentialCalculator(potential)
     atoms.calc = calc
 
-    cons = None
-    if use_cons:
-        cons = Constraints(atoms)
-        cons.fix_translation()
-        cons.fix_rotation()
+    cons = gen.make_constraints(recipe, atoms, Constraints)
 
     gen.MATVECS["n"] = 0
     np.random.seed(2024)

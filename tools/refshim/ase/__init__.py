@@ -130,6 +130,15 @@ class Atoms:
         return atomic_masses[self.numbers].astype(np.float64)
 
     def set_masses(self, masses) -> None:
+        if isinstance(masses, str):
+            # ASE string modes (reference irc.py:50-60). This shim only
+            # carries the standard-atomic-weight table ('defaults');
+            # raising on 'most_common' reproduces the old-ASE fallback
+            # path the reference handles with a warning.
+            if masses == "defaults":
+                self._masses = None
+                return
+            raise ValueError(f"unknown masses mode {masses!r}")
         self._masses = (
             None if masses is None else np.asarray(masses, dtype=np.float64)
         )
