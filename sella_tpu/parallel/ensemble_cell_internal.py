@@ -450,7 +450,14 @@ def make_cell_internal_step_fn(
             [q_new - state.q, s_new - state.s], axis=1
         )
         gz_new = jnp.concatenate([gq_new, gs_new], axis=1)
-        dgz = gz_new - gz
+        # Parallel-transport the internal block of the old gradient
+        # into the post-step B frame (reference ``peswrapper.py:835-839``
+        # via the inner InternalPES; the cell block is NOT transported,
+        # ``cell.py:750`` / reference ``peswrapper.py:2039-2065``):
+        # g_par = B_new (B_old^T G_old^+ gq_old).
+        g0_cart = jnp.einsum("bij,bi->bj", Bm, apply_pinv(state.gq))
+        gq_par = jnp.einsum("bij,bj->bi", Bm_new, g0_cart)
+        dgz = gz_new - jnp.concatenate([gq_par, state.gs], axis=1)
         m1 = (jnp.linalg.norm(dz_real, axis=1) > 1e-10)[:, None]
         H2 = ts_bfgs_update_batched(
             state.H, dz_real[:, :, None], dgz[:, :, None],

@@ -117,6 +117,13 @@ class InternalEnsembleConfig(NamedTuple):
     newton_accept: float = 1e-6    # residual above this after Newton
     #   engages the geodesic fallback (reference acceptance gate,
     #   ``peswrapper.py:830-833``)
+    newton_stop: str = "inf"       # Newton stop metric: "inf" (default;
+    #   max|r| < newton_tol — tightest realization) or "rms"
+    #   (|r|_2/sqrt(n_active) < newton_tol — the REFERENCE's stopping
+    #   rule, ``peswrapper.py:770``). With "rms" and newton_tol=1e-8
+    #   the batched solve takes the same iterates and stops on the same
+    #   iteration as the sequential tier's Newton fast path, enabling
+    #   1e-8 per-step tier parity (tests/test_tier_parity.py).
     geo_substeps: int = 16         # RK4 substeps of the geodesic
     #   fallback integrator (0 disables the fallback — Newton only)
     restart_after: int = 0         # stagnation restart (0 = disabled);
@@ -514,6 +521,13 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         def resid(x):
             return wrap_dq(q_target - batch_q(x)) * rows
 
+        n_act = jnp.maximum(jnp.sum(rows, axis=1), 1.0)
+
+        def stop_metric(r):
+            if getattr(cfg, "newton_stop", "inf") == "rms":
+                return jnp.linalg.norm(r, axis=1) / jnp.sqrt(n_act)
+            return jnp.max(jnp.abs(r), axis=1)
+
         r0 = resid(x_init)
         st = _NS(x_init, x_init, jnp.max(jnp.abs(r0), axis=1),
                  jnp.int32(0), jnp.zeros(x_init.shape[0], bool))
@@ -527,7 +541,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             better = rinf < st.r_best
             x_best = jnp.where(better[:, None], st.x, st.x_best)
             r_best = jnp.where(better, rinf, st.r_best)
-            done = st.done | (rinf < cfg.newton_tol)
+            done = st.done | (stop_metric(r) < cfg.newton_tol)
 
             Bm = batch_B(st.x) * rows[:, :, None]
             apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
@@ -705,7 +719,16 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         )
 
         # ---- quasi-Newton update with the REALIZED secant ----
-        dgq = gq_new - gq
+        # Parallel-transport the pre-step internal gradient into the
+        # post-step frame before differencing: the B-matrix rotates
+        # with the geometry, so the raw gq_new - gq secant mixes frame
+        # rotation into the curvature signal. The reference pulls the
+        # old gradient back to Cartesians with the OLD B+ and pushes it
+        # forward with the NEW B (``peswrapper.py:835-839``); same here,
+        # batched: g_par = B_new (B_old^T G_old^+ gq_old).
+        g0_cart = jnp.einsum("bij,bi->bj", Bm, apply_pinv(gq))
+        g_par = jnp.einsum("bij,bj->bi", Bm_new, g0_cart)
+        dgq = gq_new - g_par
         m1 = (jnp.linalg.norm(dq_real, axis=1) > 1e-10)[:, None]
         H2 = ts_bfgs_update_batched(
             H1, dq_real[:, :, None], dgq[:, :, None], m1 & act[:, None],

@@ -58,6 +58,11 @@ class IRCEnsembleConfig(NamedTuple):
     nproj: int = 6                # rigid modes for the endpoint test
     rs_maxiter: int = 24
     rs_tol: float = 1e-8
+    pivot_free: bool = True       # take the imaginary-mode pivot inside
+    #   the rigid-free subspace (safe for quasi-Newton H from an
+    #   ensemble run; see _mw_pivot). False = the reference's raw-eigh
+    #   pivot + first-nonzero sign rule (``irc.py:85-97``) — use for
+    #   strict tier parity when H_ts comes from a fresh full diag.
     # fields read by restricted_step_batched
     method: str = "qn"
     rs: str = "tr"
@@ -208,15 +213,23 @@ def make_irc_step_fn(potential, cfg: IRCEnsembleConfig,
             # inner exit: bound-clipped step with small path-orthogonal
             # force, OR the endpoint itself is converged (the
             # reference's ``elif self.converged(): break``,
-            # ``irc.py:137-138`` — forces-only here; the eigenvalue
-            # gate runs once per outer step below)
+            # ``irc.py:137-138``): small forces AND positive leftmost
+            # rigid-projected curvature — without the eigenvalue gate a
+            # lane would break out near the TS where total forces dip
+            # under fmax while the imaginary mode is still present
+            # (measured 2.7e-4 trajectory jump vs the sequential tier).
             fmax_cart = jnp.max(
                 jnp.linalg.norm(g_new.reshape(Bsz, n, 3), axis=2),
                 axis=1,
             )
+            Uxi = jax.vmap(lambda xx: free_basis(xx, cfg.nproj))(x_new)
+            Hpi = jnp.einsum(
+                "bij,bjk,bkl->bil", jnp.swapaxes(Uxi, 1, 2), H_new, Uxi
+            )
+            lam0i = batched_eigh(Hpi)[0][:, 0]
             done_new = st.done | (
                 moved & bound_clip & (fmax_mw < cfg.fmax_inner)
-            ) | (moved & (fmax_cart < cfg.fmax))
+            ) | (moved & (fmax_cart < cfg.fmax) & (lam0i > 0))
             return _Inner(
                 x=jnp.where(moved[:, None], x_new, st.x),
                 f=jnp.where(moved, f_new, st.f),
@@ -288,13 +301,34 @@ def _mw_pivot(x_ts: jnp.ndarray, H_ts: jnp.ndarray,
         _, V = batched_eigh(A)
         return Uw @ V[:, 0]
 
-    vw = jax.vmap(leftmost_mw_mode)(x_ts, H_ts)
+    def leftmost_mw_mode_raw(x, H):
+        # the reference's rule verbatim (``irc.py:89-91``): raw eigh of
+        # Hw with NO rigid-subspace projection. Only safe when H comes
+        # from a fresh full diagonalization at the TS (clean rigid
+        # blocks) — which is how the reference always reaches this code.
+        Hw = H / (sqrtm[:, None] * sqrtm[None, :])
+        _, V = batched_eigh(Hw)
+        return V[:, 0]
+
+    mode = (leftmost_mw_mode if getattr(cfg, "pivot_free", True)
+            else leftmost_mw_mode_raw)
+    vw = jax.vmap(mode)(x_ts, H_ts)
     v0 = vw / sqrtm[None, :]
     v0 = cfg.dx * v0 / jnp.linalg.norm(
         v0 * sqrtm[None, :], axis=1, keepdims=True
     )
     b = jnp.arange(Bsz)
-    lead = v0[b, jnp.argmax(jnp.abs(v0), axis=1)]
+    if getattr(cfg, "pivot_free", True):
+        # canonical sign: largest-|component| positive (the reference's
+        # first-nonzero rule is not meaningful after projection)
+        lead = v0[b, jnp.argmax(jnp.abs(v0), axis=1)]
+    else:
+        # the reference's sign rule: first non-(numerically-)zero
+        # component positive (``irc.py:94-97``)
+        nz = jnp.abs(v0) > 1e-12 * jnp.max(
+            jnp.abs(v0), axis=1, keepdims=True
+        )
+        lead = v0[b, jnp.argmax(nz, axis=1)]
     return v0 * jnp.where(lead < 0, -1.0, 1.0)[:, None]
 
 

@@ -50,6 +50,7 @@ class InternalPES(PES):
         iterative_stepper: int = 0,
         exact_geodesic: bool = True,
         geodesic_integrator: str = "lsoda",
+        newton_tol: float = 1e-8,
         **kwargs,
     ) -> None:
         self.int_orig = internals
@@ -80,6 +81,11 @@ class InternalPES(PES):
         # geodesic ODE; 1: Newton fast path with ODE fallback.
         self.iterative_stepper = iterative_stepper
         self.geodesic_integrator = geodesic_integrator
+        # Newton fast-path stopping tolerance on the rms internal
+        # residual (the reference hardcodes 1e-8, ``peswrapper.py:770``;
+        # kept settable so cross-tier parity tests can tighten both
+        # tiers below the trajectory-match bar).
+        self.newton_tol = newton_tol
         # Recompute B+ at every geodesic substep (True) or freeze the
         # step-start B+ for the whole integration (False) — the
         # reference's ``exact_geodesic`` toggle (``peswrapper.py:657,
@@ -198,7 +204,7 @@ class InternalPES(PES):
             rms = np.linalg.norm(residual) / np.sqrt(max(len(residual), 1))
             if initial_rms is None:
                 initial_rms = rms
-            if rms < 1e-8:
+            if rms < self.newton_tol:
                 break
             if rms > initial_rms * 2.0:
                 self._set_flat_pos(pos0)
