@@ -12,8 +12,11 @@ hit ``q_after_cell + dq`` — exactly the reference's sequencing
 
 Design (TPU-first):
 
-* ONE topology and ONE reference cell shared by all lanes; per-lane
-  cells differ through the ``s`` parameters (ordinary DOF). The
+* ONE shared topology layout; per-lane activity rows (``qact``) mask
+  which entries a lane uses (the repave/Niggli union mechanics of the
+  internal tier). Per-lane reference cells (``cell0``) are state, so
+  per-lane Niggli rebases run without recompiling; per-lane cells
+  differ further through the ``s`` parameters (ordinary DOF). The
   internal engine evaluates q/B at a traced per-lane cell, so periodic
   image vectors ride the deformation automatically.
 * The enthalpy ``E + P |det cell|`` is one differentiable jax scalar of
@@ -133,11 +136,22 @@ class CellInternalSearchState(NamedTuple):
     converged: jnp.ndarray
     nsteps: jnp.ndarray
     neval: jnp.ndarray
+    cell0: jnp.ndarray        # (B, 3, 3) per-lane base cell — the
+    #   log-deformation reference; constant between rebase events.
+    #   :func:`niggli_rebase_cell_internal_lanes` replaces a skewed
+    #   lane's base with a reduced lattice basis, zeroes its params and
+    #   remaps its image vectors (reference ``optimize.py:437-440`` +
+    #   ``peswrapper.py:1521-1567``).
+    qact: jnp.ndarray         # (B, nint) per-lane active topology rows
+    #   (all True until a repave/Niggli event diversifies lanes)
 
 
-def _cell_map(cfg: CellInternalEnsembleConfig, cell0,
+def _cell_map(cfg: CellInternalEnsembleConfig,
               cell_mask: Optional[np.ndarray]):
-    """(cell_of, enthalpy) closures shared by step/init."""
+    """(cell_of, enthalpy) closures shared by step/init. Both take the
+    lane's base cell ``c0`` as an ordinary traced argument so one
+    compiled step serves every per-lane base (Niggli rebases are pure
+    state updates)."""
     if cell_mask is None:
         cell_mask = np.ones((3, 3), dtype=bool)
     mask_flat = jnp.asarray(
@@ -150,12 +164,11 @@ def _cell_map(cfg: CellInternalEnsembleConfig, cell0,
         )
     factor = (cfg.exp_cell_factor if cfg.exp_cell_factor > 0
               else float(cfg.natoms))
-    cell0 = jnp.asarray(cell0)
     pressure = cfg.scalar_pressure
 
-    def cell_of(s):
+    def cell_of(s, c0):
         L = jnp.zeros(9, s.dtype).at[mask_flat].set(s).reshape(3, 3)
-        return expm(L / factor) @ cell0
+        return expm(L / factor) @ c0
 
     def make_enthalpy(potential):
         if not getattr(potential, "has_stress", True):
@@ -167,8 +180,8 @@ def _cell_map(cfg: CellInternalEnsembleConfig, cell0,
                 "tiers."
             )
 
-        def enthalpy(x, s):
-            cell = cell_of(s)
+        def enthalpy(x, s, c0):
+            cell = cell_of(s, c0)
             e = potential.energy(x, cell)
             if pressure != 0.0:
                 e = e + pressure * jnp.abs(jnp.linalg.det(cell))
@@ -237,13 +250,13 @@ def _rigid_maps(ints, cfg: CellInternalEnsembleConfig, cell_of):
 
     dcell_of = jax.jacfwd(cell_of)                # s -> (3, 3, ncell)
 
-    def gs_corr(g_flat, x_flat, s):
+    def gs_corr(g_flat, x_flat, s, c0):
         gm = g_flat.reshape(n, 3)
         pos = x_flat.reshape(n, 3)
         com = _coms(pos)
-        cell = cell_of(s)
+        cell = cell_of(s, c0)
         inv_c = inv3(cell)
-        D = dcell_of(s)                           # (3, 3, ncell)
+        D = dcell_of(s, c0)                       # (3, 3, ncell)
         A = jnp.einsum("ij,jlk->ilk", inv_c, D)   # com part, (3,3,ncell)
         dF = jnp.einsum("ijk,jl->ilk", D, inv_c)  # (3, 3, ncell)
         S = 0.5 * (dF - jnp.swapaxes(dF, 0, 1))   # skew(dF)
@@ -283,7 +296,8 @@ def make_cell_internal_step_fn(
     n = cfg.natoms
     nint = cfg.nint
 
-    cell_of, make_enthalpy = _cell_map(cfg, cell0, cell_mask)
+    del cell0  # back-compat arg; the base cell is per-lane STATE
+    cell_of, make_enthalpy = _cell_map(cfg, cell_mask)
     enthalpy = make_enthalpy(potential)
     batch_eval = jax.vmap(jax.value_and_grad(enthalpy, argnums=(0, 1)))
 
@@ -336,9 +350,10 @@ def make_cell_internal_step_fn(
         )
         return jnp.concatenate([top, bot], axis=1)
 
-    def newton_set_x(x0, cells, q_after, dq_target):
+    def newton_set_x(x0, cells, q_after, dq_target, rows):
         """Find x with q(x; cell_new) = q_after + dq_target (masked
-        Newton, best-iterate tracking; fixed components pinned)."""
+        Newton, best-iterate tracking; fixed components pinned,
+        inactive rows ignored)."""
         q_target = q_after + dq_target
         if ncons:
             q_target = q_target.at[:, cons_idx].set(cons_target[None])
@@ -351,7 +366,7 @@ def make_cell_internal_step_fn(
             done: jnp.ndarray
 
         def resid(x):
-            return wrap_dq(q_target - batch_q(x, cells))
+            return wrap_dq(q_target - batch_q(x, cells)) * rows
 
         r0 = resid(x0)
         st = _NS(x0, x0, jnp.max(jnp.abs(r0), axis=1), jnp.int32(0),
@@ -368,7 +383,7 @@ def make_cell_internal_step_fn(
             r_best = jnp.where(better, rinf, st.r_best)
             done = st.done | (rinf < cfg.newton_tol)
 
-            Bm = batch_B(st.x, cells)
+            Bm = batch_B(st.x, cells) * rows[:, :, None]
             apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
             dx = jnp.einsum("bki,bk->bi", Bm, apply_pinv(r))
             x_new = jnp.where(done[:, None], st.x, st.x + dx)
@@ -386,9 +401,10 @@ def make_cell_internal_step_fn(
              ) -> CellInternalSearchState:
         Bsz = state.x.shape[0]
         act = ~state.converged
+        rows = state.qact.astype(state.x.dtype)
 
-        cells = batch_cell(state.s)
-        Bm = batch_B(state.x, cells)
+        cells = batch_cell(state.s, state.cell0)
+        Bm = batch_B(state.x, cells) * rows[:, :, None]
         apply_pinv, Ured_q = _gram_pinv(Bm, cfg.nred)
         Ufree_q = _split_fixed(Ured_q, cons_idx, ncons)
         Ufree_z = blockdiag_free(Ufree_q)           # (B, nz, nfree)
@@ -404,11 +420,11 @@ def make_cell_internal_step_fn(
             norm_fn=mis_norm,
         )
         dz_pred = jnp.where(act[:, None], dz_pred, 0.0)
-        dq_pred, ds = dz_pred[:, :nint], dz_pred[:, nint:]
+        dq_pred, ds = dz_pred[:, :nint] * rows, dz_pred[:, nint:]
 
         # ---- apply: cell first, then internals at the new cell ----
         s_new = state.s + ds
-        cells_new = batch_cell(s_new)
+        cells_new = batch_cell(s_new, state.cell0)
         if cfg.rigid_fragments:
             # rigid transport to the new cell: fragments keep their
             # internal geometry, so intra-fragment internals are exact
@@ -419,17 +435,18 @@ def make_cell_internal_step_fn(
             x_base = state.x
         q_after = wrap_dq(batch_q(x_base, cells_new) - state.q
                           ) + state.q
-        x_new = newton_set_x(x_base, cells_new, q_after, dq_pred)
+        x_new = newton_set_x(x_base, cells_new, q_after, dq_pred, rows)
         x_new = jnp.where(act[:, None], x_new, state.x)
         q_new = wrap_dq(batch_q(x_new, cells_new) - state.q) + state.q
 
-        f_new, (g_new, gs_new) = batch_eval(x_new, s_new)
+        f_new, (g_new, gs_new) = batch_eval(x_new, s_new, state.cell0)
         if cfg.rigid_fragments:
             # total cell derivative along the transported path
-            gs_new = gs_new + batch_gs_corr(g_new, x_new, s_new)
+            gs_new = gs_new + batch_gs_corr(g_new, x_new, s_new,
+                                            state.cell0)
         neval = state.neval + act.astype(jnp.int32)
 
-        Bm_new = batch_B(x_new, cells_new)
+        Bm_new = batch_B(x_new, cells_new) * rows[:, :, None]
         apply_pinv_new, Ured_q_new = _gram_pinv(Bm_new, cfg.nred)
         gq_new = apply_pinv_new(
             jnp.einsum("bij,bj->bi", Bm_new, g_new)
@@ -447,7 +464,7 @@ def make_cell_internal_step_fn(
 
         # ---- TS-BFGS with the realized z secant ----
         dz_real = jnp.concatenate(
-            [q_new - state.q, s_new - state.s], axis=1
+            [(q_new - state.q) * rows, s_new - state.s], axis=1
         )
         gz_new = jnp.concatenate([gq_new, gs_new], axis=1)
         # Parallel-transport the internal block of the old gradient
@@ -511,6 +528,8 @@ def make_cell_internal_step_fn(
             converged=conv_new,
             nsteps=state.nsteps + act.astype(jnp.int32),
             neval=neval,
+            cell0=state.cell0,
+            qact=state.qact,
         )
 
     return step
@@ -533,16 +552,20 @@ def init_cell_internal_state(
         s0 = jnp.asarray(s0).copy()
 
     engine = ints._get_engine()
-    cell_of, make_enthalpy = _cell_map(cfg, cell0, cell_mask)
+    cell_of, make_enthalpy = _cell_map(cfg, cell_mask)
     enthalpy = make_enthalpy(potential)
-    cells = jax.vmap(cell_of)(s0)
+    cell0 = jnp.asarray(cell0, dtype)
+    if cell0.ndim == 2:
+        cell0 = jnp.broadcast_to(cell0[None], (Bsz, 3, 3))
+    cell0 = cell0.copy()
+    cells = jax.vmap(cell_of)(s0, cell0)
 
     f, (g, gs) = jax.vmap(
         jax.value_and_grad(enthalpy, argnums=(0, 1))
-    )(x0, s0)
+    )(x0, s0, cell0)
     if cfg.rigid_fragments:
         _, gs_corr = _rigid_maps(ints, cfg, cell_of)
-        gs = gs + jax.vmap(gs_corr)(g, x0, s0)
+        gs = gs + jax.vmap(gs_corr)(g, x0, s0, cell0)
     q = jax.vmap(lambda x, c: engine._calc_impl(x.reshape(n, 3), c))(
         x0, cells
     )
@@ -572,7 +595,423 @@ def init_cell_internal_state(
         converged=jnp.zeros(Bsz, bool),
         nsteps=jnp.zeros(Bsz, jnp.int32),
         neval=jnp.ones(Bsz, jnp.int32),
+        cell0=cell0,
+        qact=jnp.ones((Bsz, cfg.nint), bool),
     )
+
+
+def realized_cells(state: CellInternalSearchState,
+                   cfg: CellInternalEnsembleConfig,
+                   cell_mask: Optional[np.ndarray] = None) -> jnp.ndarray:
+    """Per-lane realized cells ``expm(L(s)/factor) @ cell0``."""
+    cell_of, _ = _cell_map(cfg, cell_mask)
+    return jax.vmap(cell_of)(state.s, state.cell0)
+
+
+def _recompute_q_gq(state, merged, cfg, cell_mask):
+    """(q, gq) of every lane in the (possibly grown) masked layout at
+    the lane's realized cell. q continuity re-bases at principal
+    values — safe, all later differences are dihedral-wrapped."""
+    eng = merged._get_engine()
+    n = cfg.natoms
+    cells = realized_cells(state, cfg, cell_mask)
+    batch_q = jax.vmap(
+        lambda x, c: eng._calc_impl(x.reshape(n, 3), c)
+    )
+    batch_B = jax.vmap(
+        lambda x, c: eng._jac_impl(x.reshape(n, 3), c)
+    )
+    q = batch_q(state.x, cells)
+    Bm = batch_B(state.x, cells) * state.qact.astype(
+        state.x.dtype)[:, :, None]
+    apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+    gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, state.g))
+    return q, gq
+
+
+def repave_cell_internal_lanes(
+    state: CellInternalSearchState, ints,
+    cfg: CellInternalEnsembleConfig, bad,
+    cell_mask: Optional[np.ndarray] = None, atol_deg: float = 0.5,
+):
+    """Rebuild the topology of every ``bad`` lane from its CURRENT
+    geometry at its CURRENT realized cell and keep it converging
+    in-place — the combined-tier analogue of the internal tier's
+    :func:`~sella_tpu.parallel.ensemble_internal.repave_lanes`
+    (reference: the driver applies the bad-internal rebuild to every
+    PES class, ``optimize.py:384-410``; the cell classes inherit
+    ``update_internals`` through ``InternalPES``,
+    ``peswrapper.py:1129-1174``).
+
+    Mechanics mirror the internal tier: per-lane rediscovery (at the
+    lane's cell — periodic image offsets are integers in the lane's
+    ``cell0`` basis, which the smooth ``expm`` deformation preserves),
+    union-layout merge, per-lane ``qact`` rows, Hessian transfer of
+    the q-block through Cartesian space with the curvilinear
+    corrections. The z-space extras:
+
+    * the cell block ``H[ss]`` is parameterization-invariant under a
+      topology change and is carried over untouched;
+    * the cross block transfers through Cartesian space linearly,
+      ``H'[qs] = Bn^{+T} (Bo^T H[qs])`` (the ``dB/ds`` curvature term
+      is dropped — quasi-Newton secants repair it, same as the
+      sequential tier's transfer which only corrects the q-block).
+
+    Fixed internal coordinates survive (the rebuild folds ``ints.cons``
+    back into the lane topology); dummy-atom topologies are rejected at
+    tier construction. Returns ``(state', ints', cfg', repaved_mask)``;
+    rebuild the step function (and re-shard, if under a mesh) whenever
+    ``cfg'.nint`` grew.
+    """
+    from .ensemble_internal import (
+        _layout_offsets,
+        _membership_rows,
+        _old_to_new_map,
+        merge_novel_internals,
+        rebuild_internals_at,
+    )
+
+    bad = np.asarray(bad).copy()
+    lanes = np.where(bad)[0]
+    if lanes.size == 0:
+        return state, ints, cfg, bad
+
+    n = cfg.natoms
+    nint_old = cfg.nint
+    xs = np.asarray(state.x)
+    cells = np.asarray(realized_cells(state, cfg, cell_mask))
+    rebuilt = {
+        int(l): rebuild_internals_at(ints, xs[l].reshape(n, 3),
+                                     cell=cells[l])
+        for l in lanes
+    }
+    merged = ints
+    for r in rebuilt.values():
+        merged, _ = merge_novel_internals(merged, r)
+    nint_new = merged.nint
+    cfg_new = (cfg._replace(nint=nint_new)
+               if nint_new != cfg.nint else cfg)
+
+    # scatter every lane's old state into the new z layout: q rows move
+    # by the rigid block shifts, the trailing cell rows just translate
+    mp = _old_to_new_map(ints, merged)
+    mz = np.concatenate([mp, nint_new + np.arange(cfg.ncell)])
+    Bsz = xs.shape[0]
+    qact = np.zeros((Bsz, nint_new), bool)
+    qact[:, mp] = np.asarray(state.qact)
+    nz_new = nint_new + cfg.ncell
+    H = np.zeros((Bsz, nz_new, nz_new),
+                 dtype=np.asarray(state.H).dtype)
+    H[:, mz[:, None], mz[None, :]] = np.asarray(state.H)
+    novel = np.ones(nint_new, bool)
+    novel[mp] = False
+    if novel.any():
+        hg = np.diag(merged.guess_hessian())
+        H[:, np.where(novel)[0], np.where(novel)[0]] = (
+            hg[novel][None, :]
+        )
+
+    eng_old = ints._get_engine()
+    eng_new = merged._get_engine()
+    qact_old = np.asarray(state.qact)
+    gq_old_all = np.asarray(state.gq)
+    H_old_all = np.asarray(state.H)
+
+    for l in lanes:
+        lane = rebuilt[int(l)]
+        pos = xs[l].reshape(n, 3)
+        cell_l = jnp.asarray(cells[l])
+        rows_new = _membership_rows(merged, lane)
+        Bfull = np.asarray(eng_new._jac_impl(pos, cell_l))
+        Bn = Bfull * rows_new[:, None]
+        sv = np.linalg.svd(Bn, compute_uv=False)
+        if int(np.sum(sv > 1e-8 * max(sv[0], 1e-300))) < cfg.nred:
+            # rebuilt set too sparse: augment with previously active
+            # rows, EXCLUDING the near-singular angles that triggered
+            # the event
+            off_b, off_a, off_d, _, _ = _layout_offsets(merged)
+            qv = np.asarray(eng_new._calc_impl(pos, cell_l))
+            atol = np.radians(atol_deg)
+            sing = np.zeros(nint_new, bool)
+            sing[off_a:off_d] = (qv[off_a:off_d] < atol) | (
+                qv[off_a:off_d] > np.pi - atol
+            )
+            rows_new = rows_new | (qact[l] & ~sing)
+            Bn = Bfull * rows_new[:, None]
+            sv = np.linalg.svd(Bn, compute_uv=False)
+            if int(np.sum(sv > 1e-8 * max(sv[0], 1e-300))) < cfg.nred:
+                bad[l] = False      # cannot repave this lane
+                continue
+        # Hessian transfer through Cartesian space (q-block, exact
+        # curvilinear formula; cross block linear; cell block carried)
+        Bo = (np.asarray(eng_old._jac_impl(pos, cell_l))
+              * qact_old[l][:, None])
+        gq_o = gq_old_all[l]
+        g_cart = gq_o @ Bo
+        Binv = np.linalg.pinv(Bn)
+        gq_n = g_cart @ Binv
+        hld_o = np.asarray(
+            eng_old._hldot_impl(pos, cell_l, jnp.asarray(gq_o))
+        )
+        hld_n = np.asarray(
+            eng_new._hldot_impl(pos, cell_l, jnp.asarray(gq_n))
+        )
+        Hqq_o = H_old_all[l, :nint_old, :nint_old]
+        Hqs_o = H_old_all[l, :nint_old, nint_old:]
+        Hcart = Bo.T @ Hqq_o @ Bo + hld_o
+        H[int(l), :nint_new, :nint_new] = Binv.T @ (Hcart - hld_n) @ Binv
+        Hqs_n = Binv.T @ (Bo.T @ Hqs_o)
+        H[int(l), :nint_new, nint_new:] = Hqs_n
+        H[int(l), nint_new:, :nint_new] = Hqs_n.T
+        qact[int(l)] = rows_new
+
+    state = state._replace(
+        H=jnp.asarray(H), qact=jnp.asarray(qact),
+    )
+    q, gq = _recompute_q_gq(state, merged, cfg_new, cell_mask)
+    state = state._replace(q=q, gq=gq)
+    return state, merged, cfg_new, bad
+
+
+def niggli_rebase_cell_internal_lanes(
+    state: CellInternalSearchState, ints,
+    cfg: CellInternalEnsembleConfig,
+    cell_mask: Optional[np.ndarray] = None,
+    angle_threshold: float = 30.0,
+    potential=None,
+    pbc: Optional[np.ndarray] = None,
+):
+    """Per-lane cell rebase for the batched internal+cell tier — the
+    combined-tier analogue of
+    :func:`~sella_tpu.parallel.ensemble_cell.niggli_rebase_cell_lanes`
+    (reference trigger ``optimize.py:437-440``, transform
+    ``peswrapper.py:151-211, 1521-1567``).
+
+    For every unconverged lane whose realized cell has an angle more
+    than ``angle_threshold`` degrees from 90:
+
+    1. reduce the lattice basis (same lattice, compact rows;
+       ``new_cell = M @ cell`` with integer unimodular M),
+    2. reset the lane's base cell to the reduced cell and zero its
+       log-deformation params (positions untouched — the chart change
+       stays exact, see the cell-tier production note),
+    3. REMAP the lane's periodic image offsets: an entry with offset
+       ``nc`` in the old basis describes the same physical vector as
+       ``nc @ M^{-1}`` in the new basis. Remapped entries are merged
+       into the shared union layout as (possibly novel) rows and the
+       lane's ``qact`` flips to exactly the remapped set — the same
+       union mechanics as a repave, so other lanes are untouched,
+    4. transform the Hessian: q rows/cols permute to their remapped
+       positions; the cell block (and cross columns) transform by
+       ``T = J_old^{-1} (M^{-1} ⊗ I) J_new`` (exact chain rule — the
+       reference drops the ``M^{-1}`` factor; see
+       tests/test_cell_niggli_batched.py).
+
+    Constraints on coordinates with nonzero image offsets cannot be
+    remapped (their records pin one specific ``ncvec``) and raise.
+    With ``potential`` given, (f, g, gs) of the rebased lanes are
+    re-evaluated (same physical point; the cell gradient's
+    parameterization changed). Returns
+    ``(state', ints', cfg', rebased_mask)``; rebuild the step function
+    whenever ``cfg'.nint`` grew (no growth -> no recompile).
+    """
+    from types import SimpleNamespace
+
+    from ..coords import topology as topo_mod
+    from ..pes.cell import _cell_param_jacobian
+    from ..utils.lattice import reduce_cell_basis
+    from .ensemble_internal import (
+        _layout_offsets,
+        _old_to_new_map,
+        merge_novel_internals,
+    )
+
+    for rec in ints.cons._iter_records(only_active=False):
+        nc = rec.ncvecs
+        if nc is not None and np.any(np.asarray(nc) != 0):
+            raise NotImplementedError(
+                "niggli rebase cannot remap constraints pinned to "
+                "nonzero periodic image offsets"
+            )
+
+    if cell_mask is None:
+        cell_mask = np.ones((3, 3), dtype=bool)
+    if pbc is None:
+        periodic_axes = (0, 1, 2)
+    else:
+        pbc = np.asarray(pbc, dtype=bool)
+        periodic_axes = tuple(i for i in range(3) if pbc[i])
+    axis_pairs = [
+        (i, j) for ai, i in enumerate(periodic_axes)
+        for j in periodic_axes[ai + 1:]
+    ]
+    midx = np.where(np.asarray(cell_mask, bool).ravel())[0]
+    factor = (cfg.exp_cell_factor if cfg.exp_cell_factor > 0
+              else float(cfg.natoms))
+    nint_old = cfg.nint
+
+    def _angle_dev(cell):
+        norms = np.linalg.norm(cell, axis=1)
+        if np.any(norms[list(periodic_axes)] < 1e-10):
+            return None              # degenerate row: skip, don't NaN
+        devs = [0.0]
+        for i, j in axis_pairs:
+            c = cell[i] @ cell[j] / (norms[i] * norms[j])
+            devs.append(
+                abs(np.degrees(np.arccos(np.clip(c, -1, 1))) - 90.0)
+            )
+        return max(devs)
+
+    ss = np.asarray(state.s).copy()
+    c0 = np.asarray(state.cell0).copy()
+    conv = np.asarray(state.converged)
+    cells = np.asarray(realized_cells(state, cfg, cell_mask))
+    Bsz = ss.shape[0]
+    rebased = np.zeros(Bsz, bool)
+    qact_old = np.asarray(state.qact)
+    off_b, off_a, off_d, off_o, _ = _layout_offsets(ints)
+
+    # -- pass 1: decide per-lane rebases, build remapped topologies ----
+    plans = {}
+    for lane in range(Bsz):
+        if conv[lane]:
+            continue
+        cell = cells[lane]
+        dev = _angle_dev(cell)
+        if dev is None or dev <= angle_threshold:
+            continue
+        new_cell, M = reduce_cell_basis(cell, pbc=pbc)
+        new_dev = _angle_dev(new_cell)
+        if new_dev is None or new_dev >= dev - 1e-9:
+            continue                     # reduction gained nothing
+        Minv = np.rint(np.linalg.inv(M)).astype(np.int64)
+        assert np.array_equal(M @ Minv, np.eye(3, dtype=np.int64))
+        # remapped topology of the lane's ACTIVE rows; records the
+        # old-row -> key pairing for the Hessian permutation below
+        lane_topo = SimpleNamespace(bonds=[], angles=[], dihedrals=[])
+        src_rows, keys = [], []
+        for m, (i, j, nc) in enumerate(ints.bonds):
+            r = off_b + m
+            if not qact_old[lane, r]:
+                continue
+            nc2 = np.asarray(nc, np.int64) @ Minv
+            lane_topo.bonds.append((i, j, nc2))
+            src_rows.append(r)
+            keys.append(("b", topo_mod._bond_key(i, j, nc2)))
+        for m, (i, j, k, ncvs) in enumerate(ints.angles):
+            r = off_a + m
+            if not qact_old[lane, r]:
+                continue
+            nc2 = np.asarray(ncvs, np.int64) @ Minv
+            lane_topo.angles.append((i, j, k, nc2))
+            src_rows.append(r)
+            keys.append(("a", topo_mod._angle_key(i, j, k, nc2)))
+        for m, (i, j, k, l2, ncvs) in enumerate(ints.dihedrals):
+            r = off_d + m
+            if not qact_old[lane, r]:
+                continue
+            nc2 = np.asarray(ncvs, np.int64) @ Minv
+            lane_topo.dihedrals.append((i, j, k, l2, nc2))
+            src_rows.append(r)
+            keys.append(("d", topo_mod._dihedral_key(i, j, k, l2, nc2)))
+        plans[lane] = (new_cell, M, lane_topo, src_rows, keys)
+        rebased[lane] = True
+
+    if not rebased.any():
+        return state, ints, cfg, jnp.asarray(rebased)
+
+    merged = ints
+    for (_, _, lane_topo, _, _) in plans.values():
+        merged, _ = merge_novel_internals(merged, lane_topo)
+    nint_new = merged.nint
+    cfg_new = (cfg._replace(nint=nint_new)
+               if nint_new != cfg.nint else cfg)
+
+    # merged-layout key -> row index
+    offs = _layout_offsets(merged)
+    key_pos = {}
+    for m, (i, j, nc) in enumerate(merged.bonds):
+        key_pos[("b", topo_mod._bond_key(i, j, nc))] = offs[0] + m
+    for m, (i, j, k, ncvs) in enumerate(merged.angles):
+        key_pos[("a", topo_mod._angle_key(i, j, k, ncvs))] = offs[1] + m
+    for m, (i, j, k, l2, ncvs) in enumerate(merged.dihedrals):
+        key_pos[("d", topo_mod._dihedral_key(i, j, k, l2, ncvs))] = (
+            offs[2] + m
+        )
+
+    # scatter every lane into the new z layout (rigid block shifts)
+    mp = _old_to_new_map(ints, merged)
+    mz = np.concatenate([mp, nint_new + np.arange(cfg.ncell)])
+    qact = np.zeros((Bsz, nint_new), bool)
+    qact[:, mp] = qact_old
+    nz_new = nint_new + cfg.ncell
+    H = np.zeros((Bsz, nz_new, nz_new),
+                 dtype=np.asarray(state.H).dtype)
+    H[:, mz[:, None], mz[None, :]] = np.asarray(state.H)
+    novel = np.ones(nint_new, bool)
+    novel[mp] = False
+    if novel.any():
+        hg = np.diag(merged.guess_hessian())
+        H[:, np.where(novel)[0], np.where(novel)[0]] = (
+            hg[novel][None, :]
+        )
+    H_old_all = np.asarray(state.H)
+
+    for lane, (new_cell, M, lane_topo, src_rows, keys) in plans.items():
+        # source rows: always-active trans/other/rotation rows keep
+        # their (shifted) positions; remapped rows go to their keys
+        src = np.concatenate([
+            np.arange(off_b),                      # translations
+            np.arange(off_o, nint_old),            # others + rotations
+            np.asarray(src_rows, np.int64),
+        ]).astype(np.int64)
+        tgt = np.concatenate([
+            mp[:off_b],
+            mp[off_o:nint_old],
+            np.asarray([key_pos[k] for k in keys], np.int64),
+        ]).astype(np.int64)
+        assert len(np.unique(tgt)) == len(tgt)
+
+        L = np.zeros(9)
+        L[midx] = ss[lane]
+        L = L.reshape(3, 3)
+        J_old = _cell_param_jacobian(L, c0[lane], factor)
+        J_new = _cell_param_jacobian(np.zeros((3, 3)), new_cell,
+                                     factor)
+        K = np.kron(np.linalg.inv(M), np.eye(3))
+        T = np.linalg.solve(J_old, K @ J_new)[np.ix_(midx, midx)]
+
+        Hl = np.zeros((nz_new, nz_new), H.dtype)
+        hg = np.diag(merged.guess_hessian())
+        Hl[:nint_new, :nint_new] = np.diag(hg)
+        Hqq_o = H_old_all[lane, :nint_old, :nint_old]
+        Hqs_o = H_old_all[lane, :nint_old, nint_old:]
+        Hss_o = H_old_all[lane, nint_old:, nint_old:]
+        Hl[tgt[:, None], tgt[None, :]] = Hqq_o[src[:, None],
+                                               src[None, :]]
+        cross = Hqs_o[src] @ T
+        Hl[tgt, nint_new:] = cross
+        Hl[nint_new:, tgt] = cross.T
+        Hl[nint_new:, nint_new:] = T.T @ Hss_o @ T
+        H[lane] = Hl
+
+        qact[lane] = False
+        qact[lane, tgt] = True
+        ss[lane] = 0.0
+        c0[lane] = new_cell
+
+    state = state._replace(
+        s=jnp.asarray(ss), cell0=jnp.asarray(c0),
+        H=jnp.asarray(H), qact=jnp.asarray(qact),
+    )
+    q, gq = _recompute_q_gq(state, merged, cfg_new, cell_mask)
+    state = state._replace(q=q, gq=gq)
+    if potential is not None:
+        state = refresh_cell_internal(
+            state, potential, merged, cfg_new, None,
+            cell_mask=cell_mask, mask=jnp.asarray(rebased),
+        )
+    return state, merged, cfg_new, jnp.asarray(rebased)
 
 
 def run_cell_internal_ensemble(
@@ -580,40 +1019,100 @@ def run_cell_internal_ensemble(
     cell0, cell_mask: Optional[np.ndarray] = None,
     s0: Optional[jnp.ndarray] = None, max_steps: int = 100,
     mesh=None, seed: int = 0, steps_per_call: int = 1,
+    repave: bool = False, repave_atol_deg: float = 0.5,
+    max_repaves_per_lane: int = 2,
+    niggli: bool = False, niggli_threshold: float = 30.0,
+    pbc: Optional[np.ndarray] = None,
 ):
-    """Host loop driving the jitted batched internal+cell step."""
-    step = make_cell_internal_step_fn(potential, ints, cfg, cell0,
-                                      cell_mask)
+    """Host loop driving the jitted batched internal+cell step.
 
-    def multi_step(state, key):
-        def body(i, st):
-            return step(st, jax.random.fold_in(key, i))
+    ``repave=True`` enables per-lane bad-internal recovery
+    (:func:`repave_cell_internal_lanes`) and ``niggli=True`` enables
+    per-lane cell rebases (:func:`niggli_rebase_cell_internal_lanes`)
+    between jitted calls — the combined-tier analogues of the
+    reference driver's universal bad-internal/Niggli events
+    (``optimize.py:384-410, 437-440``). When the union layout grows,
+    the step function is rebuilt (one recompile per growth event) and
+    sharding is re-applied. With either flag the return value is
+    ``(state, ints)`` — the final topology is needed to interpret
+    ``state.q``.
+    """
+    def _make_multi(step_fn):
+        def multi_step(state, key):
+            def body(i, st):
+                return step_fn(st, jax.random.fold_in(key, i))
 
-        return jax.lax.fori_loop(0, steps_per_call, body, state)
+            return jax.lax.fori_loop(0, steps_per_call, body, state)
+
+        return jax.jit(multi_step, donate_argnums=0)
 
     state = init_cell_internal_state(potential, ints, x0, cfg, cell0,
                                      cell_mask, s0)
 
-    if mesh is not None:
+    def _shard(st):
+        if mesh is None:
+            return st
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        state = jax.tree.map(
+        return jax.tree.map(
             lambda a: jax.device_put(
                 a,
                 NamedSharding(
                     mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
                 ),
             ),
-            state,
+            st,
         )
 
-    multi_jit = jax.jit(multi_step, donate_argnums=0)
+    state = _shard(state)
+    multi_jit = _make_multi(
+        make_cell_internal_step_fn(potential, ints, cfg, cell0,
+                                   cell_mask)
+    )
     key = jax.random.PRNGKey(seed)
     n_calls = (max_steps + steps_per_call - 1) // steps_per_call
+    nrepaves = np.zeros(state.x.shape[0], np.int64)
     for i in range(n_calls):
+        if repave or niggli:
+            nint_before = cfg.nint
+            changed = False
+            if repave:
+                from .ensemble_internal import bad_internals_mask
+
+                bad = np.array(
+                    bad_internals_mask(state, ints, repave_atol_deg)
+                )
+                bad &= ~np.asarray(state.converged)
+                bad &= nrepaves < max_repaves_per_lane
+                if bad.any():
+                    state, ints, cfg, _ = repave_cell_internal_lanes(
+                        state, ints, cfg, bad, cell_mask,
+                        atol_deg=repave_atol_deg,
+                    )
+                    nrepaves[bad] += 1      # count attempts, even failed
+                    changed = True
+            if niggli:
+                state, ints, cfg, hit = (
+                    niggli_rebase_cell_internal_lanes(
+                        state, ints, cfg, cell_mask,
+                        angle_threshold=niggli_threshold,
+                        potential=potential, pbc=pbc,
+                    )
+                )
+                changed = changed or bool(np.asarray(hit).any())
+            if changed:
+                if cfg.nint != nint_before:
+                    multi_jit = _make_multi(
+                        make_cell_internal_step_fn(
+                            potential, ints, cfg, cell0, cell_mask
+                        )
+                    )
+                state = _shard(state)
         state = multi_jit(state, jax.random.fold_in(key, i))
         if bool(jnp.all(state.converged)):
             break
+    if repave or niggli:
+        return state, ints
     return state
 
 
@@ -624,24 +1123,28 @@ def refresh_cell_internal(
     mask: Optional[jnp.ndarray] = None,
 ) -> CellInternalSearchState:
     """Recompute (f, g, gs, q, gq) for all lanes — call once after a
-    refill; only ``mask`` lanes' neval counters advance."""
+    refill; only ``mask`` lanes' neval counters advance. ``cell0`` is
+    accepted for back-compat but unused (the base cell is per-lane
+    state)."""
+    del cell0
     engine = ints._get_engine()
     n = cfg.natoms
-    cell_of, make_enthalpy = _cell_map(cfg, cell0, cell_mask)
+    cell_of, make_enthalpy = _cell_map(cfg, cell_mask)
     enthalpy = make_enthalpy(potential)
-    cells = jax.vmap(cell_of)(state.s)
+    cells = jax.vmap(cell_of)(state.s, state.cell0)
     f, (g, gs) = jax.vmap(
         jax.value_and_grad(enthalpy, argnums=(0, 1))
-    )(state.x, state.s)
+    )(state.x, state.s, state.cell0)
     if cfg.rigid_fragments:
         _, gs_corr = _rigid_maps(ints, cfg, cell_of)
-        gs = gs + jax.vmap(gs_corr)(g, state.x, state.s)
+        gs = gs + jax.vmap(gs_corr)(g, state.x, state.s, state.cell0)
     q = jax.vmap(lambda x, c: engine._calc_impl(x.reshape(n, 3), c))(
         state.x, cells
     )
     Bm = jax.vmap(lambda x, c: engine._jac_impl(x.reshape(n, 3), c))(
         state.x, cells
     )
+    Bm = Bm * state.qact.astype(Bm.dtype)[:, :, None]
     apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
     gq = apply_pinv(jnp.einsum("bij,bj->bi", Bm, g))
     inc = 1 if mask is None else mask.astype(state.neval.dtype)
@@ -667,6 +1170,7 @@ def run_cell_internal_ensemble_queue(
         s0_all = jnp.zeros((total, cfg.ncell), dtype)
     else:
         s0_all = jnp.asarray(s0_all, dtype)
+    cell0_j = jnp.asarray(cell0, dtype)
 
     step = jax.jit(
         make_cell_internal_step_fn(potential, ints, cfg, cell0,
@@ -738,6 +1242,10 @@ def run_cell_internal_ensemble_queue(
             ),
             nsteps=jnp.where(take_j, 0, state.nsteps),
             neval=jnp.where(take_j, 0, state.neval),
+            # refilled lanes restart from the shared base cell and the
+            # full shared topology
+            cell0=jnp.where(take_j[:, None, None], cell0_j, state.cell0),
+            qact=jnp.where(tk, True, state.qact),
         )
         if take.any():
             state = refresh_cell_internal(

@@ -968,15 +968,26 @@ def _layout_offsets(ints):
     return off_b, off_a, off_d, off_o, off_r
 
 
-def rebuild_internals_at(ints, pos: np.ndarray):
+def rebuild_internals_at(ints, pos: np.ndarray,
+                         cell: Optional[np.ndarray] = None):
     """Rebuild a fresh topology from the given geometry, mirroring the
     reference's rebuild (``peswrapper.py:1134-1140``: copy the pristine
     container, re-run discovery) — except linear centers get NO dummy
     atom (the atom count is a static shape in the batched tier); their
-    bending DOF must be covered by redundant coordinates instead."""
+    bending DOF must be covered by redundant coordinates instead.
+
+    ``cell`` overrides the discovery cell (per-lane realized cells in
+    the internal+cell tier). Constrained coordinates are folded back in
+    by the :class:`~sella_tpu.coords.internals.Internals` constructor
+    (it registers every ``cons`` record), so a repaved lane never loses
+    its fixed internals."""
     at = ints.atoms.copy()
     at.set_positions(pos)
-    new = type(ints)(at, allow_fragments=ints.allow_fragments,
+    if cell is not None:
+        at.set_cell(np.asarray(cell))
+    cons = ints.cons.copy()
+    cons.atoms = at
+    new = type(ints)(at, cons, allow_fragments=ints.allow_fragments,
                      atol_deg=float(np.degrees(ints.atol)))
     new.forbidden = {g: set(s) for g, s in ints.forbidden.items()}
     new.find_all_bonds()
@@ -1087,12 +1098,18 @@ def repave_lanes(state: InternalSearchState, ints, cfg, bad,
     grows when the union gained entries — rebuild the step function
     (and re-shard, if under a mesh) whenever it does.
     """
-    if cfg.ncons or cfg.ndummies:
+    if cfg.ndummies:
         raise NotImplementedError(
-            "repave supports unconstrained, dummy-free topologies; "
-            "constrained/dummy lanes use the sequential tier or the "
-            "queue's Cartesian spill"
+            "repave supports dummy-free topologies (a dummy atom "
+            "changes the static DOF count); dummy lanes use the "
+            "sequential tier or the queue's Cartesian spill"
         )
+    # Fixed internal coordinates survive a repave: the rebuild folds
+    # every ``ints.cons`` record back into the lane topology (the
+    # Internals constructor registers them), so the constrained rows
+    # are always members of the rebuilt row set and
+    # ``fixed_internal_constraints`` re-resolves their (possibly
+    # shifted) positions when the step function is rebuilt.
     if cell is None:
         cell = jnp.zeros((3, 3))
     bad = np.asarray(bad).copy()

@@ -244,6 +244,42 @@ def fcc111_slab(symbol: str, a: float, size=(4, 4, 3), vacuum: float = 10.0):
     return atoms
 
 
+def fcc111_primitive(symbol: str, a: float, size=(5, 5, 6),
+                     vacuum: float = 10.0):
+    """fcc(111) slab on the primitive (rhombic) surface cell — any
+    ``(nx, ny, nz)``, including the odd sizes the orthogonal builder
+    (:func:`fcc111_slab`) cannot close periodically. This is the
+    builder for the BASELINE config-1 system (reference README example
+    ``/root/reference/README.md:10-39``: Cu(111) 5x5x6 + adsorbate).
+
+    In-plane lattice vectors ``a1 = d (1, 0)``,
+    ``a2 = d (1/2, sqrt(3)/2)`` with ``d = a/sqrt(2)`` the nn
+    distance; ABC stacking shifts each layer by ``(a1 + a2)/3`` and
+    ``dz = a/sqrt(3)`` (verified: every interlayer nn distance is
+    exactly ``d``)."""
+    from ..atoms import Atoms
+
+    nx, ny, nz = size
+    d = a / np.sqrt(2.0)
+    a1 = np.array([d, 0.0, 0.0])
+    a2 = np.array([d / 2.0, d * np.sqrt(3.0) / 2.0, 0.0])
+    dz = a / np.sqrt(3.0)
+    pos = []
+    for iz in range(nz):
+        for iy in range(ny):
+            for ix in range(nx):
+                f = iz / 3.0
+                pos.append((ix + f) * a1 + (iy + f) * a2
+                           + np.array([0.0, 0.0, iz * dz]))
+    pos = np.array(pos)
+    cell = np.array([nx * a1, ny * a2,
+                     [0.0, 0.0, nz * dz + vacuum]])
+    pos[:, 2] += vacuum / 2.0
+    atoms = Atoms([symbol] * len(pos), pos, cell=cell, pbc=True)
+    atoms.calc = EMT(atoms.numbers, pbc=True)
+    return atoms
+
+
 class BinnedEMT(Potential):
     """O(N) cell-binned EMT — the large-system path for the fcc-metal
     family.

