@@ -1,9 +1,13 @@
-"""North-star ensemble benchmark (BASELINE.json configs 1 & 4).
+"""North-star ensemble benchmark (BASELINE.json configs 1, 3, 4, 5).
 
 Headline (default): batched **EMT** Cu(111) slab + Cu-adatom first-order
-saddle refinements — converged searches/sec/chip — plus a 4096-lane LJ4
-ensemble in the same run (reported in ``extra``). Set
-``BENCH_CONFIG=lj4`` to make the LJ4 ensemble the headline (skips EMT).
+saddle refinements at the north-star tolerance **fmax=1e-3** —
+converged searches/sec/chip. The same run reports in ``extra``: the
+0.02 screening-gate rate, the TRUE BASELINE-size 5x5x6+adsorbate slab
+(151 atoms / 453 DOF, ``emt151``), the bulk-Cu atom+cell tier
+(``cell``), the 10k-atom matrix-free path (``largescale``), and a
+4096-search LJ4 work queue (``lj4``). Set ``BENCH_CONFIG=lj4`` to make
+the LJ4 ensemble the headline (skips EMT).
 
 Accounting rules (fixing the round-1 warmup skew): lanes that converge
 during the untimed compile/warmup chunk are excluded from the rate; the
@@ -97,7 +101,14 @@ import time
 
 import numpy as np
 
-SEQ_BASELINE = {"emt": 0.0155, "lj4": 0.03}
+SEQ_BASELINE = {
+    "emt": 0.0155,
+    "lj4": 0.03,
+    # Cu(111) 5x5x6 + adsorbate (151 atoms): reference-faithful
+    # sequential driver on this host's CPU, order=1, fmax=1e-3:
+    # 399.1 s/search (32 steps, 70 force calls; measured 2026-08-19)
+    "emt151": 0.002506,
+}
 
 
 def _lj4_starts(batch):
@@ -137,6 +148,41 @@ def _emt_setup(batch):
         for _ in range(batch)
     ]))
     return pot, x0, jnp.asarray(slab.cell), nat
+
+
+def _emt151_setup(batch):
+    """BASELINE.json config 1 at its TRUE size: Cu(111) 5x5x6 slab
+    (150 atoms, primitive rhombic surface cell — the orthogonal
+    builder cannot close an odd ny) + 1 Cu adsorbate near an fcc
+    hollow = 151 atoms, 453 DOF (reference README example,
+    ``/root/reference/README.md:10-39``)."""
+    import jax.numpy as jnp
+
+    from sella_tpu.potentials.emt import EMT, fcc111_primitive
+
+    a = 3.59
+    slab = fcc111_primitive("Cu", a, size=(5, 5, 6))
+    d = a / np.sqrt(2.0)
+    a1 = np.array([d, 0.0, 0.0])
+    a2 = np.array([d / 2.0, d * np.sqrt(3.0) / 2.0, 0.0])
+    top_z = slab.positions[:, 2].max()
+    top = slab.positions[np.abs(slab.positions[:, 2] - top_z) < 0.1]
+    base = top[np.lexsort((top[:, 1], top[:, 0]))][len(top) // 2]
+    # fcc hollow = base + (a1 + a2)/3; nudge toward the bridge so the
+    # saddle search has a definite downhill mode, as in the 25-atom
+    # config
+    ad = (base + (a1 + a2) / 3.0
+          + np.array([0.3, 0.1, 0.0])
+          + np.array([0.0, 0.0, a / np.sqrt(3.0)]))
+    pos0 = np.vstack([slab.positions, ad])
+    nat = len(pos0)
+    pot = EMT(np.array([29] * nat), pbc=True)
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(np.stack([
+        (pos0 + 0.02 * rng.normal(size=pos0.shape)).ravel()
+        for _ in range(batch)
+    ]))
+    return pot, x0, jnp.asarray(np.asarray(slab.cell)), nat
 
 
 _CHIP_PEAK_TFLOPS = {
@@ -198,6 +244,19 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None):
             diag_budget=max(batch // 8, 1), eigh_f32=True,
             rs_maxiter=12, absb="ns",
             eval_chunk=256 if batch >= 1024 else 0,
+        )
+    elif name == "emt151":
+        pot, x0, cell, nat = _emt151_setup(batch)
+        # 453-DOF regime: (B, ~450, ~450) eighs — the qualitatively
+        # different batched-linalg regime VERDICT r2 asked for.
+        # davidson_max=60: the leftmost mode of the 453-dim Hessian
+        # needs a deeper subspace than the 75-dim config's 25.
+        cfg = EnsembleConfig(
+            natoms=nat, order=1, nproj=3, fmax=fmax or 1e-3, gamma=0.3,
+            davidson_max=60, delta0=5e-3,
+            diag_budget=max(batch // 8, 1), eigh_f32=True,
+            rs_maxiter=12, absb="ns",
+            eval_chunk=min(batch, 16),
         )
     else:
         from sella_tpu.potentials import LennardJones
@@ -618,6 +677,84 @@ def run_largescale(natoms_target=10000, nsteps=3):
     return rates["binned"], stats
 
 
+def run_cell_config(batch, max_steps=250, chunk=10, fmax=1e-3):
+    """BASELINE config 3: periodic bulk-Cu coupled atom+cell
+    relaxation with fixed-translation constraints (nproj=3) and
+    exp-cell DOF, batched (EMT 2x2x2 supercell, 32 atoms, dim=105).
+    Starts: 3% over-expanded lattice, rattled positions, random
+    per-lane log-deformation params. Same timing protocol as
+    run_config (untimed warmup chunk; warmup conversions excluded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sella_tpu.parallel.ensemble_cell import (
+        CellEnsembleConfig,
+        init_cell_state,
+        make_cell_step_fn,
+    )
+    from sella_tpu.potentials.emt import EMT, fcc_bulk
+
+    atoms = fcc_bulk("Cu", 3.59 * 1.03, reps=(2, 2, 2))
+    nat = len(atoms)
+    pot = EMT(np.array([29] * nat), pbc=True)
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(np.stack([
+        (atoms.positions
+         + 0.05 * rng.normal(size=atoms.positions.shape)).ravel()
+        for _ in range(batch)
+    ]))
+    s0 = jnp.asarray(0.02 * rng.normal(size=(batch, 9)))
+    cell0 = jnp.asarray(atoms.cell)
+    cfg = CellEnsembleConfig(natoms=nat, ncell=9, order=0, nproj=3,
+                             fmax=fmax, delta0=0.1, absb="ns")
+    step = make_cell_step_fn(pot, cfg, cell0)
+    key = jax.random.PRNGKey(0)
+
+    def multi_step(state, base_key):
+        def body(i, st):
+            return step(st, jax.random.fold_in(base_key, i))
+
+        return jax.lax.fori_loop(0, chunk, body, state)
+
+    multi_jit = jax.jit(multi_step, donate_argnums=0)
+    state = init_cell_state(pot, x0, cfg, cell0, s0=s0)
+    state = multi_jit(state, jax.random.fold_in(key, 0))
+    jax.block_until_ready(state.z)
+    nconv_warm = int(jnp.sum(state.converged))
+
+    t0 = time.perf_counter()
+    nsteps_done = chunk
+    for i in range(1, max_steps // chunk + 1):
+        state = multi_jit(state, jax.random.fold_in(key, i))
+        nsteps_done += chunk
+        if bool(jnp.all(state.converged)):
+            break
+    jax.block_until_ready(state.z)
+    elapsed = time.perf_counter() - t0
+
+    conv = np.asarray(state.converged)
+    nconv = int(conv.sum())
+    rate = (nconv - nconv_warm) / elapsed if elapsed > 0 else 0.0
+    stats = {
+        "batch": batch,
+        "natoms": nat,
+        "fmax": fmax,
+        "converged_frac": round(nconv / batch, 4),
+        "steps_run": nsteps_done,
+        "mean_steps_converged": (
+            round(float(np.asarray(state.nsteps)[conv].mean()), 1)
+            if nconv else None
+        ),
+        "mean_force_calls": round(
+            float(np.mean(np.asarray(state.neval))), 1
+        ),
+        "rate_searches_per_s": round(rate, 2),
+        "elapsed_s": round(elapsed, 2),
+        "warmup_conversions_excluded": nconv_warm,
+    }
+    return rate, stats
+
+
 def main():
     headline = os.environ.get("BENCH_CONFIG", "emt")
     profile = os.environ.get("BENCH_PROFILE", "0") == "1"
@@ -688,21 +825,51 @@ def main():
         chunk = int(os.environ.get(
             "BENCH_CHUNK", "10" if batch < 4096 else "1"
         ))
-        rate, stats = run_config("emt", batch, max_steps, chunk, profile)
-        extra = {"emt": stats}
-        if os.environ.get("BENCH_SKIP_FMAX3", "0") != "1":
-            # the north-star tolerance (BASELINE.json: Davidson matvecs
-            # to fmax=1e-3), reported alongside the 0.02 screening gate
-            f3_rate, f3_stats = run_config(
-                "emt", batch,
-                int(os.environ.get("BENCH_FMAX3_MAX_STEPS", "120")),
-                chunk, fmax=1e-3,
+        rate02, stats = run_config("emt", batch, max_steps, chunk,
+                                   profile)
+        stats["rate_searches_per_s"] = round(rate02, 2)
+        stats["vs_seq_baseline"] = round(rate02 / SEQ_BASELINE["emt"], 1)
+        extra = {"emt_fmax_0.02": stats}
+        # HEADLINE: the north-star tolerance (BASELINE.json: "Davidson
+        # matvecs to 1e-3 fmax"); 0.02 is the screening gate, in extra
+        rate, f3_stats = run_config(
+            "emt", batch,
+            int(os.environ.get("BENCH_FMAX3_MAX_STEPS", "120")),
+            chunk, fmax=1e-3,
+        )
+        f3_stats["rate_searches_per_s"] = round(rate, 2)
+        f3_stats["vs_seq_baseline"] = round(
+            rate / SEQ_BASELINE["emt"], 1
+        )
+        extra["emt_fmax_1e-3"] = f3_stats
+        if os.environ.get("BENCH_SKIP_EMT151", "0") != "1":
+            # BASELINE config 1 at its true size: Cu(111) 5x5x6 slab +
+            # adsorbate, 151 atoms / 453 DOF — the (B, 450, 450)
+            # batched-linalg regime
+            b151 = int(os.environ.get("BENCH_EMT151_BATCH", "64"))
+            r151, s151 = run_config(
+                "emt151", b151,
+                int(os.environ.get("BENCH_EMT151_MAX_STEPS", "120")),
+                int(os.environ.get("BENCH_EMT151_CHUNK", "5")),
             )
-            f3_stats["rate_searches_per_s"] = round(f3_rate, 2)
-            f3_stats["vs_seq_baseline"] = round(
-                f3_rate / SEQ_BASELINE["emt"], 1
+            s151["rate_searches_per_s"] = round(r151, 3)
+            s151["vs_seq_baseline"] = round(
+                r151 / SEQ_BASELINE["emt151"], 1
             )
-            extra["emt_fmax_1e-3"] = f3_stats
+            extra["emt151"] = s151
+        if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
+            # BASELINE config 3: bulk-Cu atom+cell, fixed translations
+            c_rate, c_stats = run_cell_config(
+                int(os.environ.get("BENCH_CELL_BATCH", "512")),
+            )
+            extra["cell"] = c_stats
+        if os.environ.get("BENCH_SKIP_LARGESCALE", "0") != "1":
+            # BASELINE config 5: 10k-atom matrix-free MMF
+            ls_per_step, ls_stats = run_largescale(
+                int(os.environ.get("BENCH_NATOMS", "10000")),
+                int(os.environ.get("BENCH_STEPS", "3")),
+            )
+            extra["largescale"] = ls_stats
         if os.environ.get("BENCH_SKIP_LJ4", "0") != "1":
             lj_total = int(os.environ.get("BENCH_LJ4_TOTAL", "4096"))
             lj_batch = int(os.environ.get("BENCH_LJ4_BATCH", "1024"))
@@ -716,8 +883,9 @@ def main():
             )
             extra["lj4"] = lj_stats
         metric = (
-            "converged EMT Cu(111)+adatom saddle searches/sec/chip "
-            f"(batch={batch}, fmax=0.02)"
+            "converged EMT Cu(111) 3x4x2 slab+adatom saddle "
+            f"searches/sec/chip (batch={batch}, fmax=1e-3; "
+            "5x5x6 BASELINE size in extra.emt151)"
         )
         base = SEQ_BASELINE["emt"]
     else:

@@ -63,3 +63,38 @@ for tag, nat in (("LJ4", 4), ("LJ7", 7)):
     if steps:
         msg += f", mean steps {np.mean(steps):.1f}"
     print(msg)
+
+# --- mixed-molecule TS sweep in INTERNAL coordinates -----------------
+# Bucketing key = (potential, discovered topology signature): perturbed
+# starts of one molecule share a compiled internal-tier program; a
+# different molecule (species/size/bond graph) gets its own bucket.
+from sella_tpu.atoms import Atoms
+from sella_tpu.parallel.ensemble_internal import InternalEnsembleConfig
+from sella_tpu.parallel.hetero import run_heterogeneous_internal_queue
+from sella_tpu.potentials import MorsePotential
+from sella_tpu.utils.units import kB
+
+r0 = 4.73
+morse = MorsePotential(epsilon=226.9 * kB, r0=r0, rho0=r0 * 1.099)
+rng2 = np.random.RandomState(4)
+xe4_pos = rng2.normal(size=(4, 3), scale=3.0)
+xe4 = Atoms(["Xe"] * 4, xe4_pos)
+he7 = Atoms(["He"] * 7, pbp)
+lj = LennardJones()
+
+ijobs = []
+for k in range(6):
+    ijobs.append((morse, xe4,
+                  (xe4_pos + 0.3 * rng.normal(size=(4, 3))).ravel()))
+    ijobs.append((lj, he7, (pbp + 0.12 * rng.normal(size=(7, 3))).ravel()))
+
+icfg = InternalEnsembleConfig(natoms=1, nint=1, order=1, fmax=1e-3,
+                              gamma=1e-3)
+iresults = run_heterogeneous_internal_queue(
+    ijobs, batch=6, cfg=icfg, max_steps_per_search=300,
+)
+for tag, nat in (("Morse Xe4", 4), ("LJ He7", 7)):
+    sel = [r for r, (p, a, x) in zip(iresults, ijobs)
+           if len(x) == 3 * nat]
+    print(f"internal {tag}: {sum(1 for r in sel if r[3])}/{len(sel)} "
+          "TS converged")

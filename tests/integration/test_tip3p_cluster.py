@@ -18,7 +18,13 @@ from sella_tpu import Atoms, Constraints, Sella
 from sella_tpu.potentials.tip3p import TIP3P, angleHOH, rOH, water_cluster
 
 
-@pytest.mark.parametrize("internal", [True, False])
+@pytest.mark.parametrize(
+    "internal",
+    # the internal-coordinate variant takes ~3 min (TRIC water box
+    # geodesic steps); the Cartesian variant stays in the default set
+    # as the TIP3P e2e gate
+    [pytest.param(True, marks=pytest.mark.slow), False],
+)
 def test_water_cluster(internal):
     rng = np.random.RandomState(1)
     pos = water_cluster(nside=2)

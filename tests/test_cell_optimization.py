@@ -287,7 +287,16 @@ def test_host_calculator_cell_internal():
         atoms.calc = _host_shim(pot) if host else pot
         ints = Internals(atoms)
         ints.find_all_bonds()
-        return CellInternalPES(atoms, ints)
+        # INTENTIONAL basis-deficiency warning: with periodic bonds
+        # validate_basis expects rank 3N (= 12; reference
+        # ``internal.py:3688-3697``), but bond values depend only on
+        # position differences, so rank(B) <= 3N - 3 (= 9) — the three
+        # uniform-translation DOF are unreachable by bonds alone. The
+        # reference emits the identical warning on this fixture (same
+        # formula); the gradient comparison below lives entirely in
+        # the spanned subspace and is unaffected.
+        with pytest.warns(UserWarning, match="9 coords found"):
+            return CellInternalPES(atoms, ints)
 
     pes_native = build(False)
     pes_host = build(True)

@@ -164,6 +164,7 @@ def _mic_emt_reference(pot, x, cell):
     return e_coh + e_conv + e_pair
 
 
+@pytest.mark.slow
 def test_binned_emt_matches_mic_reference_pbc():
     """BinnedEMT == the O(n^2) MIC EMT (energy, forces, HVP) on a bulk
     Cu supercell large enough for the binned validity regime."""

@@ -62,6 +62,7 @@ def test_cell_ensemble_bulk_cu_emt():
         assert off < 0.05, C
 
 
+@pytest.mark.slow
 def test_cell_ensemble_mask_and_davidson():
     """A diagonal cell_mask keeps off-diagonal deformation EXACTLY zero
     (``peswrapper.py:2442-2468`` mask semantics), and forcing the

@@ -105,6 +105,7 @@ def test_cell_internal_rejects_dummies():
         )
 
 
+@pytest.mark.slow
 def test_cell_internal_sharded():
     """The internal+cell step compiles and runs under an 8-device mesh
     (ensemble axis sharded)."""
@@ -127,6 +128,7 @@ def test_cell_internal_sharded():
     assert int(st.converged.sum()) >= 6, np.asarray(st.nsteps)
 
 
+@pytest.mark.slow
 def test_cell_internal_queue():
     """Work-queue compaction for the internal+cell tier: 5 strained
     bulk inputs through a 2-lane batch, all converged."""

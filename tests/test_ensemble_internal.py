@@ -39,6 +39,7 @@ def _setup(Bsz=8, scale=0.3, seed=0):
     return pot, ints, x0
 
 
+@pytest.mark.slow
 def test_internal_beats_cartesian_on_molecular_saddles():
     """The point of the internal tier: same starts, same convergence
     criteria — fewer steps AND fewer Davidson matvecs than Cartesian.

@@ -1,6 +1,7 @@
 """ML-potential contract tests (BASELINE config 5): a graph potential
 over cell-binned neighbor lists must deliver smooth, invariant
 energies with exact jax forces and HVPs."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,6 +66,7 @@ def test_cutoff_smoothness():
     assert abs(es[1] - es[0]) < 1e-10, es
 
 
+@pytest.mark.slow
 def test_hvp_and_mmf_step():
     """Exact HVPs drive one MMF step (the Davidson/Lanczos matrix-free
     contract) on the periodic system."""

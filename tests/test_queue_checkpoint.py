@@ -1,5 +1,6 @@
 """Work-queue refill and orbax checkpoint/resume tests (SURVEY.md §5/§7
 stage 8: convergence-mask compaction + first-class checkpointing)."""
+import pytest
 import os
 
 import jax
@@ -160,6 +161,7 @@ def test_queue_resume_from_checkpoint(tmp_path, monkeypatch):
         assert resumed[i][5] == partial[i][5]   # neval
 
 
+@pytest.mark.slow
 def test_internal_queue_resume(tmp_path):
     """Same resume contract for the internal-coordinate queue."""
     from sella_tpu.atoms import Atoms

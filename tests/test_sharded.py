@@ -141,6 +141,7 @@ def test_chunked_mmf_minimization():
     assert bool(st.converged), int(st.nsteps)
 
 
+@pytest.mark.slow
 def test_sharded_binned_matches_unsharded():
     """ShardedBinnedPotential == the single-device binned potential
     (energy/grad/HVP) over the 8-device mesh, for both the pair and
