@@ -209,11 +209,20 @@ def _chip_peak_tflops():
     return None, str(kind)
 
 
-def run_config(name, batch, max_steps, chunk, profile=False, fmax=None):
+def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
+               pot_f32=False):
     """Run one batched ensemble config; returns (rate, stats dict).
 
     ``fmax`` overrides the config's convergence gate (the north-star
-    metric is 1e-3; the fast screening gate is 0.02)."""
+    metric is 1e-3; the fast screening gate is 0.02).
+
+    ``pot_f32`` routes the potential evaluation (energy/grad/Davidson
+    HVPs) through :class:`sella_tpu.potentials.F32Potential` — f32
+    pair/density sums behind the f64 optimizer, the TPU-native
+    precision split (parity pinned in tests/test_pot_f32.py). The
+    trust-ratio guard ``pred_min`` is raised above the f32
+    energy-noise floor, which scales with the EMT cohesive
+    cancellation (~1e-5 * 15 eV * natoms)."""
     import jax
     import jax.numpy as jnp
 
@@ -279,6 +288,13 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None):
             diag_budget=max(batch // 8, 1), restart_after=30,
             dmax_restart=3.5,
         )
+
+    if pot_f32:
+        from sella_tpu.potentials import F32Potential
+
+        pot = F32Potential(pot)
+        nat_eff = getattr(cfg, "natoms", 4)
+        cfg = cfg._replace(pred_min=3.0 * 1e-5 * 15.0 * nat_eff)
 
     step = make_step_fn(pot, cfg, cell)
     key = jax.random.PRNGKey(0)
@@ -857,6 +873,21 @@ def main():
                 r151 / SEQ_BASELINE["emt151"], 1
             )
             extra["emt151"] = s151
+            if os.environ.get("BENCH_SKIP_F32", "0") != "1":
+                # precision-split run: f32 potential eval/HVPs behind
+                # the f64 optimizer (docs/roofline.md carries the
+                # achievable-vs-achieved analysis these numbers anchor)
+                r151f, s151f = run_config(
+                    "emt151", b151,
+                    int(os.environ.get("BENCH_EMT151_MAX_STEPS", "120")),
+                    int(os.environ.get("BENCH_EMT151_CHUNK", "5")),
+                    pot_f32=True,
+                )
+                s151f["rate_searches_per_s"] = round(r151f, 3)
+                s151f["vs_seq_baseline"] = round(
+                    r151f / SEQ_BASELINE["emt151"], 1
+                )
+                extra["emt151_f32"] = s151f
         if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
             # BASELINE config 3: bulk-Cu atom+cell, fixed translations
             c_rate, c_stats = run_cell_config(

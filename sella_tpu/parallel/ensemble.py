@@ -155,6 +155,14 @@ class EnsembleConfig(NamedTuple):
     #   ~30% step-time win on v5e, where f64 eigh is emulated. Leave
     #   False where 1e-8 trajectory parity with the sequential tier
     #   matters; the Davidson subspace Ritz solve stays f64 either way.
+    pred_min: float = 1e-14        # smallest |predicted dE| the trust
+    #   ratio test trusts; below it ratio := 1 (accept, no trust
+    #   change) — the reference's ratio=None skip
+    #   (``peswrapper.py:586-594``). Raise to ~1e-6 * |E| when the
+    #   potential evaluates in f32 (potentials.mixed.F32Potential):
+    #   near convergence the predicted dE drops below the f32 energy
+    #   noise floor and the raw ratio is noise that would collapse the
+    #   trust radius.
 
     @property
     def dim(self) -> int:
@@ -1459,7 +1467,7 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             "bi,bij,bj->b", s_full, B1, s_full
         )
         df_actual = f_new - state.f
-        pred_ok = jnp.abs(df_pred) > 1e-14
+        pred_ok = jnp.abs(df_pred) > cfg.pred_min
         ratio = jnp.where(pred_ok, df_actual / jnp.where(pred_ok, df_pred,
                                                          1.0), 1.0)
         # an uninitialized Hessian gives no meaningful prediction

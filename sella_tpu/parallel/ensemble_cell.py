@@ -75,6 +75,8 @@ class CellEnsembleConfig(NamedTuple):
     scalar_pressure: float = 0.0
     absb: str = "eigh"             # TS-BFGS |B| metric: "eigh" or "ns"
     #   (Newton-Schulz matmuls; see ensemble.EnsembleConfig.absb)
+    pred_min: float = 1e-14        # smallest trusted |predicted dE| in
+    #   the ratio test (see ensemble.EnsembleConfig.pred_min)
 
     @property
     def dim(self) -> int:
@@ -298,7 +300,7 @@ def make_cell_step_fn(potential, cfg: CellEnsembleConfig,
             "bi,bij,bj->b", dz, H1, dz
         )
         df_actual = f_new - state.f
-        pred_ok = jnp.abs(df_pred) > 1e-14
+        pred_ok = jnp.abs(df_pred) > cfg.pred_min
         ratio = jnp.where(
             pred_ok, df_actual / jnp.where(pred_ok, df_pred, 1.0), 1.0
         )

@@ -104,6 +104,8 @@ class CellInternalEnsembleConfig(NamedTuple):
     wd: float = 1.0
     wo: float = 1.0
     wc: float = 1.0
+    pred_min: float = 1e-14        # smallest trusted |predicted dE| in
+    #   the ratio test (see ensemble.EnsembleConfig.pred_min)
 
     @property
     def nz(self) -> int:
@@ -457,7 +459,7 @@ def make_cell_internal_step_fn(
             "bi,bij,bj->b", dz_pred, state.H, dz_pred
         )
         df_actual = f_new - state.f
-        pred_ok = jnp.abs(df_pred) > 1e-14
+        pred_ok = jnp.abs(df_pred) > cfg.pred_min
         ratio = jnp.where(
             pred_ok, df_actual / jnp.where(pred_ok, df_pred, 1.0), 1.0
         )

@@ -140,6 +140,8 @@ class InternalEnsembleConfig(NamedTuple):
     wa: float = 1.0                # angles
     wd: float = 1.0                # dihedrals
     wo: float = 1.0                # user coords / rotations
+    pred_min: float = 1e-14        # smallest trusted |predicted dE| in
+    #   the ratio test (see ensemble.EnsembleConfig.pred_min)
 
     @property
     def dim(self) -> int:
@@ -713,7 +715,7 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             "bi,bij,bj->b", dq_pred, H1, dq_pred
         )
         df_actual = f_new - state.f
-        pred_ok = jnp.abs(df_pred) > 1e-14
+        pred_ok = jnp.abs(df_pred) > cfg.pred_min
         ratio = jnp.where(
             pred_ok, df_actual / jnp.where(pred_ok, df_pred, 1.0), 1.0
         )

@@ -2,6 +2,7 @@ from .base import ASECalculatorWrapper, Potential, get_potential
 from .binned import BinnedPairPotential, CellBins
 from .emt import EMT, BinnedEMT
 from .host import HostBatchedCalculator
+from .mixed import F32Potential
 from .mlff import MLPotential
 from .pair import Harmonic, LennardJones, MorsePotential
 from .sharded import (
@@ -19,6 +20,7 @@ __all__ = [
     "BinnedPairPotential",
     "CellBins",
     "ChunkedPairPotential",
+    "F32Potential",
     "HostBatchedCalculator",
     "MLPotential",
     "ShardedBinnedPotential",

@@ -1,0 +1,146 @@
+"""Roofline measurement for the BASELINE config-1 ensemble step.
+
+VERDICT r2 item 5: "make the MXU-utilization story a number with a
+roofline". This script is that number's provenance — run it on the
+bench chip and paste the JSON into docs/roofline.md.
+
+For the Cu(111) 5x5x6 + adsorbate batched saddle step (151 atoms /
+453 DOF, the (B, 453, 453) batched-linalg regime) it measures, for the
+f64-potential and the f32-potential (potentials.F32Potential) variants:
+
+* XLA's own cost model for the compiled step program: total FLOPs,
+  transcendental count, and bytes accessed (the honest numerator —
+  every eigh/QR/matmul XLA actually emits, not a hand model);
+* wall-clock per step (tunnel-amortized: ``chunk`` steps per dispatch);
+* achieved FLOP/s and bytes/s, as fractions of the chip's bf16 MXU
+  peak and of its HBM bandwidth.
+
+The roofline verdict is printed per variant: which ceiling (compute vs
+memory) the XLA cost model says binds at this arithmetic intensity,
+and what fraction of that ceiling the step achieves. See
+docs/roofline.md for the interpretation and the workload-ceiling
+argument.
+
+Usage (bench chip):  python tools/roofline_emt151.py [batch] [steps]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+_HBM_GBPS = {
+    # chip HBM bandwidth (GB/s), public spec sheets
+    "TPU v4": 1228.0,
+    "TPU v5e": 819.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6e": 1640.0,
+}
+
+
+def measure(batch=64, nsteps=20, chunk=5):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import _chip_peak_tflops, _emt151_setup, run_config  # noqa: F401
+    from sella_tpu.parallel.ensemble import (
+        EnsembleConfig,
+        init_state,
+        make_step_fn,
+    )
+    from sella_tpu.potentials import F32Potential
+
+    peak_tflops, kind = _chip_peak_tflops()
+    hbm = next(
+        (v for k, v in _HBM_GBPS.items()
+         if k.lower() in str(kind).lower()),
+        None,
+    )
+    out = {"chip": kind, "batch": batch,
+           "peak_bf16_tflops": peak_tflops, "hbm_gbps": hbm}
+
+    pot64, x0, cell, nat = _emt151_setup(batch)
+    for name, pot, pred_min in (
+        ("f64", pot64, 1e-14),
+        ("f32pot", F32Potential(pot64), 3.0 * 1e-5 * 15.0 * 151),
+    ):
+        cfg = EnsembleConfig(
+            natoms=nat, order=1, nproj=3, fmax=1e-3, gamma=0.3,
+            davidson_max=60, delta0=5e-3,
+            diag_budget=max(batch // 8, 1), eigh_f32=True,
+            rs_maxiter=12, absb="ns", eval_chunk=min(batch, 16),
+            pred_min=pred_min,
+        )
+        step = make_step_fn(pot, cfg, cell)
+        key = jax.random.PRNGKey(0)
+
+        def multi(st, bk, _step=step):
+            return jax.lax.fori_loop(
+                0, chunk, lambda i, s: _step(s, jax.random.fold_in(bk, i)),
+                st,
+            )
+
+        jstep = jax.jit(multi, donate_argnums=0)
+        state = init_state(pot, x0, cfg, cell)
+        row = {}
+        try:
+            ca = jstep.lower(state, jax.random.fold_in(key, 0)) \
+                      .compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            row["flops_per_step_G"] = round(
+                float(ca.get("flops", 0)) / chunk / 1e9, 2
+            )
+            row["transcendentals_per_step_G"] = round(
+                float(ca.get("transcendentals", 0)) / chunk / 1e9, 3
+            )
+            row["bytes_per_step_GB"] = round(
+                float(ca.get("bytes accessed", 0)) / chunk / 1e9, 2
+            )
+        except Exception as e:  # pragma: no cover
+            row["cost_analysis_error"] = str(e)
+
+        state = jstep(state, jax.random.fold_in(key, 0))   # compile+warm
+        jax.block_until_ready(state.x)
+        t0 = time.perf_counter()
+        ncall = max(nsteps // chunk, 1)
+        for i in range(1, ncall + 1):
+            state = jstep(state, jax.random.fold_in(key, i))
+        jax.block_until_ready(state.x)
+        dt = (time.perf_counter() - t0) / (ncall * chunk)
+        row["sec_per_step"] = round(dt, 3)
+        row["converged_frac"] = round(
+            float(np.asarray(state.converged).mean()), 4
+        )
+        if "flops_per_step_G" in row and dt > 0:
+            tfs = row["flops_per_step_G"] / dt / 1e3
+            row["achieved_tflops_per_s"] = round(tfs, 4)
+            gbs = row["bytes_per_step_GB"] / dt
+            row["achieved_gb_per_s"] = round(gbs, 1)
+            if peak_tflops:
+                row["mfu_vs_bf16_peak"] = round(tfs / peak_tflops, 6)
+            if hbm:
+                row["hbm_fraction"] = round(gbs / hbm, 4)
+                # which roofline binds at this arithmetic intensity
+                ai = (row["flops_per_step_G"]
+                      / max(row["bytes_per_step_GB"], 1e-12))  # flop/byte
+                row["arithmetic_intensity_flop_per_byte"] = round(ai, 2)
+                if peak_tflops:
+                    knee = peak_tflops * 1e3 / hbm  # flop/byte at the knee
+                    row["bound"] = (
+                        "memory" if ai < knee else "compute"
+                    )
+                    ceil_tfs = min(peak_tflops, ai * hbm / 1e3)
+                    row["roofline_ceiling_tflops"] = round(ceil_tfs, 2)
+                    row["fraction_of_ceiling"] = round(tfs / ceil_tfs, 4)
+        out[name] = row
+    return out
+
+
+if __name__ == "__main__":
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    print(json.dumps(measure(batch, nsteps), indent=1))
