@@ -554,13 +554,19 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
     """North-star config 4 (4096 concurrent LJ4 saddle searches at
     fmax=1e-3) in work-queue mode with unconverged-retry: a search that
     times out goes to the BACK of the queue and re-runs from its
-    pristine start plus a growing kick (up to 3 attempts), instead of
+    pristine start plus a growing kick AND a growing step budget
+    (attempt k gets (1+k)x the base budget, capped), instead of
     hogging a lane while the whole fixed ensemble pays full-step cost
     for a straggler tail. Fixed-ensemble history on this config:
     76.3% converged at 160 steps (round 1, compounding in-place kicks
     dissociated the stalled clusters), 97.0% at 420 steps with
-    home-anchored restarts; the queue+retry form reaches ~99%+ with
-    every search's FULL cost inside the timed region."""
+    home-anchored restarts; 96.56% with kick-only retries at a flat
+    150-step budget (round 2, BENCH_r02). The round-3 diagnosis
+    (tools: /tmp/lj4_diag experiment, summarized in the
+    retry_step_growth docstring of run_ensemble_queue): ~2/3 of the
+    timeout tail are SLOW searches that converge in 1-3x the base
+    budget with no kick at all, so retries now grow the budget too.
+    Every search's FULL cost stays inside the timed region."""
     import jax.numpy as jnp
 
     from sella_tpu.parallel.ensemble import (
@@ -590,10 +596,13 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
                        max_steps_per_search=20, refill_every=10,
                        fns=fns)
     t0 = time.perf_counter()
+    max_retries = int(os.environ.get("BENCH_LJ4_RETRIES", "4"))
     results = run_ensemble_queue(
         pot, x0_all[batch:], cfg, batch,
         max_steps_per_search=max_steps_per_search, refill_every=10,
-        fns=fns, max_retries=3, retry_kick=0.15,
+        fns=fns, max_retries=max_retries, retry_kick=0.15,
+        retry_step_growth=1.0,
+        retry_step_cap=4 * max_steps_per_search,
     )
     elapsed = time.perf_counter() - t0
     nconv = sum(1 for r in results if r[3])
@@ -609,7 +618,8 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
             float(np.mean([r[5] for r in results])), 1
         ),
         "elapsed_s": round(elapsed, 2),
-        "max_retries": 3,
+        "max_retries": max_retries,
+        "retry_step_growth": 1.0,
     }
 
 

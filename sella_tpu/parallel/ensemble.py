@@ -1883,6 +1883,8 @@ def run_ensemble_queue(
     inherit_B: bool = False,
     max_retries: int = 0,
     retry_kick: float = 0.3,
+    retry_step_growth: float = 0.0,
+    retry_step_cap: Optional[int] = None,
     mesh=None,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
@@ -1901,6 +1903,14 @@ def run_ensemble_queue(
     rest of the batch pays full-step cost for it — the retry costs
     nothing until a lane frees up. Retried searches report cumulative
     nsteps/nmatvec/neval over all attempts.
+
+    ``retry_step_growth``: attempt ``k`` (0 = first try) gets a step
+    budget of ``max_steps_per_search * (1 + growth * k)``, capped at
+    ``retry_step_cap`` if given. Measured on the LJ4 north-star sweep:
+    ~2/3 of the timeout tail are SLOW searches (converge in 1-3x the
+    base budget from the pristine start, no kick needed), so growing
+    the budget on retry rescues them deterministically where an
+    isotropic kick only re-rolls the dice.
 
     ``checkpoint_path`` makes the sweep preemption-safe: the device
     state plus the host bookkeeping (lane->input map, queue cursor,
@@ -1978,7 +1988,17 @@ def run_ensemble_queue(
         nmv = buf[3 * Bsz:4 * Bsz].astype(np.int64)
         nev = buf[4 * Bsz:5 * Bsz].astype(np.int64)
         xs = buf[5 * Bsz:].reshape(Bsz, -1)
-        done = conv | (nsteps >= max_steps_per_search)
+        if max_retries and retry_step_growth:
+            budgets = np.asarray([
+                max_steps_per_search
+                * (1.0 + retry_step_growth * retries.get(int(o), 0))
+                for o in origin
+            ])
+            if retry_step_cap is not None:
+                budgets = np.minimum(budgets, retry_step_cap)
+            done = conv | (nsteps >= budgets)
+        else:
+            done = conv | (nsteps >= max_steps_per_search)
         if not np.any(done):
             continue
         for lane in np.where(done)[0]:

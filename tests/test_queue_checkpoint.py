@@ -48,6 +48,40 @@ def test_queue_processes_more_work_than_batch():
             assert f < -5.5  # near the LJ4 tetrahedron basin
 
 
+def test_queue_retry_step_growth():
+    """A search that merely needs MORE STEPS than the base budget is
+    rescued by retry_step_growth alone (kick=0: the retry restarts
+    from the pristine x0, so the rescue is the bigger budget, not a
+    lucky re-roll)."""
+    pot = LennardJones()
+    cfg = EnsembleConfig(natoms=4, order=0, fmax=1e-3, gamma=1e-3,
+                         eig=False, method="qn", sigma_dec=0.90,
+                         rho_dec=100.0)
+    total, batch = 6, 2
+    # pert=0.3 gives measured full-budget step counts of
+    # {>300, 41, 52, 18, 135, 11}: budget 25 converges exactly 2 of 6.
+    x0 = _x0_batch(total, pert=0.3)
+    base = run_ensemble_queue(
+        pot, x0, cfg, batch=batch,
+        max_steps_per_search=25, refill_every=5,
+    )
+    n_base = sum(1 for *_, c in base if c)
+    assert n_base < total, "budget 25 unexpectedly sufficient"
+    grown = run_ensemble_queue(
+        pot, x0, cfg, batch=batch,
+        max_steps_per_search=25, refill_every=5,
+        max_retries=3, retry_kick=0.0, retry_step_growth=4.0,
+        retry_step_cap=300,
+    )
+    n_grown = sum(1 for *_, c in grown if c)
+    assert n_grown > n_base
+    assert n_grown >= total - 1
+    # cumulative step accounting covers every attempt
+    for (_, _, nsteps, conv, *_), (_, _, nb, cb, *_) in zip(grown, base):
+        if conv and not cb:
+            assert nsteps > 25
+
+
 def test_checkpoint_roundtrip(tmp_path):
     pot = LennardJones()
     cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3)

@@ -40,7 +40,11 @@ _HBM_GBPS = {
 }
 
 
-def measure(batch=64, nsteps=20, chunk=5):
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure(batch=64, nsteps=20, chunk=5, only=None):
     import jax
     import jax.numpy as jnp
 
@@ -63,10 +67,14 @@ def measure(batch=64, nsteps=20, chunk=5):
            "peak_bf16_tflops": peak_tflops, "hbm_gbps": hbm}
 
     pot64, x0, cell, nat = _emt151_setup(batch)
-    for name, pot, pred_min in (
+    variants = (
         ("f64", pot64, 1e-14),
         ("f32pot", F32Potential(pot64), 3.0 * 1e-5 * 15.0 * 151),
-    ):
+    )
+    if only:
+        variants = tuple(v for v in variants if v[0] == only)
+    for name, pot, pred_min in variants:
+        _log(f"[roofline] variant={name} building step fn ...")
         cfg = EnsembleConfig(
             natoms=nat, order=1, nproj=3, fmax=1e-3, gamma=0.3,
             davidson_max=60, delta0=5e-3,
@@ -103,8 +111,11 @@ def measure(batch=64, nsteps=20, chunk=5):
         except Exception as e:  # pragma: no cover
             row["cost_analysis_error"] = str(e)
 
+        _log(f"[roofline] variant={name} cost_analysis done "
+             f"({row.get('flops_per_step_G', '?')} GF/step); compiling")
         state = jstep(state, jax.random.fold_in(key, 0))   # compile+warm
         jax.block_until_ready(state.x)
+        _log(f"[roofline] variant={name} warm; timing {nsteps} steps")
         t0 = time.perf_counter()
         ncall = max(nsteps // chunk, 1)
         for i in range(1, ncall + 1):
@@ -137,10 +148,13 @@ def measure(batch=64, nsteps=20, chunk=5):
                     row["roofline_ceiling_tflops"] = round(ceil_tfs, 2)
                     row["fraction_of_ceiling"] = round(tfs / ceil_tfs, 4)
         out[name] = row
+        _log("[roofline] " + json.dumps({name: row}))
     return out
 
 
 if __name__ == "__main__":
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    print(json.dumps(measure(batch, nsteps), indent=1))
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    only = sys.argv[4] if len(sys.argv) > 4 else None
+    print(json.dumps(measure(batch, nsteps, chunk, only), indent=1))
