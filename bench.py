@@ -210,11 +210,18 @@ def _chip_peak_tflops():
 
 
 def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
-               pot_f32=False):
+               pot_f32=False, tolerances=None):
     """Run one batched ensemble config; returns (rate, stats dict).
 
     ``fmax`` overrides the config's convergence gate (the north-star
     metric is 1e-3; the fast screening gate is 0.02).
+
+    ``tolerances``: optional list of (fmax, max_steps) pairs run
+    back-to-back through the SAME compiled step program (the gate is a
+    runtime value, ``SearchState.fmax_t``) with a fresh state each —
+    the ~9-minute tunnel compile of the EMT program is paid once for
+    the 0.02 screening and 1e-3 north-star runs together. When given,
+    returns a list of (fmax, rate, stats) instead.
 
     ``pot_f32`` routes the potential evaluation (energy/grad/Davidson
     HVPs) through :class:`sella_tpu.potentials.F32Potential` — f32
@@ -309,14 +316,14 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
 
     multi_jit = jax.jit(multi_step, donate_argnums=0)
 
-    state = init_state(pot, x0, cfg, cell)
+    state0 = init_state(pot, x0, cfg, cell)
     # XLA's own per-executable FLOP count for the `chunk`-step program:
     # the honest MFU numerator (every batched eigh/QR/matmul XLA
     # actually emits — not a hand model)
     flops_per_call = None
     try:
         ca = multi_jit.lower(
-            state, jax.random.fold_in(key, 0)
+            state0, jax.random.fold_in(key, 0)
         ).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -324,61 +331,83 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
             flops_per_call = float(ca["flops"])
     except Exception:
         pass
-    # warmup/compile chunk — untimed, and its conversions are excluded
-    state = multi_jit(state, jax.random.fold_in(key, 0))
-    jax.block_until_ready(state.x)
-    nconv_warm = int(jnp.sum(state.converged))
 
-    if profile:
-        import jax.profiler
+    runs = tolerances or [(fmax or cfg.fmax, max_steps)]
+    out = []
+    for run_i, (fmax_i, max_steps_i) in enumerate(runs):
+        if run_i == 0:
+            state = state0
+        else:
+            state = init_state(pot, x0, cfg, cell)
+        state = state._replace(
+            fmax_t=jnp.asarray(fmax_i, state.x.dtype)
+        )
+        # warmup/compile chunk — untimed, conversions excluded (the
+        # compile is only paid on run 0; later tolerances reuse it)
+        state = multi_jit(state, jax.random.fold_in(key, 0))
+        jax.block_until_ready(state.x)
+        nconv_warm = int(jnp.sum(state.converged))
 
-        jax.profiler.start_trace(os.environ.get(
-            "BENCH_TRACE_DIR", "/tmp/sella_tpu_trace"
-        ))
+        if profile:
+            import jax.profiler
 
-    t0 = time.perf_counter()
-    nsteps_done = chunk
-    for i in range(1, max_steps // chunk + 1):
-        state = multi_jit(state, jax.random.fold_in(key, i))
-        nsteps_done += chunk
-        if bool(jnp.all(state.converged)):
-            break
-    jax.block_until_ready(state.x)
-    elapsed = time.perf_counter() - t0
+            jax.profiler.start_trace(os.environ.get(
+                "BENCH_TRACE_DIR", "/tmp/sella_tpu_trace"
+            ))
 
-    if profile:
-        jax.profiler.stop_trace()
+        t0 = time.perf_counter()
+        nsteps_done = chunk
+        for i in range(1, max_steps_i // chunk + 1):
+            state = multi_jit(state, jax.random.fold_in(key, i))
+            nsteps_done += chunk
+            if bool(jnp.all(state.converged)):
+                break
+        jax.block_until_ready(state.x)
+        elapsed = time.perf_counter() - t0
 
-    conv = np.asarray(state.converged)
-    nconv = int(conv.sum())
-    rate = (nconv - nconv_warm) / elapsed
-    stats = {
-        "batch": batch,
-        "converged_frac": round(nconv / batch, 4),
-        "steps_run": nsteps_done,
-        "mean_steps_converged": (
-            round(float(np.asarray(state.nsteps)[conv].mean()), 1)
-            if nconv else None
-        ),
-        "mean_matvecs": round(float(np.mean(np.asarray(state.nmatvec))), 1),
-        "mean_force_calls": round(float(np.mean(np.asarray(state.neval))), 1),
-        "elapsed_s": round(elapsed, 2),
-        "warmup_conversions_excluded": nconv_warm,
-    }
-    if flops_per_call is not None and elapsed > 0:
-        ncalls = (nsteps_done - chunk) // chunk
-        tflops_s = flops_per_call * ncalls / elapsed / 1e12
-        stats["flops_per_step"] = round(flops_per_call / chunk / 1e9, 3)
-        stats["tflops_per_s"] = round(tflops_s, 3)
-        peak, kind = _chip_peak_tflops()
-        if peak:
-            # standard MFU convention: achieved FLOP/s over the chip's
-            # bf16 MXU peak. This workload is mixed f64/f32 small-matrix
-            # linear algebra — the number states how far the algorithm
-            # is from the matmul roofline, which IS the honest claim.
-            stats["mfu_vs_bf16_peak"] = round(tflops_s / peak, 5)
-            stats["chip"] = kind
-    return rate, stats
+        if profile:
+            jax.profiler.stop_trace()
+
+        conv = np.asarray(state.converged)
+        nconv = int(conv.sum())
+        rate = (nconv - nconv_warm) / elapsed
+        stats = {
+            "batch": batch,
+            "converged_frac": round(nconv / batch, 4),
+            "steps_run": nsteps_done,
+            "mean_steps_converged": (
+                round(float(np.asarray(state.nsteps)[conv].mean()), 1)
+                if nconv else None
+            ),
+            "mean_matvecs": round(
+                float(np.mean(np.asarray(state.nmatvec))), 1
+            ),
+            "mean_force_calls": round(
+                float(np.mean(np.asarray(state.neval))), 1
+            ),
+            "elapsed_s": round(elapsed, 2),
+            "warmup_conversions_excluded": nconv_warm,
+        }
+        if flops_per_call is not None and elapsed > 0:
+            ncalls = (nsteps_done - chunk) // chunk
+            tflops_s = flops_per_call * ncalls / elapsed / 1e12
+            stats["flops_per_step"] = round(
+                flops_per_call / chunk / 1e9, 3
+            )
+            stats["tflops_per_s"] = round(tflops_s, 3)
+            peak, kind = _chip_peak_tflops()
+            if peak:
+                # standard MFU convention: achieved FLOP/s over the
+                # chip's bf16 MXU peak. This workload is mixed f64/f32
+                # small-matrix linear algebra — the number states how
+                # far the algorithm is from the matmul roofline, which
+                # IS the honest claim.
+                stats["mfu_vs_bf16_peak"] = round(tflops_s / peak, 5)
+                stats["chip"] = kind
+        out.append((fmax_i, rate, stats))
+    if tolerances is not None:
+        return out
+    return out[0][1], out[0][2]
 
 
 def run_internal_config(batch, max_steps=150, chunk=10):
@@ -781,6 +810,25 @@ def run_cell_config(batch, max_steps=250, chunk=10, fmax=1e-3):
     return rate, stats
 
 
+def _emit(metric, value, base, extra, t_start):
+    """Print one cumulative headline JSON line (flushed).
+
+    Called after EVERY completed block, so a driver timeout keeps every
+    block finished so far: each emitted line is a complete, valid
+    headline record whose ``extra`` carries all results to date (the
+    round-3 bench printed a single line at the very end and a timeout
+    lost everything — VERDICT r3 item 1)."""
+    extra = dict(extra)
+    extra["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "searches/s",
+        "vs_baseline": round(value / base, 1),
+        "extra": extra,
+    }), flush=True)
+
+
 def main():
     headline = os.environ.get("BENCH_CONFIG", "emt")
     profile = os.environ.get("BENCH_PROFILE", "0") == "1"
@@ -846,89 +894,133 @@ def main():
         # north-star scale runs end-to-end via BENCH_BATCH=4096
         # (chunk=1: the 10-step fori wrapper trips a TPU fault at that
         # size; per-step dispatch is ~2% overhead at 4.8 s/step).
+        t_start = time.perf_counter()
+        # Wall-clock budget for the DEFAULT path (VERDICT r3 item 1):
+        # optional blocks are skipped — with a note in extra — once the
+        # remaining budget is below the block's measured-cost estimate,
+        # so the run always finishes and the headline line is never
+        # lost to a driver timeout. Block costs measured on the v5
+        # lite bench chip 2026-08-20 (incl. compile through the remote
+        # tunnel); see each _block call below.
+        budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
         batch = int(os.environ.get("BENCH_BATCH", "1024"))
         max_steps = int(os.environ.get("BENCH_MAX_STEPS", "60"))
         chunk = int(os.environ.get(
             "BENCH_CHUNK", "10" if batch < 4096 else "1"
         ))
-        rate02, stats = run_config("emt", batch, max_steps, chunk,
-                                   profile)
-        stats["rate_searches_per_s"] = round(rate02, 2)
-        stats["vs_seq_baseline"] = round(rate02 / SEQ_BASELINE["emt"], 1)
-        extra = {"emt_fmax_0.02": stats}
-        # HEADLINE: the north-star tolerance (BASELINE.json: "Davidson
-        # matvecs to 1e-3 fmax"); 0.02 is the screening gate, in extra
-        rate, f3_stats = run_config(
-            "emt", batch,
-            int(os.environ.get("BENCH_FMAX3_MAX_STEPS", "120")),
-            chunk, fmax=1e-3,
-        )
-        f3_stats["rate_searches_per_s"] = round(rate, 2)
-        f3_stats["vs_seq_baseline"] = round(
-            rate / SEQ_BASELINE["emt"], 1
-        )
-        extra["emt_fmax_1e-3"] = f3_stats
-        if os.environ.get("BENCH_SKIP_EMT151", "0") != "1":
-            # BASELINE config 1 at its true size: Cu(111) 5x5x6 slab +
-            # adsorbate, 151 atoms / 453 DOF — the (B, 450, 450)
-            # batched-linalg regime
-            b151 = int(os.environ.get("BENCH_EMT151_BATCH", "64"))
-            r151, s151 = run_config(
-                "emt151", b151,
-                int(os.environ.get("BENCH_EMT151_MAX_STEPS", "120")),
-                int(os.environ.get("BENCH_EMT151_CHUNK", "5")),
-            )
-            s151["rate_searches_per_s"] = round(r151, 3)
-            s151["vs_seq_baseline"] = round(
-                r151 / SEQ_BASELINE["emt151"], 1
-            )
-            extra["emt151"] = s151
-            if os.environ.get("BENCH_SKIP_F32", "0") != "1":
-                # precision-split run: f32 potential eval/HVPs behind
-                # the f64 optimizer (docs/roofline.md carries the
-                # achievable-vs-achieved analysis these numbers anchor)
-                r151f, s151f = run_config(
-                    "emt151", b151,
-                    int(os.environ.get("BENCH_EMT151_MAX_STEPS", "120")),
-                    int(os.environ.get("BENCH_EMT151_CHUNK", "5")),
-                    pot_f32=True,
-                )
-                s151f["rate_searches_per_s"] = round(r151f, 3)
-                s151f["vs_seq_baseline"] = round(
-                    r151f / SEQ_BASELINE["emt151"], 1
-                )
-                extra["emt151_f32"] = s151f
-        if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
-            # BASELINE config 3: bulk-Cu atom+cell, fixed translations
-            c_rate, c_stats = run_cell_config(
-                int(os.environ.get("BENCH_CELL_BATCH", "512")),
-            )
-            extra["cell"] = c_stats
-        if os.environ.get("BENCH_SKIP_LARGESCALE", "0") != "1":
-            # BASELINE config 5: 10k-atom matrix-free MMF
-            ls_per_step, ls_stats = run_largescale(
-                int(os.environ.get("BENCH_NATOMS", "10000")),
-                int(os.environ.get("BENCH_STEPS", "3")),
-            )
-            extra["largescale"] = ls_stats
-        if os.environ.get("BENCH_SKIP_LJ4", "0") != "1":
-            lj_total = int(os.environ.get("BENCH_LJ4_TOTAL", "4096"))
-            lj_batch = int(os.environ.get("BENCH_LJ4_BATCH", "1024"))
-            lj_rate, lj_stats = run_lj4_queue(
-                lj_total, lj_batch,
-                int(os.environ.get("BENCH_LJ4_MAX_STEPS", "150")),
-            )
-            lj_stats["rate_searches_per_s"] = round(lj_rate, 2)
-            lj_stats["vs_seq_baseline"] = round(
-                lj_rate / SEQ_BASELINE["lj4"], 1
-            )
-            extra["lj4"] = lj_stats
         metric = (
             "converged EMT Cu(111) 3x4x2 slab+adatom saddle "
             f"searches/sec/chip (batch={batch}, fmax=1e-3; "
             "5x5x6 BASELINE size in extra.emt151)"
         )
         base = SEQ_BASELINE["emt"]
+        extra = {}
+        headline_rate = [0.0]
+
+        def _block(name, est_cost_s, fn, required=False):
+            """Run one bench block; isolate failures; always emit a
+            cumulative snapshot line afterwards."""
+            left = budget - (time.perf_counter() - t_start)
+            if not required and left < est_cost_s:
+                extra[name] = {"skipped": (
+                    f"budget: {round(left)}s left < est {est_cost_s}s"
+                )}
+                _emit(metric, headline_rate[0], base, extra, t_start)
+                return
+            tb = time.perf_counter()
+            try:
+                stats = fn()
+                stats["block_wall_s"] = round(
+                    time.perf_counter() - tb, 1
+                )
+                extra[name] = stats
+            except Exception as e:  # one bad block must not lose the rest
+                extra[name] = {
+                    "error": repr(e),
+                    "block_wall_s": round(time.perf_counter() - tb, 1),
+                }
+            _emit(metric, headline_rate[0], base, extra, t_start)
+
+        # HEADLINE block: the 0.02 screening gate and the 1e-3
+        # north-star tolerance run back-to-back through ONE compiled
+        # program (fmax is a runtime value, SearchState.fmax_t — the
+        # EMT program's tunnel compile is ~9 min and dominated r03's
+        # timeout).
+        def _do_emt_pair():
+            runs = run_config(
+                "emt", batch, max_steps, chunk, profile,
+                tolerances=[
+                    (0.02, max_steps),
+                    (1e-3,
+                     int(os.environ.get("BENCH_FMAX3_MAX_STEPS", "120"))),
+                ],
+            )
+            for fmax_i, rate_i, stats_i in runs:
+                stats_i["rate_searches_per_s"] = round(rate_i, 2)
+                stats_i["vs_seq_baseline"] = round(
+                    rate_i / SEQ_BASELINE["emt"], 1
+                )
+            extra["emt_fmax_0.02"] = runs[0][2]
+            headline_rate[0] = runs[1][1]
+            return runs[1][2]
+
+        _block("emt_fmax_1e-3", 0, _do_emt_pair, required=True)
+
+        if os.environ.get("BENCH_SKIP_LJ4", "0") != "1":
+            def _do_lj4():
+                lj_total = int(os.environ.get("BENCH_LJ4_TOTAL", "4096"))
+                lj_batch = int(os.environ.get("BENCH_LJ4_BATCH", "1024"))
+                lj_rate, lj_stats = run_lj4_queue(
+                    lj_total, lj_batch,
+                    int(os.environ.get("BENCH_LJ4_MAX_STEPS", "150")),
+                )
+                lj_stats["rate_searches_per_s"] = round(lj_rate, 2)
+                lj_stats["vs_seq_baseline"] = round(
+                    lj_rate / SEQ_BASELINE["lj4"], 1
+                )
+                return lj_stats
+
+            _block("lj4", 200, _do_lj4)
+
+        if os.environ.get("BENCH_SKIP_EMT151", "0") != "1":
+            # BASELINE config 1 at its true size: Cu(111) 5x5x6 slab +
+            # adsorbate, 151 atoms / 453 DOF — the (B, 450, 450)
+            # batched-linalg regime
+            b151 = int(os.environ.get("BENCH_EMT151_BATCH", "64"))
+
+            def _do_151(pot_f32=False):
+                r151, s151 = run_config(
+                    "emt151", b151,
+                    int(os.environ.get("BENCH_EMT151_MAX_STEPS", "120")),
+                    int(os.environ.get("BENCH_EMT151_CHUNK", "5")),
+                    pot_f32=pot_f32,
+                )
+                s151["rate_searches_per_s"] = round(r151, 3)
+                s151["vs_seq_baseline"] = round(
+                    r151 / SEQ_BASELINE["emt151"], 1
+                )
+                return s151
+
+            _block("emt151", 350, _do_151)
+            if os.environ.get("BENCH_SKIP_F32", "0") != "1":
+                # precision-split run: f32 potential eval/HVPs behind
+                # the f64 optimizer (docs/roofline.md carries the
+                # achievable-vs-achieved analysis these numbers anchor)
+                _block("emt151_f32", 300, lambda: _do_151(pot_f32=True))
+
+        if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
+            # BASELINE config 3: bulk-Cu atom+cell, fixed translations
+            _block("cell", 250, lambda: run_cell_config(
+                int(os.environ.get("BENCH_CELL_BATCH", "512")),
+            )[1])
+
+        if os.environ.get("BENCH_SKIP_LARGESCALE", "0") != "1":
+            # BASELINE config 5: 10k-atom matrix-free MMF
+            _block("largescale", 300, lambda: run_largescale(
+                int(os.environ.get("BENCH_NATOMS", "10000")),
+                int(os.environ.get("BENCH_STEPS", "3")),
+            )[1])
+        return
     else:
         batch = int(os.environ.get("BENCH_BATCH", "4096"))
         max_steps = int(os.environ.get("BENCH_MAX_STEPS", "150"))

@@ -35,6 +35,7 @@ import numpy as np
 
 from ..ops.linalg import expm
 from .ensemble import (
+    batch_pspec as _batch_pspec,
     _davidson_loop,
     _masked_ritz,
     prfo_prepare_batched,
@@ -465,7 +466,7 @@ def run_cell_ensemble(
                 lambda a: jax.device_put(
                     a,
                     NamedSharding(
-                        mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+                        mesh, _batch_pspec(a)
                     ),
                 ),
                 st,

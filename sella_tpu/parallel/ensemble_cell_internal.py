@@ -50,6 +50,7 @@ import numpy as np
 
 from ..ops.linalg import expm
 from .ensemble import (
+    batch_pspec as _batch_pspec,
     prfo_prepare_batched,
     restricted_step_batched,
     ts_bfgs_update_batched,
@@ -1060,7 +1061,7 @@ def run_cell_internal_ensemble(
             lambda a: jax.device_put(
                 a,
                 NamedSharding(
-                    mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+                    mesh, _batch_pspec(a)
                 ),
             ),
             st,

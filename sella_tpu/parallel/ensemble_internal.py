@@ -71,6 +71,7 @@ import numpy as np
 from sella_tpu.ops.linalg import batched_eigh
 
 from .ensemble import (
+    batch_pspec as _batch_pspec,
     _davidson_loop,
     _masked_ritz,
     free_basis,
@@ -971,30 +972,67 @@ def _layout_offsets(ints):
 
 
 def rebuild_internals_at(ints, pos: np.ndarray,
-                         cell: Optional[np.ndarray] = None):
+                         cell: Optional[np.ndarray] = None,
+                         keep_dummies: bool = False):
     """Rebuild a fresh topology from the given geometry, mirroring the
     reference's rebuild (``peswrapper.py:1134-1140``: copy the pristine
-    container, re-run discovery) — except linear centers get NO dummy
-    atom (the atom count is a static shape in the batched tier); their
-    bending DOF must be covered by redundant coordinates instead.
+    container, re-run discovery).
+
+    ``keep_dummies=False`` (dummy-free topologies): linear centers get
+    NO dummy atom (the atom count is a static shape in the batched
+    tier); their bending DOF must be covered by redundant coordinates
+    instead.
+
+    ``keep_dummies=True`` (dummy topologies): ``pos`` is the EXTENDED
+    (natoms + ndummies, 3) geometry; discovery re-runs with dummy
+    insertion allowed, and the rebuild is accepted only when it
+    reproduces the ORIGINAL dummy layout (same count, same linear
+    centers — ``dinds`` equal), so the static DOF count is preserved.
+    The rebuilt dummy container is pinned to the lane's CURRENT dummy
+    positions. Returns ``None`` when the dummy layout changed (that
+    lane must spill to the sequential tier / Cartesian pass instead).
 
     ``cell`` overrides the discovery cell (per-lane realized cells in
     the internal+cell tier). Constrained coordinates are folded back in
     by the :class:`~sella_tpu.coords.internals.Internals` constructor
     (it registers every ``cons`` record), so a repaved lane never loses
-    its fixed internals."""
+    its fixed internals; with ``keep_dummies`` the dummy bond/angle
+    constraints are stripped first and re-added by the dummy insertion
+    itself (their records reference dummy indices that do not exist
+    until discovery re-inserts the dummies)."""
+    pos = np.asarray(pos)
+    nreal = ints.natoms
     at = ints.atoms.copy()
-    at.set_positions(pos)
+    at.set_positions(pos[:nreal])
     if cell is not None:
         at.set_cell(np.asarray(cell))
     cons = ints.cons.copy()
     cons.atoms = at
+    if keep_dummies and ints.ndummies:
+        # strip records that reference dummy indices — discovery
+        # re-creates them via _add_dummy_for_linear_center
+        from ..coords.constraints import DummyStore
+
+        cons.dummies = DummyStore()
+        cons.records = {
+            g: [r for r in recs
+                if np.max(np.atleast_1d(r.indices), initial=0) < nreal]
+            for g, recs in cons.records.items()
+        }
     new = type(ints)(at, cons, allow_fragments=ints.allow_fragments,
                      atol_deg=float(np.degrees(ints.atol)))
     new.forbidden = {g: set(s) for g, s in ints.forbidden.items()}
     new.find_all_bonds()
-    new.find_all_angles(allow_dummies=False)
+    new.find_all_angles(allow_dummies=keep_dummies)
     new.find_all_dihedrals()
+    if keep_dummies and ints.ndummies:
+        if (new.ndummies != ints.ndummies
+                or not np.array_equal(new.dinds, ints.dinds)):
+            return None           # dummy layout changed: cannot repave
+        # continuity: the lane's dummies stay where its DOF vector has
+        # them (fresh insertion positions would teleport the dummy)
+        new.dummies.positions[:] = pos[nreal:]
+        new._engine = None
     return new
 
 
@@ -1100,12 +1138,15 @@ def repave_lanes(state: InternalSearchState, ints, cfg, bad,
     grows when the union gained entries — rebuild the step function
     (and re-shard, if under a mesh) whenever it does.
     """
-    if cfg.ndummies:
-        raise NotImplementedError(
-            "repave supports dummy-free topologies (a dummy atom "
-            "changes the static DOF count); dummy lanes use the "
-            "sequential tier or the queue's Cartesian spill"
-        )
+    # Dummy topologies repave too (round 4, VERDICT r3 item 7): the
+    # dummy DOF rows are static per topology signature, so a rebuild
+    # that reproduces the original dummy layout (checked inside
+    # rebuild_internals_at) re-pads into the same union mechanics as
+    # constrained rows. A lane whose rebuilt dummy layout CHANGED
+    # (linear center vanished / appeared) is reported False in the
+    # returned mask — the queue's spill path handles it, exactly like
+    # a rank-deficient rebuild.
+    #
     # Fixed internal coordinates survive a repave: the rebuild folds
     # every ``ints.cons`` record back into the lane topology (the
     # Internals constructor registers them), so the constrained rows
@@ -1119,12 +1160,20 @@ def repave_lanes(state: InternalSearchState, ints, cfg, bad,
     if lanes.size == 0:
         return state, ints, cfg, bad
 
-    n = cfg.natoms
+    n = cfg.natoms + cfg.ndummies          # extended atom count
+    keep_dummies = cfg.ndummies > 0
     xs = np.asarray(state.x)
-    rebuilt = {
-        int(l): rebuild_internals_at(ints, xs[l].reshape(n, 3))
-        for l in lanes
-    }
+    rebuilt = {}
+    for l in lanes:
+        r = rebuild_internals_at(ints, xs[l].reshape(n, 3),
+                                 keep_dummies=keep_dummies)
+        if r is None:
+            bad[l] = False          # dummy layout changed: cannot repave
+        else:
+            rebuilt[int(l)] = r
+    lanes = np.where(bad)[0]
+    if lanes.size == 0:
+        return state, ints, cfg, bad
     merged = ints
     for r in rebuilt.values():
         merged, _ = merge_novel_internals(merged, r)
@@ -1487,7 +1536,7 @@ def run_internal_ensemble(
             lambda a: jax.device_put(
                 a,
                 NamedSharding(
-                    mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+                    mesh, _batch_pspec(a)
                 ),
             ),
             st,

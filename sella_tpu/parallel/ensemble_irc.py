@@ -41,6 +41,7 @@ import numpy as np
 from sella_tpu.ops.linalg import batched_eigh
 
 from .ensemble import (
+    batch_pspec as _batch_pspec,
     free_basis,
     restricted_step_batched,
     ts_bfgs_update_batched,
@@ -405,7 +406,7 @@ def run_irc_ensemble(
             lambda a: jax.device_put(
                 a,
                 NamedSharding(
-                    mesh, P(*(("batch",) + (None,) * (a.ndim - 1)))
+                    mesh, _batch_pspec(a)
                 ),
             ),
             state,
