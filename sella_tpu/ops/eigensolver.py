@@ -26,12 +26,6 @@ from .hessian_update import symmetrize_Y
 from .linalg import modified_gram_schmidt
 
 
-def _as_dense(A, n: int) -> Optional[np.ndarray]:
-    if isinstance(A, np.ndarray):
-        return A
-    return None
-
-
 def exact(A, gamma=None, P=None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Dense eigendecomposition fallback; densifies operators by probing
     (``/root/reference/sella/eigensolvers.py:9-28``)."""

@@ -286,7 +286,7 @@ def test_internal_ensemble_queue():
         refill_every=15,
     )
     assert len(results) == total
-    nconv = sum(1 for *_, c in results if c)
+    nconv = sum(1 for r in results if r[3])
     assert nconv >= total - 1, [r[2:] for r in results]
     # 6-tuple contract shared with the Cartesian queue
     assert all(len(r) == 6 for r in results)
@@ -316,7 +316,7 @@ def test_internal_queue_cartesian_spill():
         refill_every=20, spill="cartesian",
     )
     assert len(results) == 8
-    assert all(c for *_, c in results), [r[2:] for r in results]
+    assert all(r[3] for r in results), [r[2:] for r in results]
 
 
 def test_internal_ensemble_rigid_water_trics():

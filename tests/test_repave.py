@@ -239,3 +239,77 @@ def test_lane_converges_in_place_after_repave(order):
     # raw gradient bound is loose (rigid modes excluded in-run); the
     # cluster's full gradient still sits near zero at a minimum
     assert fnorm.max() < 5e-3, fnorm
+
+
+def test_repave_dummy_topology():
+    """Round 4 (VERDICT r3 item 7): dummy-atom lanes repave when the
+    rebuilt topology reproduces the dummy layout; a lane whose linear
+    center VANISHED is reported un-repavable (per-lane False) instead
+    of the old blanket NotImplementedError."""
+    # O-C-O exactly linear (dummy inserted at C) + two H on the second
+    # O; the H-O-H angle is the coordinate that will go singular
+    base = np.array([
+        [-1.16, 0.0, 0.0], [0.0, 0.0, 0.0], [1.16, 0.0, 0.0],
+        [1.6, 0.85, 0.0], [1.6, -0.85, 0.0],
+    ])
+    atoms = Atoms(["O", "C", "O", "H", "H"], base)
+    ints = Internals(atoms)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    assert ints.ndummies == 1 and ints.dinds[1] == 5
+    ncons = sum(1 for _ in ints.cons._iter_records(only_active=False))
+
+    cfg = InternalEnsembleConfig(
+        natoms=5, nint=ints.nint, ndummies=1, ncons=ncons,
+        order=0, fmax=1e-3, gamma=0.1,
+    )
+    pot = LennardJones()
+
+    # lane 1: fold the H's until H-O-H is 179.7 deg (singular window);
+    # O2 has THREE neighbors, so the rebuild covers the bend with an
+    # improper instead of a new dummy -> dummy layout preserved
+    bad_pos = base.copy()
+    u = np.array([0.0026, 1.0, 0.0])
+    u /= np.linalg.norm(u)
+    bad_pos[3] = base[2] + 0.957 * u
+    bad_pos[4] = base[2] + 0.957 * np.array([u[0], -u[1], 0.0])
+    x0 = jnp.asarray(np.stack([base.ravel(), bad_pos.ravel()]))
+    state = init_internal_state(pot, ints, x0, cfg)
+
+    bad = np.asarray(bad_internals_mask(state, ints, 0.5))
+    assert list(bad) == [False, True]
+
+    st2, ints2, cfg2, done = repave_lanes(state, ints, cfg, bad)
+    assert done[1] and not done[0]
+    assert ints2.ndummies == 1 and ints2.dinds[1] == 5
+    qact = np.asarray(st2.qact)
+    # the singular H-O-H angle is inactive for the repaved lane
+    off_a = ints2.ntrans + ints2.nbonds
+    for m, (i, j, k, nc) in enumerate(ints2.angles):
+        if {i, j, k} == {3, 2, 4}:
+            assert not qact[1, off_a + m]
+    # transferred Hessian finite + symmetric; masked B spans nred
+    H1 = np.asarray(st2.H[1])
+    assert np.all(np.isfinite(H1))
+    np.testing.assert_allclose(H1, H1.T, atol=1e-8)
+    eng = ints2._get_engine()
+    n_ext = cfg.natoms + cfg.ndummies
+    Bn = np.asarray(
+        eng._jac_impl(np.asarray(st2.x[1]).reshape(n_ext, 3),
+                      jnp.zeros((3, 3)))
+    ) * qact[1][:, None]
+    sv = np.linalg.svd(Bn, compute_uv=False)
+    assert int(np.sum(sv > 1e-8 * sv[0])) == cfg.nred
+
+    # a lane whose O-C-O bends away from linear loses its dummy center:
+    # rebuild returns a changed dummy layout -> NOT repaved, no raise
+    bent = base.copy()
+    bent[0] = [-1.0, 0.6, 0.0]
+    xb = jnp.asarray(np.stack([base.ravel(), bent.ravel()]))
+    st_b = init_internal_state(pot, ints, xb, cfg)
+    st3, ints3, cfg3, done3 = repave_lanes(
+        st_b, ints, cfg, np.array([False, True])
+    )
+    assert not done3.any()
+    assert ints3.nint == ints.nint       # nothing merged
