@@ -90,14 +90,39 @@ def _kearsley_matrix(Xc: jnp.ndarray, Yc: jnp.ndarray) -> jnp.ndarray:
     return K
 
 
+def _canonical_q(lams: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """Branch-stable leading quaternion from an eigh of K.
+
+    Mirrors the reference's ``_stabilize_quaternion`` with
+    ``q_prev = identity`` (``internal.py:566-581``): when the leading
+    eigenvalue is DEGENERATE (2-atom / linear fragments — rotation
+    about the molecular axis is a gauge direction), project the
+    identity quaternion onto the leading eigenspace and normalize, so
+    the coordinate reads 0 at the reference orientation instead of an
+    arbitrary LAPACK basis vector (observed: a diatomic fragment read
+    |rotvec| = pi where the reference read 0, derailing the rigid
+    cell-transport parity). Sign: w >= 0 (minimal rotation angle, the
+    reference's convention), falling back to
+    largest-|component|-positive for true 180-degree rotations."""
+    q = V[:, -1]
+    mask = ((lams[-1] - lams) < 1e-10).astype(V.dtype)
+    e0 = jnp.zeros(4, V.dtype).at[0].set(1.0)
+    proj = V @ (mask * (V.T @ e0))
+    pn = jnp.linalg.norm(proj)
+    deg_use = (jnp.sum(mask) > 1.5) & (pn > 1e-7)
+    q = jnp.where(deg_use, proj / jnp.where(pn > 1e-14, pn, 1.0), q)
+    pick = jnp.argmax(jnp.abs(q))
+    sign = jnp.where(jnp.abs(q[0]) > 1e-12, jnp.sign(q[0]),
+                     jnp.sign(q[pick]))
+    return q * sign
+
+
 @jax.custom_jvp
 def _leading_evec(K: jnp.ndarray) -> jnp.ndarray:
-    """Leading (largest-eigenvalue) eigenvector of a symmetric 4x4,
-    sign-canonicalized so the largest-magnitude component is positive."""
-    _, V = jnp.linalg.eigh(K)
-    q = V[:, -1]
-    pick = jnp.argmax(jnp.abs(q))
-    return q * jnp.sign(q[pick])
+    """Branch-stable leading eigenvector of the symmetric 4x4 K
+    (see :func:`_canonical_q`)."""
+    lams, V = jnp.linalg.eigh(K)
+    return _canonical_q(lams, V)
 
 
 @_leading_evec.defjvp
@@ -124,9 +149,7 @@ def _resolvent_parts(K):
     (non-leading) degeneracies, which only reshuffle the eigenbasis of a
     subspace the projector sums over."""
     lams, V = jnp.linalg.eigh(K)
-    q = V[:, -1]
-    pick = jnp.argmax(jnp.abs(q))
-    q = q * jnp.sign(q[pick])
+    q = _canonical_q(lams, V)
     gap = lams[-1] - lams[:-1]
     scale = jnp.maximum(jnp.abs(lams[-1]), 1.0)
     ok = gap > 1e-10 * scale

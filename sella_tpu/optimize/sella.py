@@ -73,7 +73,7 @@ class Sella(Optimizer):
         hessian_function: Optional[Callable] = None,
         optimize_cell: bool = False,
         allow_fragments: bool = False,
-        rigid_fragments: bool = False,
+        rigid_fragments: Optional[bool] = None,
         cell_mask: Optional[np.ndarray] = None,
         exp_cell_factor: Optional[float] = None,
         scalar_pressure: float = 0.0,
@@ -193,7 +193,7 @@ class Sella(Optimizer):
         hessian_function=None,
         optimize_cell: bool = False,
         allow_fragments: bool = False,
-        rigid_fragments: bool = False,
+        rigid_fragments: Optional[bool] = None,
         cell_mask=None,
         exp_cell_factor=None,
         scalar_pressure: float = 0.0,

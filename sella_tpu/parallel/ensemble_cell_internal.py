@@ -147,6 +147,11 @@ class CellInternalSearchState(NamedTuple):
     #   ``peswrapper.py:1521-1567``).
     qact: jnp.ndarray         # (B, nint) per-lane active topology rows
     #   (all True until a repave/Niggli event diversifies lanes)
+    qcons: jnp.ndarray        # (B, ncons) per-lane rows of the fixed
+    #   internal coordinates. Identical across lanes at init; a Niggli
+    #   rebase remaps an image-pinned constraint to its remapped row
+    #   (nc @ M^{-1}) for that lane only — the reason these are DATA,
+    #   not trace-time constants.
 
 
 def _cell_map(cfg: CellInternalEnsembleConfig,
@@ -353,13 +358,15 @@ def make_cell_internal_step_fn(
         )
         return jnp.concatenate([top, bot], axis=1)
 
-    def newton_set_x(x0, cells, q_after, dq_target, rows):
+    def newton_set_x(x0, cells, q_after, dq_target, rows, qcons_rows):
         """Find x with q(x; cell_new) = q_after + dq_target (masked
         Newton, best-iterate tracking; fixed components pinned,
         inactive rows ignored)."""
         q_target = q_after + dq_target
         if ncons:
-            q_target = q_target.at[:, cons_idx].set(cons_target[None])
+            q_target = jax.vmap(
+                lambda qt, ci: qt.at[ci].set(cons_target)
+            )(q_target, qcons_rows)
 
         class _NS(NamedTuple):
             x: jnp.ndarray
@@ -409,7 +416,7 @@ def make_cell_internal_step_fn(
         cells = batch_cell(state.s, state.cell0)
         Bm = batch_B(state.x, cells) * rows[:, :, None]
         apply_pinv, Ured_q = _gram_pinv(Bm, cfg.nred)
-        Ufree_q = _split_fixed(Ured_q, cons_idx, ncons)
+        Ufree_q = _split_fixed(Ured_q, state.qcons if ncons else cons_idx, ncons)
         Ufree_z = blockdiag_free(Ufree_q)           # (B, nz, nfree)
 
         gz = jnp.concatenate([state.gq, state.gs], axis=1)
@@ -438,7 +445,8 @@ def make_cell_internal_step_fn(
             x_base = state.x
         q_after = wrap_dq(batch_q(x_base, cells_new) - state.q
                           ) + state.q
-        x_new = newton_set_x(x_base, cells_new, q_after, dq_pred, rows)
+        x_new = newton_set_x(x_base, cells_new, q_after, dq_pred, rows,
+                              state.qcons)
         x_new = jnp.where(act[:, None], x_new, state.x)
         q_new = wrap_dq(batch_q(x_new, cells_new) - state.q) + state.q
 
@@ -500,7 +508,7 @@ def make_cell_internal_step_fn(
         delta_new = jnp.where(act, delta_new, state.delta)
 
         # ---- convergence: projected forces AND cell gradient ----
-        Ufree_new = _split_fixed(Ured_q_new, cons_idx, ncons)
+        Ufree_new = _split_fixed(Ured_q_new, state.qcons if ncons else cons_idx, ncons)
         gqp = jnp.einsum(
             "bij,bj->bi", Ufree_new,
             jnp.einsum("bij,bi->bj", Ufree_new, gq_new),
@@ -533,6 +541,7 @@ def make_cell_internal_step_fn(
             neval=neval,
             cell0=state.cell0,
             qact=state.qact,
+            qcons=state.qcons,
         )
 
     return step
@@ -549,6 +558,13 @@ def init_cell_internal_state(
     Bsz = x0.shape[0]
     dtype = x0.dtype
     n = cfg.natoms
+    cons_idx0, _ = fixed_internal_constraints(ints)
+    if len(cons_idx0) != cfg.ncons:
+        raise ValueError(
+            f"cfg.ncons={cfg.ncons} != mapped constraints "
+            f"{len(cons_idx0)}"
+        )
+    cons_idx0 = np.asarray(cons_idx0, np.int64).reshape(-1)
     if s0 is None:
         s0 = jnp.zeros((Bsz, cfg.ncell), dtype)
     else:
@@ -600,6 +616,9 @@ def init_cell_internal_state(
         neval=jnp.ones(Bsz, jnp.int32),
         cell0=cell0,
         qact=jnp.ones((Bsz, cfg.nint), bool),
+        qcons=jnp.broadcast_to(
+            jnp.asarray(cons_idx0, jnp.int32)[None], (Bsz, cfg.ncons)
+        ).copy(),
     )
 
 
@@ -770,6 +789,8 @@ def repave_cell_internal_lanes(
 
     state = state._replace(
         H=jnp.asarray(H), qact=jnp.asarray(qact),
+        # constraint rows ride the rigid block shifts of the union
+        qcons=jnp.asarray(mp, jnp.int32)[state.qcons],
     )
     q, gq = _recompute_q_gq(state, merged, cfg_new, cell_mask)
     state = state._replace(q=q, gq=gq)
@@ -829,14 +850,13 @@ def niggli_rebase_cell_internal_lanes(
         merge_novel_internals,
     )
 
-    for rec in ints.cons._iter_records(only_active=False):
-        nc = rec.ncvecs
-        if nc is not None and np.any(np.asarray(nc) != 0):
-            raise NotImplementedError(
-                "niggli rebase cannot remap constraints pinned to "
-                "nonzero periodic image offsets"
-            )
-
+    # Constraints pinned to nonzero periodic image offsets are
+    # remapped per lane exactly like the coordinate rows (nc @ M^{-1})
+    # — their member rows live in ``state.qcons`` (per-lane data), so
+    # lane A's rebase leaves lane B's constraint rows untouched.
+    # (Round 4: this replaced a NotImplementedError guard; the
+    # reference applies Niggli to every PES unconditionally,
+    # ``optimize.py:437-440``.)
     if cell_mask is None:
         cell_mask = np.ones((3, 3), dtype=bool)
     if pbc is None:
@@ -944,6 +964,7 @@ def niggli_rebase_cell_internal_lanes(
 
     # scatter every lane into the new z layout (rigid block shifts)
     mp = _old_to_new_map(ints, merged)
+    qcons_new = mp[np.asarray(state.qcons, np.int64)]
     mz = np.concatenate([mp, nint_new + np.arange(cfg.ncell)])
     qact = np.zeros((Bsz, nint_new), bool)
     qact[:, mp] = qact_old
@@ -1002,10 +1023,18 @@ def niggli_rebase_cell_internal_lanes(
         qact[lane, tgt] = True
         ss[lane] = 0.0
         c0[lane] = new_cell
+        # constraint member rows follow the same remap as their
+        # coordinates (active rows are all in src by construction)
+        rowmap = dict(zip(src.tolist(), tgt.tolist()))
+        qcons_new[lane] = [
+            rowmap[int(r)]
+            for r in np.asarray(state.qcons[lane], np.int64)
+        ]
 
     state = state._replace(
         s=jnp.asarray(ss), cell0=jnp.asarray(c0),
         H=jnp.asarray(H), qact=jnp.asarray(qact),
+        qcons=jnp.asarray(qcons_new, jnp.int32),
     )
     q, gq = _recompute_q_gq(state, merged, cfg_new, cell_mask)
     state = state._replace(q=q, gq=gq)

@@ -357,7 +357,13 @@ def _split_fixed(Ured: jnp.ndarray, cons_idx: jnp.ndarray,
     static by construction)."""
     if ncons == 0:
         return Ured
-    W = jnp.swapaxes(Ured[:, cons_idx, :], 1, 2)       # (B, nred, nc)
+    if cons_idx.ndim == 2:
+        # per-lane constraint rows (the combined tier after a Niggli
+        # rebase remapped image-pinned constraints lane-by-lane)
+        sel = jnp.take_along_axis(Ured, cons_idx[:, :, None], axis=1)
+        W = jnp.swapaxes(sel, 1, 2)                    # (B, nred, nc)
+    else:
+        W = jnp.swapaxes(Ured[:, cons_idx, :], 1, 2)   # (B, nred, nc)
     Q = jnp.linalg.qr(W, mode="complete")[0]           # (B, nred, nred)
     return jnp.einsum("bij,bjk->bik", Ured, Q[:, :, ncons:])
 

@@ -116,7 +116,11 @@ class CellCartesianPES(PES):
             H0_full[self.n_cart:, self.n_cart:] = np.eye(self.n_cell_dof)
         if save_hessian is not None:
             np.save(save_hessian, H0_full)
-        self.set_H(H0_full)
+        # FD-refined H0 => initialized=False: the first quasi-Newton
+        # update then Ritz-bootstraps ONLY the Cartesian block,
+        # preserving the refined cell blocks (reference
+        # ``peswrapper.py:2509`` + ``linalg.py:280-289``)
+        self.set_H(H0_full, initialized=(refine_level == 0))
 
     # -- differentiable extended objective -----------------------------------
     def _build_extended_energy(self) -> None:
@@ -378,8 +382,14 @@ class CellCartesianPES(PES):
         )
 
         new_cell, M = reduce_cell_basis(cell)
-        # wrap atoms into the new cell
-        frac = self.atoms.positions @ np.linalg.inv(new_cell)
+        # Reference/ASE position semantics (``ase.build.niggli_reduce``
+        # as called at ``peswrapper.py:195``): atoms keep their
+        # OLD-basis fractional coordinates, realized in the reduced
+        # cell — the structure is repacked compactly rather than kept
+        # physically continuous. (The batched tier keeps positions
+        # physically fixed instead — documented design difference; the
+        # sequential tier is the reference-parity anchor.)
+        frac = self.atoms.positions @ np.linalg.pinv(np.asarray(cell))
         frac -= np.floor(frac)
         self.atoms.positions = frac @ new_cell
         self.atoms.cell = new_cell
@@ -443,7 +453,7 @@ class CellInternalPES:
         exp_cell_factor: Optional[float] = None,
         cell_mask: Optional[np.ndarray] = None,
         scalar_pressure: float = 0.0,
-        rigid_fragments: bool = False,
+        rigid_fragments: Optional[bool] = None,
         refine_initial_hessian=False,
         hessian_delta: float = 1e-5,
         save_hessian: Optional[str] = None,
@@ -452,11 +462,17 @@ class CellInternalPES:
     ) -> None:
         from .internal import InternalPES
 
-        self.rigid_fragments = rigid_fragments
-
         # atomic part is a full InternalPES; we wrap rather than subclass
         # so every internal-only code path stays untouched
         self._ipes = InternalPES(atoms, internals, *args, **kwargs)
+        if rigid_fragments is None:
+            # reference auto-detection (``peswrapper.py:1431-1434``):
+            # fragment TRIC translations present => the system is a
+            # molecular crystal whose fragments ride the cell as rigid
+            # bodies rather than deforming with it
+            rigid_fragments = bool(getattr(self._ipes.int, "trans", []))
+        self.rigid_fragments = bool(rigid_fragments)
+        rigid_fragments = self.rigid_fragments
         self.atoms = self._ipes.atoms
         self.int = self._ipes.int
         self.cons = self._ipes.cons
@@ -634,6 +650,11 @@ class CellInternalPES:
                     range(self.n_internal - nr, self.n_internal)
                 )
             self._refine_by_secants(idx, hessian_delta)
+        if refine_level >= 1:
+            # preserve the refined cell block through the first update
+            # (reference ``peswrapper.py:1513-1520``: initialized=False
+            # bootstraps only the internal block)
+            self.set_H(self.H.asarray(), initialized=False)
         if save_hessian is not None:
             np.save(save_hessian, self.H.asarray())
 

@@ -367,7 +367,19 @@ class InternalPES(PES):
             if getattr(self, "geodesic_integrator", "lsoda") == "rk4":
                 res = self._set_x_geodesic(target)
             else:
-                res = self._set_x_ode(target)
+                pos0 = self._get_flat_pos()
+                try:
+                    res = self._set_x_ode(target)
+                except RuntimeError:
+                    # recovery chain (SURVEY §5 A2): LSODA blew its
+                    # nfev cap (stiff realization of a hard move) —
+                    # restart the whole move on the fixed-substep RK4
+                    # geodesic instead of dying. The reference raises
+                    # here (``peswrapper.py:864-869``); the fallback
+                    # only runs where the reference would abort, so
+                    # decision-parity on surviving runs is unaffected.
+                    self._set_flat_pos(pos0)
+                    res = self._set_x_geodesic(target)
         q_after = self.int.calc().copy()
         moved = self._project_to_constraints()
         dx_initial, dx_final, g_final = res

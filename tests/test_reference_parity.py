@@ -57,6 +57,23 @@ STRICT = [
     "morse_xe4_cart_min_ineq_active",
     # round 3: Cartesian + cell DOF (closed-form set_x)
     "cu_bulk_cellcart_min",
+    # round 4: Niggli reduction FIRING mid-run (skewed start cell,
+    # niggli=True): the rebase — reference/ASE position semantics
+    # (old-basis fractionals repacked into the reduced cell) + the
+    # Hessian chart transform — sits inside the strictly-gated
+    # trajectory
+    "xe4_skew_cellcart_niggli_min",
+]
+# FD-refined initial Hessian: H0's FD columns divide ~1e-10
+# cross-implementation gradient agreement by 2*delta=2e-5, injecting
+# ~5e-6 into H0 itself — strict 1e-8 trajectory gates are unattainable
+# BY CONSTRUCTION for any two fp-inequivalent builds. Gates: identical
+# step counts, EXACT per-step force-call counts (the refinement block
+# is the deliverable — the reference pins these in its own
+# ``tests/test_cell_optimization.py:1099``), trajectory at the
+# FD-amplification floor.
+FD_REFINE = [
+    "cu_bulk_cellcart_refine1_min",
 ]
 NEWTON = [
     "morse_xe4_int_saddle_newton",
@@ -73,6 +90,12 @@ NOISE_FLOOR = [
     # cell+internal class), so per the round-2 control experiment
     # (tools/noise_floor_control.py) strict gates are unattainable.
     "xe4_crystal_cellint_min",
+    # round 4: rigid-fragment transport (auto-detected from TRIC
+    # translations, both sides) on a two-diatomic molecular crystal
+    "n2dimers_cellint_rigid_min",
+    # round 4: TIP3P 8-water cluster, per-molecule rigid constraints +
+    # fragment TRICs (the reference's hardest integration config)
+    "water8_tip3p_int_min",
 ]
 
 _DRIVER_KEYS = ("name", "fmax", "max_steps", "use_cons", "cons_recipe",
@@ -91,6 +114,10 @@ def _potential(spec: dict):
     if kind == "emt":
         numbers = [chemical_symbols.index(s) for s in spec["symbols"]]
         return EMT(numbers, pbc=bool(spec.get("pbc", False)))
+    if kind == "tip3p":
+        from sella_tpu.potentials import TIP3P
+
+        return TIP3P(nmol=int(spec["nmol"]))
     raise KeyError(kind)
 
 
@@ -115,6 +142,17 @@ def _make_constraints(recipe, atoms):
         cons.fix_translation()
         d23 = float(np.linalg.norm(atoms.positions[3] - atoms.positions[2]))
         cons.fix_bond((2, 3), target=5.0 * d23, comparator="gt")
+        return cons
+    if recipe == "tip3p_rigid":
+        from sella_tpu.potentials.tip3p import angleHOH, rOH
+
+        nmol = len(atoms.positions) // 3
+        for i in range(nmol):
+            cons.fix_bond((3 * i, 3 * i + 1), target=rOH)
+            cons.fix_bond((3 * i, 3 * i + 2), target=rOH)
+            cons.fix_angle((3 * i + 1, 3 * i, 3 * i + 2), target=angleHOH)
+        cons.fix_translation()
+        cons.fix_rotation()
         return cons
     raise KeyError(recipe)
 
@@ -166,7 +204,7 @@ def _run_traced(name: str):
     kwargs = {k: v for k, v in cfg.items() if k not in _DRIVER_KEYS}
     np.random.seed(2024)
     rec = {k: [] for k in ("positions", "cell", "energy", "delta", "rho",
-                           "nmatvec")}
+                           "nmatvec", "ncalls")}
     with _MatvecCounter() as mv:
         opt = Sella(atoms, constraints=cons, logfile=None, **kwargs)
 
@@ -177,6 +215,7 @@ def _run_traced(name: str):
             rec["delta"].append(float(opt.delta))
             rec["rho"].append(float(opt.rho))
             rec["nmatvec"].append(int(mv.n))
+            rec["ncalls"].append(int(opt.pes.neval))
 
         opt.fmax = cfg["fmax"]
         converged = opt.converged()
@@ -227,6 +266,46 @@ def test_reference_parity_strict(name):
         f"ref={mv_ref.tolist()}"
     )
 
+    # Force-call counts per step: within 1 (exactness matters most for
+    # cu_bulk_cellcart_refine1_min, whose FD initial-Hessian refinement
+    # front-loads a probe block into ncalls[0] — the reference pins
+    # these counts in its own ``tests/test_cell_optimization.py:1099``)
+    nc_ref = data["ncalls"]
+    nc_mine = np.array(rec["ncalls"])
+    assert np.max(np.abs(nc_mine - nc_ref)) <= 1, (
+        f"force-call counts diverged: mine={nc_mine.tolist()} "
+        f"ref={nc_ref.tolist()}"
+    )
+
+
+@pytest.mark.parametrize("name", FD_REFINE)
+def test_reference_parity_fd_refine(name):
+    data, rec, converged, opt = _run_traced(name)
+
+    assert converged == bool(data["converged"])
+    nsteps_ref = int(data["nsteps"])
+    assert opt.nsteps == nsteps_ref, (
+        f"step-count mismatch: mine={opt.nsteps} ref={nsteps_ref}"
+    )
+
+    # the deliverable: force-call counts EXACT per step — ncalls[0]
+    # carries the FD refinement probe block (2 per refined DOF)
+    np.testing.assert_array_equal(
+        np.array(rec["ncalls"]), data["ncalls"],
+        err_msg="refinement force-call counts diverged",
+    )
+
+    # trajectory at the FD-amplification floor (measured 9.7e-5 max on
+    # this config; the injected H0 perturbation is ~5e-6)
+    pos_ref = data["positions"]
+    pos_mine = np.array(rec["positions"])
+    assert pos_mine.shape == pos_ref.shape
+    np.testing.assert_allclose(pos_mine, pos_ref, atol=1e-3)
+    np.testing.assert_allclose(
+        np.array(rec["cell"]), data["cell"], atol=1e-3
+    )
+    assert abs(rec["energy"][-1] - data["energy"][-1]) < 1e-6
+
 
 @pytest.mark.parametrize("name", NEWTON)
 def test_reference_parity_newton(name):
@@ -267,13 +346,31 @@ def test_reference_parity_newton(name):
     )
 
 
+# Per-config final-energy tolerances for the noise-floor class. At
+# fmax=1e-3 the energy sits within ~f^2/(2 k_min) of the stationary
+# value; for water8's soft intermolecular modes (k ~ 0.05 eV/A^2) that
+# floor is ~1e-5, so two independently-converged runs of the SAME basin
+# legitimately differ by a few 1e-6 (measured 4.1e-6).
+_NF_ETOL = {"water8_tip3p_int_min": 2e-5}
+
+
 @pytest.mark.parametrize("name", NOISE_FLOOR)
 def test_reference_parity_noise_floor(name):
     data, rec, converged, opt = _run_traced(name)
 
-    # both converge, to the same stationary point
-    assert converged and bool(data["converged"])
-    assert abs(rec["energy"][-1] - data["energy"][-1]) < 1e-6
+    cfg = json.loads(str(data["config"]))
+    if not bool(data["converged"]):
+        # deliberately TRUNCATED fixture (e.g. n2dimers: 12 cell moves
+        # with rigid transport, stopped before the chaotic repacking
+        # tail): both sides must run the full budget, and the gated
+        # content is the early trajectory below
+        assert not converged
+        assert opt.nsteps == int(data["nsteps"])
+    else:
+        # both converge, to the same stationary point
+        assert converged
+        assert (abs(rec["energy"][-1] - data["energy"][-1])
+                < _NF_ETOL.get(name, 1e-6))
 
     # early steps at the integrator noise floor (before chaos can
     # amplify the per-step ~1e-7 LSODA realization differences)
@@ -293,10 +390,14 @@ def test_reference_parity_noise_floor(name):
             cell_mine[:k], data["cell"][:k], atol=2 * early_atol,
             err_msg="early CELL trajectory diverged",
         )
-        np.testing.assert_allclose(
-            cell_mine[-1], data["cell"][-1], atol=1e-4,
-            err_msg="final cell diverged",
-        )
+        if bool(data["converged"]):
+            # truncated fixtures end mid-flight where per-step LSODA
+            # noise has amplified freely; only converged runs pin the
+            # endpoint
+            np.testing.assert_allclose(
+                cell_mine[-1], data["cell"][-1], atol=1e-4,
+                err_msg="final cell diverged",
+            )
 
     # effort within 40% (step counts legitimately differ once the
     # realization noise crosses a diag-schedule decision)

@@ -192,6 +192,84 @@ def hcch_positions():
     return pos
 
 
+def xe4_crystal_skewed_data():
+    """fcc-Xe cell sheared until the a–b angle is ~44 deg (i.e. >30 deg
+    from 90): with ``niggli=True`` the reference's
+    ``maybe_niggli_reduce`` fires at the end of the FIRST optimizer
+    step (``/root/reference/sella/optimize/optimize.py:437-440`` +
+    ``peswrapper.py:1521-1567``), exercising the Niggli rebase and the
+    log-deformation Hessian transform (``peswrapper.py:151-211``)."""
+    a = 6.69
+    cell = np.array([
+        [a, 0.0, 0.0],
+        [0.70 * a, 0.714 * a, 0.0],   # angle(a, b) ~ 45.6 deg
+        [0.0, 0.0, a],
+    ])
+    frac = np.array(
+        [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
+    )
+    rng = np.random.RandomState(23)
+    return frac @ cell + 0.15 * rng.normal(size=(4, 3)), cell
+
+
+def n2_dimer_crystal_data():
+    """Two Morse diatomics ('N2'-like, r0=1.2 A) well separated in a
+    periodic box: flood-fill topology discovery finds two fragments,
+    ``allow_fragments`` adds TRIC translations/rotations, and the
+    reference then AUTO-DETECTS ``rigid_fragments``
+    (``peswrapper.py:1431-1434``) so every cell move runs the rigid
+    CoM/rotation transport (``peswrapper.py:1947-2010``)."""
+    # small over-expanded box: the dimers genuinely attract through
+    # the Morse tail (intermolecular r ~ 2.8-3.5 A), so the cell has a
+    # real compressive driving force and the rigid transport runs on
+    # many successive cell moves (a vacuum-sized box converged in 4
+    # trivial steps with the cell frozen at its start)
+    L = 5.2
+    pos = np.array([
+        [1.1, 1.2, 1.2], [2.45, 1.2, 1.2],    # dimer 1 along x (stretched)
+        [3.6, 3.5, 3.8], [3.6, 4.85, 3.8],    # dimer 2 along y (stretched)
+    ])
+    cell0 = np.eye(3) * L
+    rng = np.random.RandomState(29)
+    eps = 0.05 * rng.normal(size=(3, 3))
+    eps = 0.5 * (eps + eps.T)
+    F = (np.eye(3) + eps) * 1.06              # over-expanded start
+    return pos @ F.T + 0.05 * rng.normal(size=pos.shape), cell0 @ F.T
+
+
+def water8_positions():
+    """Eight TIP3P-geometry waters near the corners of a cube (the
+    reference's hardest integration config, per-molecule rigid
+    constraints + fragment TRICs —
+    ``/root/reference/tests/integration/test_tip3p_cluster.py:60-86``).
+    Geometry built here from scratch: ideal TIP3P monomers, each given
+    a random orientation and a corner offset, then rattled."""
+    from sella_tpu.potentials.tip3p import angleHOH, rOH
+
+    th = np.deg2rad(angleHOH)
+    # O at origin; H's in the xz-plane, bisector along +z
+    monomer = np.array([
+        [0.0, 0.0, 0.0],
+        [rOH * np.sin(th / 2), 0.0, rOH * np.cos(th / 2)],
+        [-rOH * np.sin(th / 2), 0.0, rOH * np.cos(th / 2)],
+    ])
+    a = 3.1
+    rng = np.random.RandomState(5)
+    pos = []
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                # random rotation from a QR-orthonormalized Gaussian
+                M = rng.normal(size=(3, 3))
+                Q, R = np.linalg.qr(M)
+                Q *= np.sign(np.diag(R))
+                if np.linalg.det(Q) < 0:
+                    Q[:, 0] *= -1
+                pos.append(monomer @ Q.T + a * np.array([ix, iy, iz]))
+    pos = np.vstack(pos)
+    return pos + 0.01 * rng.normal(size=pos.shape)
+
+
 def lj4_positions():
     """Perturbed LJ4 tetrahedron (sigma=1): the well-conditioned
     first-order-saddle start used by the IRC fixtures."""
@@ -251,6 +329,26 @@ def build_system(name: str):
         spec = dict(kind="morse", symbols=["H", "C", "C", "H"], **params)
         return (spec["symbols"], hcch_positions(),
                 MorsePotential(**params), spec)
+    if name.startswith("xe4_skew"):
+        pos, cell = xe4_crystal_skewed_data()
+        params = dict(epsilon=226.9 * kB, r0=4.73, rho0=4.73 * 1.099)
+        spec = dict(kind="morse", symbols=["Xe"] * 4, pbc=True,
+                    cell=cell.tolist(), **params)
+        return (spec["symbols"], pos,
+                MorsePotential(pbc=True, **params), spec)
+    if name.startswith("n2dimers"):
+        pos, cell = n2_dimer_crystal_data()
+        params = dict(epsilon=5.0, r0=1.2, rho0=1.2 * 3.0)
+        spec = dict(kind="morse", symbols=["N"] * 4, pbc=True,
+                    cell=cell.tolist(), **params)
+        return (spec["symbols"], pos,
+                MorsePotential(pbc=True, **params), spec)
+    if name.startswith("water8"):
+        from sella_tpu.potentials import TIP3P
+
+        symbols = ["O", "H", "H"] * 8
+        spec = dict(kind="tip3p", symbols=symbols, nmol=8)
+        return symbols, water8_positions(), TIP3P(nmol=8), spec
     raise KeyError(name)
 
 
@@ -295,6 +393,21 @@ def make_constraints(recipe, atoms, Cons):
         cons.fix_translation()
         d23 = float(np.linalg.norm(atoms.positions[3] - atoms.positions[2]))
         cons.fix_bond((2, 3), target=5.0 * d23, comparator="gt")
+        return cons
+    if recipe == "tip3p_rigid":
+        # per-molecule rigid water: two O-H bonds + the H-O-H angle
+        # pinned to the TIP3P geometry (the reference integration
+        # config, ``/root/reference/tests/integration/
+        # test_tip3p_cluster.py:60-86``)
+        from sella_tpu.potentials.tip3p import angleHOH, rOH
+
+        nmol = len(atoms.positions) // 3
+        for i in range(nmol):
+            cons.fix_bond((3 * i, 3 * i + 1), target=rOH)
+            cons.fix_bond((3 * i, 3 * i + 2), target=rOH)
+            cons.fix_angle((3 * i + 1, 3 * i, 3 * i + 2), target=angleHOH)
+        cons.fix_translation()
+        cons.fix_rotation()
         return cons
     raise KeyError(recipe)
 
@@ -360,6 +473,52 @@ CONFIGS = {
     "hcch_int_min_newton": (
         dict(order=0, internal=True, gamma=1e-3, iterative_stepper=1),
         1e-3, 100, None),
+    # -- round 4: Niggli reduction actually FIRING mid-run --------------
+    # (VERDICT r3 item 5). Start cell angle ~45.6 deg => the reduction
+    # triggers at the end of step 1; the per-step cell trajectory in
+    # the fixture pins the rebased cell and the transformed-Hessian
+    # trajectory after it. Cellcart: closed-form set_x => strict class.
+    # TRUNCATED at 40 steps: the event fires at step 1 and the
+    # post-event trajectory tracks to ~1e-13 for 40+ steps; past ~46
+    # the run enters a near-stationary knife-edge zone (three frozen
+    # cells, then accept/reject decisions on prediction ratios at the
+    # fp-noise floor) where ANY two fp-inequivalent builds bifurcate —
+    # chaos measurement, not algorithm comparison.
+    "xe4_skew_cellcart_niggli_min": (
+        dict(order=0, internal=False, optimize_cell=True, gamma=1e-3,
+             niggli=True),
+        1e-3, 40, None),
+    # -- round 4: FD initial-Hessian refinement force-call parity -------
+    # (reference pins refinement force-call counts in its own
+    # ``tests/test_cell_optimization.py:1099``). The refinement runs at
+    # construction, so ncalls[0] carries the FD probe count; the parity
+    # test gates the FULL per-step ncalls trajectory exactly.
+    "cu_bulk_cellcart_refine1_min": (
+        dict(order=0, internal=False, optimize_cell=True, gamma=1e-3,
+             refine_initial_hessian=1),
+        1e-3, 300, None),
+    # -- round 4: rigid-fragment transport (``peswrapper.py:1947-2010``)
+    # Two separated diatomics + allow_fragments: TRIC translations are
+    # found, the reference AUTO-detects rigid_fragments
+    # (``peswrapper.py:1431-1434``), and every cell move runs the rigid
+    # CoM/rotation transport. Cell+internal => noise-floor class.
+    # TRUNCATED run (12 steps): every step moves the cell, so the
+    # rigid transport fires 12 times inside the gated trajectory. The
+    # full run repacks the dimers through periodic images — a chaotic
+    # path where LSODA realization noise bifurcates the two builds
+    # onto different (same-energy) routes, measuring chaos rather than
+    # the algorithm (same rationale as ineq_active's truncation).
+    "n2dimers_cellint_rigid_min": (
+        dict(order=0, internal=True, optimize_cell=True, gamma=1e-3,
+             allow_fragments=True),
+        1e-3, 12, None),
+    # -- round 4: TIP3P 8-water cluster, rigid waters + fragment TRICs
+    # (the reference's hardest integration config). Internal default
+    # (LSODA geodesic) => noise-floor class.
+    "water8_tip3p_int_min": (
+        dict(order=0, internal=True, gamma=1e-3, allow_fragments=True,
+             eta=1e-6, delta0=1e-2),
+        1e-3, 300, "tip3p_rigid"),
 }
 
 # IRC fixtures: (IRC kwargs, fmax, max outer steps per direction)
