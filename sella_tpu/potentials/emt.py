@@ -298,6 +298,17 @@ class BinnedEMT(Potential):
 
     Parameters mirror :class:`EMT` plus the static-grid inputs of
     :class:`CellBins` (``x0`` fixes the grid and default capacity).
+
+    **Memory guidance (capacity):** the HVP graph materializes
+    ``(n, 27 * capacity)`` candidate panels, so peak HBM scales
+    LINEARLY with ``capacity``. The CellBins default (2x the initial
+    max occupancy, headroom for diffusive trajectories) OOMs a 16 GB
+    chip near ~10k atoms in the HVP graph; for short relaxations /
+    MMF refinements where atoms move far less than a bin width, pass
+    ``capacity ~ 1.25x`` the initial occupancy (e.g. ``capacity=32``
+    for close-packed Cu). Overflowing atoms DROP out of candidate
+    lists (wrong energies) — verify with ``max_occupancy(x)`` (host)
+    or ``overflow_count(pos, cell)`` (jittable) after large moves.
     """
 
     def __init__(self, numbers, x0, cell=None,

@@ -14,8 +14,11 @@ the :class:`~sella_tpu.potentials.binned.CellBins` candidate machinery:
   per-atom energy readout (summed);
 * rotation/translation invariant by construction (edges enter through
   interatomic distances only);
-* deterministic random weights from a seed (physics is placeholder;
-  swap ``params`` for trained weights with the same tree structure).
+* weights: deterministic random init from a seed, OR a trained
+  pytree via ``params=`` — the committed EMT-distilled Cu weights
+  (``weights/mlff_cu_emt.npz``, produced by ``tools/fit_mlff.py``,
+  quality pinned in ``tests/test_mlff.py``) load with
+  :meth:`MLPotential.params_from_npz`.
 
 Any real jax-native MLFF (MACE-jax, NequIP-jax, ...) plugs into the
 framework the same way: implement ``energy(x, cell)`` as a pure
@@ -122,8 +125,41 @@ class MLPotential(Potential):
     # neighbors, so row-chunking would truncate the receptive field
     # (ShardedBinnedPotential correctly rejects this class).
 
+    def save_params(self, path: str) -> None:
+        """Flatten the weight pytree into one ``.npz`` (committable)."""
+        flat = {"embed": np.asarray(self.params["embed"]),
+                "readout_w": np.asarray(self.params["readout_w"]),
+                "readout_b": np.asarray(self.params["readout_b"])}
+        for t, lay in enumerate(self.params["layers"]):
+            for k, v in lay.items():
+                flat[f"L{t}_{k}"] = np.asarray(v)
+        np.savez(path, **flat)
+
+    @staticmethod
+    def params_from_npz(path: str):
+        """Rebuild the weight pytree from :meth:`save_params` output."""
+        data = np.load(path)
+        params = {"embed": jnp.asarray(data["embed"]),
+                  "readout_w": jnp.asarray(data["readout_w"]),
+                  "readout_b": jnp.asarray(data["readout_b"]),
+                  "layers": []}
+        t = 0
+        while f"L{t}_edge_w" in data:
+            params["layers"].append({
+                k: jnp.asarray(data[f"L{t}_{k}"])
+                for k in ("edge_w", "edge_b", "msg_w", "upd_w",
+                          "upd_b", "gate_w")
+            })
+            t += 1
+        return params
+
     def energy(self, x, cell):
-        p = self.params
+        return self.energy_with_params(self.params, x, cell)
+
+    def energy_with_params(self, p, x, cell):
+        """Pure function of (weights, positions, cell) — the training
+        entry point (``tools/fit_mlff.py`` differentiates through the
+        weight argument)."""
         n = self.n
         pos = x.reshape(n, 3)
         table = self._bins.bucket_table(pos, cell)
@@ -163,7 +199,7 @@ class MLPotential(Potential):
             return h + jnp.tanh(msg @ lay["upd_w"] + lay["upd_b"])
 
         h = p["embed"][self._spec]                 # (n, dim)
-        for lay in self.layers_params():
+        for lay in p["layers"]:
             h = jax.checkpoint(layer_fn)(h, lay)
 
         e_atom = (h @ p["readout_w"]).ravel() + p["readout_b"]
