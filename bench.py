@@ -355,12 +355,23 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
                 "BENCH_TRACE_DIR", "/tmp/sella_tpu_trace"
             ))
 
+        verbose = os.environ.get("BENCH_VERBOSE", "0") == "1"
         t0 = time.perf_counter()
         nsteps_done = chunk
         for i in range(1, max_steps_i // chunk + 1):
             state = multi_jit(state, jax.random.fold_in(key, i))
             nsteps_done += chunk
-            if bool(jnp.all(state.converged)):
+            done = bool(jnp.all(state.converged))
+            if verbose:
+                import sys as _sys
+                print(
+                    f"[bench] {name} dispatch {i} "
+                    f"(steps {nsteps_done}) "
+                    f"t={time.perf_counter() - t0:.1f}s "
+                    f"nconv={int(jnp.sum(state.converged))}",
+                    file=_sys.stderr, flush=True,
+                )
+            if done:
                 break
         jax.block_until_ready(state.x)
         elapsed = time.perf_counter() - t0
@@ -888,7 +899,15 @@ def main():
         r151, s151 = run_config(
             "emt151", b151,
             int(os.environ.get("BENCH_EMT151_MAX_STEPS", "120")),
-            int(os.environ.get("BENCH_EMT151_CHUNK", "5")),
+            # chunk=1 REQUIRED on the tunneled chip: the early
+            # diag-compaction steps cost ~12-15 s each (davidson_max=60
+            # bootstraps draining at diag_budget lanes/step), so a
+            # fused 5-step dispatch is a ~75 s single RPC — measured
+            # 2026-08-20 to crash the TPU worker ("kernel fault"
+            # watchdog) at BOTH batch=64 and batch=32, while the same
+            # config at chunk=1 runs to convergence (steady-state steps
+            # are ~1 s once the drain finishes).
+            int(os.environ.get("BENCH_EMT151_CHUNK", "1")),
             pot_f32=os.environ.get("BENCH_EMT151_F32", "0") == "1",
         )
         s151["rate_searches_per_s"] = round(r151, 3)

@@ -22,6 +22,14 @@ docs/roofline.md for the interpretation and the workload-ceiling
 argument.
 
 Usage (bench chip):  python tools/roofline_emt151.py [batch] [steps]
+
+NOTE: chunk defaults to 1 — fused multi-step dispatches of this
+program crash the tunneled TPU worker during the initial
+diag-compaction drain (~12-15 s/step; a 5-step chunk is a ~75 s
+single RPC, measured 2026-08-20 to trip the worker watchdog at both
+batch=64 and batch=32). Steady-state steps are ~1 s, so the roofline
+should be timed AFTER the drain: the tool runs ``nsteps`` warmup
+steps before the timed window.
 """
 import json
 import sys
@@ -44,7 +52,7 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure(batch=64, nsteps=20, chunk=5, only=None):
+def measure(batch=32, nsteps=20, chunk=1, only=None, warm=14):
     import jax
     import jax.numpy as jnp
 
@@ -85,13 +93,16 @@ def measure(batch=64, nsteps=20, chunk=5, only=None):
         step = make_step_fn(pot, cfg, cell)
         key = jax.random.PRNGKey(0)
 
-        def multi(st, bk, _step=step):
-            return jax.lax.fori_loop(
-                0, chunk, lambda i, s: _step(s, jax.random.fold_in(bk, i)),
-                st,
-            )
+        # identical name/structure to bench.run_config's wrapper so the
+        # persistent compile cache (keyed on the HLO module, which
+        # carries the traced function name) hits across the two tools
+        def multi_step(state, base_key, _step=step):
+            def body(i, st):
+                return _step(st, jax.random.fold_in(base_key, i))
 
-        jstep = jax.jit(multi, donate_argnums=0)
+            return jax.lax.fori_loop(0, chunk, body, state)
+
+        jstep = jax.jit(multi_step, donate_argnums=0)
         state = init_state(pot, x0, cfg, cell)
         row = {}
         try:
@@ -113,12 +124,25 @@ def measure(batch=64, nsteps=20, chunk=5, only=None):
 
         _log(f"[roofline] variant={name} cost_analysis done "
              f"({row.get('flops_per_step_G', '?')} GF/step); compiling")
-        state = jstep(state, jax.random.fold_in(key, 0))   # compile+warm
-        jax.block_until_ready(state.x)
-        _log(f"[roofline] variant={name} warm; timing {nsteps} steps")
+        # compile + run past the initial diag-compaction drain (the
+        # first ~batch/diag_budget steps each carry a davidson_max-deep
+        # bootstrap; the roofline characterizes the steady-state step,
+        # with the drain cost reported separately)
+        nwarm = max(warm // chunk, 1)
+        tw = time.perf_counter()
+        for i in range(nwarm):
+            state = jstep(state, jax.random.fold_in(key, i))
+            jax.block_until_ready(state.x)
+            if i == 0:
+                row["compile_plus_first_step_s"] = round(
+                    time.perf_counter() - tw, 1
+                )
+        row["drain_steps_untimed"] = nwarm * chunk
+        _log(f"[roofline] variant={name} warm "
+             f"({nwarm * chunk} drain steps); timing {nsteps} steps")
         t0 = time.perf_counter()
         ncall = max(nsteps // chunk, 1)
-        for i in range(1, ncall + 1):
+        for i in range(nwarm, nwarm + ncall):
             state = jstep(state, jax.random.fold_in(key, i))
         jax.block_until_ready(state.x)
         dt = (time.perf_counter() - t0) / (ncall * chunk)
@@ -153,8 +177,8 @@ def measure(batch=64, nsteps=20, chunk=5, only=None):
 
 
 if __name__ == "__main__":
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     only = sys.argv[4] if len(sys.argv) > 4 else None
     print(json.dumps(measure(batch, nsteps, chunk, only), indent=1))
