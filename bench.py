@@ -85,6 +85,17 @@ snapshot per cycle (tunnel round trips), the harvest interval as one
 jitted fori_loop program, and the missing absb="ns" in the queue
 config (28.7 -> 41.1/s).
 
+Round-4 capture record (2026-08-20, v5 lite, default path end-to-end,
+warm compile caches — ``rc=0`` in 1706.8 s total): emt@0.02 54.86/s,
+emt@1e-3 40.76/s (headline, block 191.5 s incl. cache load), lj4 fast
+54.09/s @ 97.9% + tail 24.63/s @ 99.17% (block 271.1 s), cell 19.06/s
+@ 100% (block 211.3 s), largescale 10k-atom 1.49 s/step binned-LJ /
+1.66 s/step binned-EMT (block 444.5 s, three compiles), emt151 f64
+0.136/s @ 100% (block 324.0 s), emt151_f32 0.166/s @ 100% (block
+264.4 s). COLD-cache compiles add ~17 min for EACH emt151 program and
+~9 min for the emt program; the per-block incremental emission means
+a driver timeout still captures every completed block.
+
 Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
 through the tunnel is unreliable): with every batched eigh routed
 through the f32-factor + f64-refinement path (``SELLA_TPU_EIGH=
