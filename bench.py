@@ -200,8 +200,11 @@ _CHIP_PEAK_TFLOPS = {
     # MXU peak (bf16 matmul TFLOP/s) per chip — the standard MFU
     # denominator. Sources: public TPU spec sheets.
     "TPU v4": 275.0,
-    "TPU v5e": 394.0,
-    "TPU v5 lite": 394.0,
+    # v5e: 197 bf16 TFLOP/s (394 is the INT8 TOPS figure — fixed
+    # 2026-08-20; MFU values recorded before that date used 394 and
+    # are 2x understated)
+    "TPU v5e": 197.0,
+    "TPU v5 lite": 197.0,
     "TPU v5p": 459.0,
     "TPU v6e": 918.0,
 }
