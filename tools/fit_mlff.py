@@ -106,9 +106,17 @@ def main():
                 + 0.1 * ((e - e_ref) / nat) ** 2)
 
     def batch_loss(params):
-        return jnp.mean(jax.vmap(
-            lambda x, c, e, f: loss_fn(params, x, c, e, f)
-        )(xs, cells, E, F))
+        # scan (not vmap) over systems: the full-batch force-loss
+        # gradient through 48 message-passing graphs materializes
+        # ~0.5 GB temps PER dot_general under vmap (OOMs the 16 GB
+        # chip); the scan evaluates one system's forward+backward at a
+        # time, compiled once
+        def body(acc, xcef):
+            x, c, e, f = xcef
+            return acc + loss_fn(params, x, c, e, f), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros(()), (xs, cells, E, F))
+        return total / xs.shape[0]
 
     opt = optax.adam(2e-3)
     params = pot.params
@@ -120,10 +128,19 @@ def main():
         updates, state = opt.update(grads, state)
         return optax.apply_updates(params, updates), state, l
 
+    @jax.jit
+    def _sqerr_sum(params, x, c, f):
+        def body(acc, xcf):
+            xx, cc, ff = xcf
+            _, fp = predict(params, xx, cc)
+            return acc + jnp.sum((fp - ff) ** 2), None
+
+        total, _ = jax.lax.scan(body, jnp.zeros(()), (x, c, f))
+        return total
+
     def frmse(params, data):
         x, c, e, f = data
-        _, fp = jax.vmap(lambda xx, cc: predict(params, xx, cc))(x, c)
-        return float(jnp.sqrt(jnp.mean((fp - f) ** 2)))
+        return float(jnp.sqrt(_sqerr_sum(params, x, c, f) / f.size))
 
     rmse0 = frmse(params, val)
     for i in range(steps):
