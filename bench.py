@@ -785,11 +785,17 @@ def run_largescale(natoms_target=10000, nsteps=3):
     if os.path.exists(wpath):
         from sella_tpu.potentials.mlff import MLPotential
 
+        from sella_tpu.potentials import F32Potential
+
         params = MLPotential.params_from_npz(wpath)
         ml = MLPotential(
             np.array([29] * n), x0e, cell_e, rc=4.5, params=params,
             capacity=int(os.environ.get("BENCH_MLFF_CAP", "24")),
         )
+        # F32Potential: the weights are f32-trained, and the f64
+        # force/HVP graph at 10k atoms OOMs 16 GB HBM (the (n, 648, 16)
+        # message temps double); the MMF optimizer itself stays f64
+        ml = F32Potential(ml)
         step = jax.jit(make_mmf_step(ml, cell_e, order=1, fmax=1e-3))
         state = mmf_init(ml, jnp.array(x0e), cell_e)
         state = step(state)
