@@ -281,10 +281,21 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
         # different batched-linalg regime VERDICT r2 asked for.
         # davidson_max=60: the leftmost mode of the 453-dim Hessian
         # needs a deeper subspace than the 75-dim config's 25.
+        # diag_budget: the bootstrap-Davidson "drain" serves this many
+        # lanes per step, so the drain lasts batch/diag_budget steps.
+        # Each drain step's cost is dominated by the 60-iteration
+        # Davidson while_loop (latency-chained), NOT by the lane count,
+        # so a deeper budget shortens the drain nearly linearly; at
+        # steady state the while_loop exits immediately for lanes with
+        # no request, so the deeper budget costs ~nothing. Bounded by
+        # the tunnel watchdog: one drain step must stay well under the
+        # ~75 s RPC kill threshold (see the chunk=1 note below).
         cfg = EnsembleConfig(
             natoms=nat, order=1, nproj=3, fmax=fmax or 1e-3, gamma=0.3,
             davidson_max=60, delta0=5e-3,
-            diag_budget=max(batch // 8, 1), eigh_f32=True,
+            diag_budget=int(os.environ.get(
+                "BENCH_EMT151_DIAG_BUDGET", str(max(batch // 4, 1)))),
+            eigh_f32=True,
             rs_maxiter=12, absb="ns",
             eval_chunk=min(batch, 16),
         )

@@ -134,3 +134,31 @@ def test_fitted_weights_beat_random_on_emt_forces():
     f_scale = float(np.sqrt(np.mean(f_ref ** 2)))
     assert rmse_fit < 0.35 * f_scale, (rmse_fit, f_scale)
     assert rmse_fit < 0.3 * rmse_rnd, (rmse_fit, rmse_rnd)
+
+
+def test_f32potential_wrap_matches_f64_forces():
+    """The bench's 10k-atom ML row runs MLPotential through
+    F32Potential (bench.py run_largescale — the f64 force/HVP graph
+    OOMs at that size): pin that the wrapped forces agree with the
+    f64 evaluation to f32 machine-noise class, and that an order=1
+    MMF step runs through the wrapper."""
+    from sella_tpu.parallel.largescale import make_mmf_step, mmf_init
+    from sella_tpu.potentials import F32Potential
+
+    atoms = fcc_bulk("Cu", 3.59, reps=(3, 3, 3))
+    rng = np.random.RandomState(0)
+    pos = atoms.positions + 0.05 * rng.normal(size=atoms.positions.shape)
+    x = jnp.asarray(pos.ravel())
+    cell = jnp.asarray(atoms.cell)
+    # rc=3.5: the 3x3x3 box heights (10.77) satisfy the binned-path
+    # 3*rc bound
+    pot = MLPotential(atoms.numbers, x, cell, rc=3.5)
+    wrapped = F32Potential(pot)
+    g64 = np.asarray(jax.grad(pot.energy)(x, cell))
+    g32 = np.asarray(jax.grad(wrapped.energy)(x, cell))
+    scale = float(np.abs(g64).max())
+    np.testing.assert_allclose(g32, g64, atol=3e-5 * max(scale, 1.0))
+
+    step = jax.jit(make_mmf_step(wrapped, cell, order=1, fmax=1e-3))
+    state = step(mmf_init(wrapped, x, cell))
+    assert bool(jnp.all(jnp.isfinite(state.x))) and int(state.nsteps) == 1
