@@ -541,7 +541,7 @@ def run_internal_config(batch, max_steps=150, chunk=10):
 
 
 def run_queue_config(batch, total, max_steps_per_search=80,
-                     refill_every=5):
+                     refill_every=5, config="emt"):
     """Steady-state serving throughput (work-queue mode): ``total`` EMT
     adatom searches stream through a fixed ``batch``-lane device
     ensemble with convergence-mask compaction
@@ -563,6 +563,33 @@ def run_queue_config(batch, total, max_steps_per_search=80,
         run_ensemble_queue,
     )
 
+    if config == "emt151":
+        # BASELINE config 1 at its true size in PRODUCTION mode: the
+        # fixed-ensemble emt151 block pays every lane's bootstrap
+        # Davidson (the ~100 s "drain"); here refilled lanes inherit
+        # the previous occupant's converged Hessian (the right warm
+        # start for a queue of perturbations of one slab), so the
+        # bootstrap is paid once per LANE, not once per SEARCH.
+        # refill_every=1: harvest intervals are single-step programs —
+        # fused multi-step dispatches of this program trip the remote
+        # worker watchdog during cold bootstraps (see the emt151
+        # chunk=1 note).
+        pot, x0_all, cell, nat = _emt151_setup(total + batch)
+        cfg = EnsembleConfig(
+            natoms=nat, order=1, nproj=3, fmax=1e-3, gamma=0.3,
+            davidson_max=int(os.environ.get("BENCH_DAVIDSON_MAX",
+                                            "60")),
+            delta0=5e-3,
+            diag_budget=int(os.environ.get(
+                "BENCH_DIAG_BUDGET", str(max(batch // 4, 1)))),
+            eigh_f32=True, rs_maxiter=12, absb="ns",
+            eval_chunk=min(batch, 16),
+        )
+        return _run_queue_common(
+            pot, x0_all, cell, cfg, batch, total,
+            max_steps_per_search, refill_every,
+            inherit_default="1",
+        )
     pot, x0_all, cell, nat = _emt_setup(total + batch)
     cfg = EnsembleConfig(
         natoms=nat, order=1, nproj=3, fmax=0.02, gamma=0.3,
@@ -578,10 +605,23 @@ def run_queue_config(batch, total, max_steps_per_search=80,
         eigh_f32=True, rs_maxiter=12, absb="ns",
         eval_chunk=256 if batch >= 1024 else 0,
     )
+    return _run_queue_common(pot, x0_all, cell, cfg, batch, total,
+                             max_steps_per_search, refill_every)
+
+
+def _run_queue_common(pot, x0_all, cell, cfg, batch, total,
+                      max_steps_per_search, refill_every,
+                      inherit_default="0"):
+    from sella_tpu.parallel.ensemble import (
+        make_queue_fns,
+        run_ensemble_queue,
+    )
+
     # compile once; the warmup pass then runs the same programs the
     # timed pass uses (a fresh closure per call would recompile inside
     # the timed region — minutes through the remote-compile tunnel)
-    inherit_B = os.environ.get("BENCH_INHERIT_B", "0") == "1"
+    inherit_B = os.environ.get("BENCH_INHERIT_B",
+                               inherit_default) == "1"
     fns = make_queue_fns(pot, cfg, cell, refill_every=refill_every,
                          inherit_B=inherit_B)
     run_ensemble_queue(
@@ -961,6 +1001,30 @@ def main():
             "unit": "searches/s",
             "vs_baseline": round(rate / SEQ_BASELINE["lj4"], 1),
             "extra": out,
+        }))
+        return
+
+    if headline == "emt151queue":
+        # BASELINE config 1 (151 atoms / 453 DOF) in production queue
+        # mode: warm-started Hessians amortize the bootstrap drain
+        batch = int(os.environ.get("BENCH_BATCH", "32"))
+        total = int(os.environ.get("BENCH_TOTAL", "64"))
+        rate, stats = run_queue_config(
+            batch, total,
+            max_steps_per_search=int(
+                os.environ.get("BENCH_MAX_STEPS", "80")),
+            refill_every=1, config="emt151",
+        )
+        print(json.dumps({
+            "metric": (
+                "steady-state EMT Cu(111) 5x5x6+adsorbate saddle "
+                f"searches/sec/chip (work-queue, batch={batch}, "
+                f"total={total}, fmax=1e-3)"
+            ),
+            "value": round(rate, 3),
+            "unit": "searches/s",
+            "vs_baseline": round(rate / SEQ_BASELINE["emt151"], 1),
+            "extra": {"emt151_queue": stats},
         }))
         return
 
