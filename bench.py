@@ -281,20 +281,21 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
         # different batched-linalg regime VERDICT r2 asked for.
         # davidson_max=60: the leftmost mode of the 453-dim Hessian
         # needs a deeper subspace than the 75-dim config's 25.
-        # diag_budget: the bootstrap-Davidson "drain" serves this many
-        # lanes per step, so the drain lasts batch/diag_budget steps.
-        # Each drain step's cost is dominated by the 60-iteration
-        # Davidson while_loop (latency-chained), NOT by the lane count,
-        # so a deeper budget shortens the drain nearly linearly; at
-        # steady state the while_loop exits immediately for lanes with
-        # no request, so the deeper budget costs ~nothing. Bounded by
-        # the tunnel watchdog: one drain step must stay well under the
-        # ~75 s RPC kill threshold (see the chunk=1 note below).
+        # diag_budget: the bootstrap/re-diag Davidson serves this many
+        # lanes per step. Measured 2026-08-20: the 60-iteration exact-HVP
+        # Davidson costs ~3.3 s/LANE at this size (compute-bound, NOT
+        # latency-bound), so a deeper budget does not raise throughput —
+        # it only concentrates the same work into fewer, fatter
+        # dispatches, and at batch=64/budget=16 the ~58 s re-diag
+        # dispatches tripped the remote worker watchdog (~75 s RPC kill)
+        # at step 14. batch//8 keeps re-diag dispatches ~13 s. The
+        # production answer to the bootstrap cost is the QUEUE mode
+        # (BENCH_CONFIG=emt151queue): warm-started lanes skip it.
         cfg = EnsembleConfig(
             natoms=nat, order=1, nproj=3, fmax=fmax or 1e-3, gamma=0.3,
             davidson_max=60, delta0=5e-3,
             diag_budget=int(os.environ.get(
-                "BENCH_EMT151_DIAG_BUDGET", str(max(batch // 4, 1)))),
+                "BENCH_EMT151_DIAG_BUDGET", str(max(batch // 8, 1)))),
             eigh_f32=True,
             rs_maxiter=12, absb="ns",
             eval_chunk=min(batch, 16),
@@ -1186,12 +1187,12 @@ def main():
             # TPU worker ("kernel fault") ~23 min into the block, and a
             # dead backend poisons every later block in the same
             # process. Default batch is now 32 (halves peak HBM).
-            def _do_151_sub(pot_f32=False):
+            def _do_151_sub(pot_f32=False, mode="emt151block"):
                 import subprocess
                 import sys as _sys
 
                 env = dict(os.environ)
-                env["BENCH_CONFIG"] = "emt151block"
+                env["BENCH_CONFIG"] = mode
                 env["BENCH_EMT151_F32"] = "1" if pot_f32 else "0"
                 proc = subprocess.run(
                     [_sys.executable, os.path.abspath(__file__)],
@@ -1202,8 +1203,16 @@ def main():
                 for line in reversed(
                         (proc.stdout or "").strip().splitlines()):
                     try:
-                        return json.loads(line)
-                    except json.JSONDecodeError:
+                        out = json.loads(line)
+                        # queue mode prints the full metric envelope;
+                        # unwrap to the stats dict for the block table
+                        if mode == "emt151queue" and "extra" in out:
+                            st = out["extra"]["emt151_queue"]
+                            st["rate_searches_per_s"] = out["value"]
+                            st["vs_seq_baseline"] = out["vs_baseline"]
+                            return st
+                        return out
+                    except (json.JSONDecodeError, KeyError):
                         continue
                 raise RuntimeError(
                     f"emt151 subprocess rc={proc.returncode}: "
@@ -1217,6 +1226,11 @@ def main():
                 # achievable-vs-achieved analysis these numbers anchor)
                 _block("emt151_f32", 500,
                        lambda: _do_151_sub(pot_f32=True))
+            if os.environ.get("BENCH_SKIP_EMT151_QUEUE", "0") != "1":
+                # production operating point: warm-started queue (the
+                # bootstrap drain is paid once per lane, not per search)
+                _block("emt151_queue", 450,
+                       lambda: _do_151_sub(mode="emt151queue"))
         return
     else:
         batch = int(os.environ.get("BENCH_BATCH", "4096"))
