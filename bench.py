@@ -1194,6 +1194,15 @@ def main():
                 env = dict(os.environ)
                 env["BENCH_CONFIG"] = mode
                 env["BENCH_EMT151_F32"] = "1" if pot_f32 else "0"
+                if mode == "emt151queue":
+                    # generic knobs mean different things in the
+                    # parent's default path (BENCH_BATCH=1024 is the
+                    # 25-atom headline batch); let the queue mode's own
+                    # defaults apply in the child
+                    for k in ("BENCH_BATCH", "BENCH_TOTAL",
+                              "BENCH_MAX_STEPS", "BENCH_DIAG_BUDGET",
+                              "BENCH_DAVIDSON_MAX"):
+                        env.pop(k, None)
                 proc = subprocess.run(
                     [_sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True,
