@@ -85,6 +85,22 @@ snapshot per cycle (tunnel round trips), the harvest interval as one
 jitted fori_loop program, and the missing absb="ns" in the queue
 config (28.7 -> 41.1/s).
 
+emt151 queue-mode record (2026-08-20, BENCH_CONFIG=emt151queue,
+batch=32, total=64, inherit_B, refill_every=1): 0.134 searches/s at
+100% converged — chip-time-NEUTRAL vs the fixed ensemble's 0.136
+despite warm starts cutting Davidson matvecs 42.5 -> 27.4/search.
+Diagnosis (per-cycle instrumentation, SELLA_TPU_QUEUE_DEBUG=1): the
+early-trajectory re-diagonalizations are intrinsic to the config —
+lanes have wrong inertia until the quasi-Newton Hessian refines, so
+~25 s compacted-Davidson steps dominate the first ~15 steps of EVERY
+search regardless of warm starts; inherit_B removes only the initial
+bootstrap. davidson_max=25 (the 72-DOF queue's winning cap) is WRONG
+at 453 DOF: the leftmost mode needs ~40+ iterations, so the diag
+request never clears and every step pays a full compacted Davidson
+(measured: identical 474 s elapsed, by coincidence). The matvec/
+force-call economy (30.3 vs 32.8 calls/search) is the real queue win
+here — it matters when the potential is DFT-class, not EMT-class.
+
 Round-4 capture record (2026-08-20, v5 lite, default path end-to-end,
 warm compile caches — ``rc=0`` in 1706.8 s total): emt@0.02 54.86/s,
 emt@1e-3 40.76/s (headline, block 191.5 s incl. cache load), lj4 fast
@@ -1235,9 +1251,16 @@ def main():
                 # achievable-vs-achieved analysis these numbers anchor)
                 _block("emt151_f32", 500,
                        lambda: _do_151_sub(pot_f32=True))
-            if os.environ.get("BENCH_SKIP_EMT151_QUEUE", "0") != "1":
-                # production operating point: warm-started queue (the
-                # bootstrap drain is paid once per lane, not per search)
+            if os.environ.get("BENCH_EMT151_QUEUE", "0") == "1":
+                # opt-in: measured 2026-08-20 chip-time-NEUTRAL vs the
+                # fixed ensemble at this size (0.134 vs 0.136
+                # searches/s) — warm-started lanes save 35% of Davidson
+                # matvecs (27.4 vs 42.5/search; the force-call economy
+                # that matters for DFT-class potentials) but the
+                # dominant early-trajectory re-diagonalizations are
+                # intrinsic (wrong inertia until the Hessian refines),
+                # so the EMT chip time doesn't drop. Keep it out of the
+                # default path; see the docstring record.
                 _block("emt151_queue", 450,
                        lambda: _do_151_sub(mode="emt151queue"))
         return

@@ -1993,13 +1993,27 @@ def run_ensemble_queue(
             spent = retry_state["spent"]
     key = jax.random.PRNGKey(seed)
 
+    import os as _os_dbg
+    import sys as _sys_dbg
+    import time as _time_dbg
+    _dbg = _os_dbg.environ.get("SELLA_TPU_QUEUE_DEBUG", "0") == "1"
+
     cycle = 0
     it = 0
     while len(results) < total:
+        _t0 = _time_dbg.perf_counter()
         state = step_chunk(state, jax.random.fold_in(key, it))
         it += refill_every
 
+        _t1 = _time_dbg.perf_counter()
         buf = np.asarray(snapshot(state))      # one device->host fetch
+        if _dbg:
+            print(
+                f"[queue] cycle {cycle} dispatch={_t1 - _t0:.2f}s "
+                f"snapshot={_time_dbg.perf_counter() - _t1:.2f}s "
+                f"done={len(results)}/{total}",
+                file=_sys_dbg.stderr, flush=True,
+            )
         Bsz = state.x.shape[0]
         conv = buf[0:Bsz] != 0.0
         nsteps = buf[Bsz:2 * Bsz].astype(np.int64)
