@@ -240,7 +240,7 @@ def _chip_peak_tflops():
 
 
 def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
-               pot_f32=False, tolerances=None):
+               pot_f32=False, tolerances=None, on_result=None):
     """Run one batched ensemble config; returns (rate, stats dict).
 
     ``fmax`` overrides the config's convergence gate (the north-star
@@ -458,6 +458,11 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
                 stats["mfu_vs_bf16_peak"] = round(tflops_s / peak, 5)
                 stats["chip"] = kind
         out.append((fmax_i, rate, stats))
+        if on_result is not None:
+            # incremental salvage: record each tolerance's result as
+            # soon as it completes, so a crash in a LATER run does
+            # not lose this one (per-block resilience, VERDICT r3)
+            on_result(fmax_i, rate, stats)
     if tolerances is not None:
         return out
     return out[0][1], out[0][2]
@@ -661,7 +666,8 @@ def _run_queue_common(pot, x0_all, cell, cfg, batch, total,
         "batch": batch,
         "total_searches": total,
         "converged_frac": round(nconv / total, 4),
-        "mean_steps_converged": round(float(np.mean(steps)), 1),
+        "mean_steps_converged": (round(float(np.mean(steps)), 1)
+                                 if steps else None),
         "mean_matvecs": (round(float(np.mean(matvecs)), 1)
                          if matvecs else None),
         "mean_force_calls": (round(float(np.mean(nevals)), 1)
@@ -734,7 +740,9 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
             "total_searches": total,
             "batch": batch,
             "converged_frac": round(nconv / total, 4),
-            "mean_steps_converged": round(float(np.mean(steps)), 1),
+            "mean_steps_converged": (
+                round(float(np.mean(steps)), 1) if steps else None
+            ),
             "mean_matvecs": round(
                 float(np.mean([r[4] for r in results])), 1
             ),
@@ -742,7 +750,7 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
                 float(np.mean([r[5] for r in results])), 1
             ),
             "elapsed_s": round(elapsed, 2),
-            **{k: v for k, v in retry_kw.items()},
+            **retry_kw,
         }
 
     # two operating points through the SAME compiled programs (a second
@@ -1147,6 +1155,18 @@ def main():
         # EMT program's tunnel compile is ~9 min and dominated r03's
         # timeout).
         def _do_emt_pair():
+            def _record(fmax_i, rate_i, stats_i):
+                stats_i["rate_searches_per_s"] = round(rate_i, 2)
+                stats_i["vs_seq_baseline"] = round(
+                    rate_i / SEQ_BASELINE["emt"], 1
+                )
+                if fmax_i == 0.02:
+                    # recorded immediately so a crash in the 1e-3 run
+                    # cannot lose the completed screening result
+                    extra["emt_fmax_0.02"] = stats_i
+                else:
+                    headline_rate[0] = rate_i
+
             runs = run_config(
                 "emt", batch, max_steps, chunk, profile,
                 tolerances=[
@@ -1154,14 +1174,8 @@ def main():
                     (1e-3,
                      int(os.environ.get("BENCH_FMAX3_MAX_STEPS", "120"))),
                 ],
+                on_result=_record,
             )
-            for fmax_i, rate_i, stats_i in runs:
-                stats_i["rate_searches_per_s"] = round(rate_i, 2)
-                stats_i["vs_seq_baseline"] = round(
-                    rate_i / SEQ_BASELINE["emt"], 1
-                )
-            extra["emt_fmax_0.02"] = runs[0][2]
-            headline_rate[0] = runs[1][1]
             return runs[1][2]
 
         _block("emt_fmax_1e-3", 0, _do_emt_pair, required=True)
@@ -1217,7 +1231,7 @@ def main():
                     # defaults apply in the child
                     for k in ("BENCH_BATCH", "BENCH_TOTAL",
                               "BENCH_MAX_STEPS", "BENCH_DIAG_BUDGET",
-                              "BENCH_DAVIDSON_MAX"):
+                              "BENCH_DAVIDSON_MAX", "BENCH_INHERIT_B"):
                         env.pop(k, None)
                 proc = subprocess.run(
                     [_sys.executable, os.path.abspath(__file__)],

@@ -358,7 +358,6 @@ _NF_ETOL = {"water8_tip3p_int_min": 2e-5}
 def test_reference_parity_noise_floor(name):
     data, rec, converged, opt = _run_traced(name)
 
-    cfg = json.loads(str(data["config"]))
     if not bool(data["converged"]):
         # deliberately TRUNCATED fixture (e.g. n2dimers: 12 cell moves
         # with rigid transport, stopped before the chaotic repacking
