@@ -1243,16 +1243,26 @@ def main():
                         (proc.stdout or "").strip().splitlines()):
                     try:
                         out = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    # only accept the result object — a stray
+                    # JSON-parseable debug line (scalar, list, other
+                    # dict) must not be mistaken for it
+                    if not isinstance(out, dict):
+                        continue
+                    if mode == "emt151queue":
                         # queue mode prints the full metric envelope;
                         # unwrap to the stats dict for the block table
-                        if mode == "emt151queue" and "extra" in out:
-                            st = out["extra"]["emt151_queue"]
-                            st["rate_searches_per_s"] = out["value"]
-                            st["vs_seq_baseline"] = out["vs_baseline"]
-                            return st
-                        return out
-                    except (json.JSONDecodeError, KeyError):
+                        st = (out.get("extra") or {}).get(
+                            "emt151_queue")
+                        if st is None:
+                            continue
+                        st["rate_searches_per_s"] = out.get("value")
+                        st["vs_seq_baseline"] = out.get("vs_baseline")
+                        return st
+                    if "converged_frac" not in out:
                         continue
+                    return out
                 raise RuntimeError(
                     f"emt151 subprocess rc={proc.returncode}: "
                     f"{(proc.stderr or '')[-300:]}"
