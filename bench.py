@@ -101,8 +101,14 @@ request never clears and every step pays a full compacted Davidson
 force-call economy (30.3 vs 32.8 calls/search) is the real queue win
 here — it matters when the potential is DFT-class, not EMT-class.
 
+Round-4 batch sweep addendum (2026-08-20): batch=2048 measured 39.7/s
+@0.02 and 39.6/s @1e-3 — worse than 1024 at the screening gate and
+equal at the north star; 1024 stays the headline batch (the step cost
+grows linearly past ~1024 lanes while steps/search is constant).
+
 Round-4 capture record (2026-08-20, v5 lite, default path end-to-end,
-warm compile caches — ``rc=0`` in 1706.8 s total): emt@0.02 54.86/s,
+warm compile caches — ``rc=0`` in 1706.8 s total; REPRODUCED same day
+rc=0 in 1461.8 s): emt@0.02 54.86/s,
 emt@1e-3 40.76/s (headline, block 191.5 s incl. cache load), lj4 fast
 54.09/s @ 97.9% + tail 24.63/s @ 99.17% (block 271.1 s), cell 19.06/s
 @ 100% (block 211.3 s), largescale 10k-atom 1.49 s/step binned-LJ /
