@@ -105,6 +105,13 @@ Round-4 batch sweep addendum (2026-08-20): batch=2048 measured 39.7/s
 @0.02 and 39.6/s @1e-3 — worse than 1024 at the screening gate and
 equal at the north star; 1024 stays the headline batch (the step cost
 grows linearly past ~1024 lanes while steps/search is constant).
+emt151 is batch-INVARIANT: batch=64/budget=8/chunk=1 measured 0.139/s
+@100% (vs 0.136 at batch=32) — the workload is bound by the early
+re-diag Davidson whose aggregate cost is ~3.3 s/lane regardless of
+packing; batch=32 stays the default (smaller HBM footprint, same
+rate). The measured levers at this size are the f32 potential split
+(0.166/s) and, for expensive potentials, warm-started queue matvec
+savings (see the emt151 queue record above).
 
 Round-4 capture record (2026-08-20, v5 lite, default path end-to-end,
 warm compile caches — ``rc=0`` in 1706.8 s total; REPRODUCED same day
