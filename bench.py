@@ -125,6 +125,19 @@ emt@1e-3 40.76/s (headline, block 191.5 s incl. cache load), lj4 fast
 ~9 min for the emt program; the per-block incremental emission means
 a driver timeout still captures every completed block.
 
+Internal-tier capture (2026-08-20, BENCH_CONFIG=internal, batch=1024,
+chunk=2, v5 lite): internal 98.8% converged at 30.6 mean steps / 40.3
+matvecs vs Cartesian 98.1% at 37.5 steps / 57.0 matvecs on identical
+Morse Xe4 starts — the reference's internal-coordinate convergence
+advantage reproduced at ensemble scale. Wall-clock rates: 1.08/s
+internal vs 52.5/s Cartesian — the internal step (HVP Davidson in
+internals + masked Newton back-transform, ~6.3 s/step at 1024 lanes)
+is dispatch/serial-op bound, so Cartesian remains the right tier for
+cheap potentials; internals pay off in force calls (matvec economy)
+when the potential is DFT-class, and in convergence robustness. The
+earlier chunk=10 default crashed the remote worker's RPC watchdog on
+the warmup dispatch (2 tiers x 10 fused steps); chunk=2 runs clean.
+
 Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
 through the tunnel is unreliable): with every batched eigh routed
 through the f32-factor + f64-refinement path (``SELLA_TPU_EIGH=
@@ -481,12 +494,19 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
     return out[0][1], out[0][2]
 
 
-def run_internal_config(batch, max_steps=150, chunk=10):
+def run_internal_config(batch, max_steps=150, chunk=2):
     """BASELINE config 2: batched molecular saddle refinements in
     redundant internal coordinates (Morse Xe4, the reference's
     integration molecule) vs the Cartesian tier on identical starts and
     criteria — the internal tier's convergence advantage, measured at
-    ensemble scale."""
+    ensemble scale.
+
+    chunk=2 default: the internal tier's per-step dispatch (HVP-exact
+    Davidson + internal Newton/geodesic transforms) is far heavier than
+    the Cartesian EMT step, and the tunneled chip kills any single RPC
+    lasting ~>75 s (see the emt151 chunk=1 note in ``main``). A fused
+    chunk=10 dispatch at batch=1024 was measured 2026-08-20 to crash
+    the TPU worker ("kernel fault" watchdog) on the warmup dispatch."""
     import jax
     import jax.numpy as jnp
 
@@ -1028,7 +1048,11 @@ def main():
 
     if headline == "internal":
         batch = int(os.environ.get("BENCH_BATCH", "1024"))
-        out = run_internal_config(batch)
+        out = run_internal_config(
+            batch,
+            max_steps=int(os.environ.get("BENCH_MAX_STEPS", "150")),
+            chunk=int(os.environ.get("BENCH_CHUNK", "2")),
+        )
         rate = out["internal"]["rate_searches_per_s"]
         print(json.dumps({
             "metric": (
