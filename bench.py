@@ -1231,7 +1231,10 @@ def main():
                 )
                 return lj_stats
 
-            _block("lj4", 200, _do_lj4)
+            # est = the larger of the two 2026-08-20 warm captures
+            # (269.7 / 271.1 s) — an underestimate here would admit a
+            # block that overruns and starves the emt151 blocks below
+            _block("lj4", 280, _do_lj4)
 
         if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
             # BASELINE config 3: bulk-Cu atom+cell, fixed translations
@@ -1240,8 +1243,10 @@ def main():
             )[1])
 
         if os.environ.get("BENCH_SKIP_LARGESCALE", "0") != "1":
-            # BASELINE config 5: 10k-atom matrix-free MMF
-            _block("largescale", 300, lambda: run_largescale(
+            # BASELINE config 5: 10k-atom matrix-free MMF.
+            # est = the larger 2026-08-20 warm capture (321.7 / 444.5 s
+            # — three compiles; the earlier 300 underestimated it)
+            _block("largescale", 450, lambda: run_largescale(
                 int(os.environ.get("BENCH_NATOMS", "10000")),
                 int(os.environ.get("BENCH_STEPS", "3")),
             )[1])

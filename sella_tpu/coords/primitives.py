@@ -105,7 +105,13 @@ def _canonical_q(lams: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     reference's convention), falling back to
     largest-|component|-positive for true 180-degree rotations."""
     q = V[:, -1]
-    mask = ((lams[-1] - lams) < 1e-10).astype(V.dtype)
+    # relative gap threshold, SAME form as _resolvent_parts: an
+    # absolute 1e-10 here would miss genuine degeneracy when K is
+    # large-scale (eigh noise ~eps*|lam_max| exceeds it), falling back
+    # to the arbitrary LAPACK basis vector this function exists to
+    # avoid — and would disagree with the JVP side's classification
+    scale = jnp.maximum(jnp.abs(lams[-1]), 1.0)
+    mask = ((lams[-1] - lams) < 1e-10 * scale).astype(V.dtype)
     e0 = jnp.zeros(4, V.dtype).at[0].set(1.0)
     proj = V @ (mask * (V.T @ e0))
     pn = jnp.linalg.norm(proj)

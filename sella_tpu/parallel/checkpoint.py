@@ -15,6 +15,31 @@ import numpy as np
 from .ensemble import SearchState
 
 
+def _rebuild_state(payload, state_cls):
+    """Reconstruct a tier state NamedTuple from an orbax payload,
+    tolerating payloads written before late-added fields existed.
+
+    ``SearchState.fmax_t`` (the runtime convergence gate, added after
+    the first checkpointed sweeps shipped) defaults to the package-wide
+    1e-3 gate when absent — the value those older sweeps were compiled
+    with; override after load via ``state._replace(fmax_t=...)``.
+    Any other missing field is a genuine version mismatch and raises
+    with the field name."""
+    kw = {}
+    for k in state_cls._fields:
+        if k in payload:
+            kw[k] = payload[k]
+        elif k == "fmax_t":
+            kw[k] = np.asarray(1e-3, dtype=np.asarray(payload["x"]).dtype)
+        else:
+            raise KeyError(
+                f"checkpoint payload is missing field {k!r} required by "
+                f"{state_cls.__name__}: written by an incompatible "
+                "version"
+            )
+    return state_cls(**kw)
+
+
 def save_state(path: str, state, step: Optional[int] = None):
     """Save an ensemble state pytree with orbax. Works for every tier's
     NamedTuple state (SearchState, InternalSearchState, CellSearchState,
@@ -39,7 +64,7 @@ def load_state(path: str, state_cls=SearchState) -> tuple:
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path)
     step = payload.pop("_step", None)
-    state = state_cls(**{k: payload[k] for k in state_cls._fields})
+    state = _rebuild_state(payload, state_cls)
     return state, (int(step) if step is not None else None)
 
 
@@ -128,7 +153,7 @@ def load_queue(path: str, state_cls=SearchState,
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path)
-    state = state_cls(**{k: payload[k] for k in state_cls._fields})
+    state = _rebuild_state(payload, state_cls)
     origin = np.asarray(payload["_origin"], dtype=np.int64)
     next_idx = int(payload["_next_idx"])
     # counter columns may be absent in payloads written before they

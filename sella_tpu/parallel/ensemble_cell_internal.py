@@ -831,8 +831,9 @@ def niggli_rebase_cell_internal_lanes(
        reference drops the ``M^{-1}`` factor; see
        tests/test_cell_niggli_batched.py).
 
-    Constraints on coordinates with nonzero image offsets cannot be
-    remapped (their records pin one specific ``ncvec``) and raise.
+    Constraints on coordinates with nonzero image offsets are remapped
+    per lane by the same ``nc @ M^{-1}`` transform as the coordinate
+    rows (their member rows live in the per-lane ``state.qcons``).
     With ``potential`` given, (f, g, gs) of the rebased lanes are
     re-evaluated (same physical point; the cell gradient's
     parameterization changed). Returns

@@ -116,10 +116,14 @@ class CellCartesianPES(PES):
             H0_full[self.n_cart:, self.n_cart:] = np.eye(self.n_cell_dof)
         if save_hessian is not None:
             np.save(save_hessian, H0_full)
-        # FD-refined H0 => initialized=False: the first quasi-Newton
-        # update then Ritz-bootstraps ONLY the Cartesian block,
-        # preserving the refined cell blocks (reference
-        # ``peswrapper.py:2509`` + ``linalg.py:280-289``)
+        # initialized flag kept for signature parity with the reference
+        # (``peswrapper.py:2509``): in BOTH implementations set_B with a
+        # dense target forces initialized=True (reference
+        # ``linalg.py:247``, ours ``ops/operators.py:178``), so the
+        # "bootstrap only the Cartesian block" branch of update()
+        # (``linalg.py:280-289``) never runs for a dense H0 — the
+        # refined blocks are preserved simply because the first update
+        # is a regular TS-BFGS absorb of the full matrix.
         self.set_H(H0_full, initialized=(refine_level == 0))
 
     # -- differentiable extended objective -----------------------------------
@@ -651,9 +655,13 @@ class CellInternalPES:
                 )
             self._refine_by_secants(idx, hessian_delta)
         if refine_level >= 1:
-            # preserve the refined cell block through the first update
-            # (reference ``peswrapper.py:1513-1520``: initialized=False
-            # bootstraps only the internal block)
+            # signature parity with the reference
+            # (``peswrapper.py:1513-1520``): initialized=False is a
+            # no-op for a dense target in BOTH implementations (set_B
+            # forces initialized=True — reference ``linalg.py:247``,
+            # ours ``ops/operators.py:178``), so the refined cell block
+            # rides into the first TS-BFGS absorb unmodified rather
+            # than via the never-taken bootstrap branch
             self.set_H(self.H.asarray(), initialized=False)
         if save_hessian is not None:
             np.save(save_hessian, self.H.asarray())

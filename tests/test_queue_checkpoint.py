@@ -130,6 +130,40 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(s1.x), np.asarray(s2.x))
 
 
+def test_checkpoint_restore_pre_fmax_t_payload(tmp_path):
+    """Payloads written before SearchState grew the runtime fmax_t
+    field restore with the package-default 1e-3 gate instead of
+    raising KeyError (forward compatibility for long sweeps
+    checkpointed by an older build)."""
+    import orbax.checkpoint as ocp
+
+    pot = LennardJones()
+    cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3)
+    state = init_state(pot, _x0_batch(4), cfg)
+
+    # simulate the old on-disk format: same pytree minus fmax_t
+    payload = {k: v for k, v in state._asdict().items() if k != "fmax_t"}
+    path = os.path.join(tmp_path, "old_ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+    restored, nstep = load_state(path)
+    assert nstep is None
+    assert float(np.asarray(restored.fmax_t)) == pytest.approx(1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(restored.x), np.asarray(state.x))
+
+    # any OTHER missing field is a real version mismatch and must
+    # raise with the field name
+    payload2 = {k: v for k, v in state._asdict().items() if k != "rho"}
+    path2 = os.path.join(tmp_path, "bad_ckpt")
+    ckptr.save(path2, payload2, force=True)
+    ckptr.wait_until_finished()
+    with pytest.raises(KeyError, match="rho"):
+        load_state(path2)
+
+
 def test_checkpoint_roundtrip_other_tiers(tmp_path):
     """save_state/load_state are tier-generic: cell and IRC states
     round-trip with their own state classes."""
