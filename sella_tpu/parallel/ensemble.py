@@ -78,7 +78,10 @@ class EnsembleConfig(NamedTuple):
     #   any step, so running Davidson on a compacted sub-batch (gather
     #   the requesting lanes, run, scatter back) cuts the dominant step
     #   cost; unserved lanes keep their request pending for the next
-    #   step. Trades the strict batch-composition independence guarantee
+    #   step and are served longest-waiting-first (aging by
+    #   nsteps_since_diag), so no lane starves when requests
+    #   persistently exceed the budget.
+    #   Trades the strict batch-composition independence guarantee
     #   for throughput — leave at 0 where bitwise reproducibility across
     #   different batch packings matters. The first-step bootstrap diag
     #   is always full-batch.
@@ -98,7 +101,8 @@ class EnsembleConfig(NamedTuple):
     #   cluster dissociated onto flat landscape — without the trigger
     #   the lane drifts until the stall counter drains, wasting its
     #   step budget). Only meaningful for cluster searches; requires
-    #   restart_after > 0.
+    #   the restart machinery to be armed (restart_after > 0, or
+    #   conv_inertia's curvature audit for order > 0).
     prfo_eigh: str = "eigh"        # P-RFO prep eigendecomposition:
     #   "eigh" (XLA custom call, honors eigh_f32) or "jacobi" (batched
     #   parallel-order Jacobi in pure gather/scatter/elementwise XLA —
@@ -119,9 +123,11 @@ class EnsembleConfig(NamedTuple):
     #   configurations (observed on LJ4: a detached atom leaves fmax
     #   below threshold on an index-!=order plateau). The inertia comes
     #   from the P-RFO prep eigendecomposition the step already
-    #   computes, so the gate is free; a gated lane keeps stepping and
-    #   eventually takes a stagnation restart. Off by default to keep
-    #   step-for-step parity with the reference semantics.
+    #   computes, so the gate is free; a lane the exact-HVP audit
+    #   rejects restarts immediately (even with restart_after=0), and
+    #   an inertia-gated lane keeps stepping until a stagnation
+    #   restart. Off by default to keep step-for-step parity with the
+    #   reference semantics.
     #   NOTE the quasi-Newton inertia is evaluated at the PRE-step
     #   geometry while the force criterion uses the post-step one, so
     #   this gate lags the converging step by one geometry. For
@@ -212,29 +218,56 @@ class SearchState(NamedTuple):
 def free_basis(x: jnp.ndarray, nproj: int) -> jnp.ndarray:
     """Orthonormal basis of the non-rigid subspace, shape (d, d - nproj).
 
-    Rows projected out: 3 uniform translations and (nproj == 6) the 3
-    instantaneous rigid rotations about the centroid — the same spans the
-    reference builds from its Translation/Rotation constraint Jacobians
-    (``internal.py:466-493, 601-648``) at the reference geometry. A full
-    QR (static shapes) replaces the rank-revealing pivoted QR
-    (``peswrapper.py:51-69``): rigid modes of a non-linear cluster are
-    always independent, so the rank decision is static.
+    Rows projected out by ``nproj``: 0 = nothing (identity basis, e.g.
+    slabs whose rigid modes a fixed layer removes); 3 = the uniform
+    translations; 5 = translations + the two rotations of a LINEAR
+    geometry (the axis rotation generator is null — the rigid span is
+    the top-2 singular directions of the rotation generators, a
+    rank-revealing decision with a STATIC count); 6 = translations +
+    the 3 instantaneous rigid rotations about the centroid — the same
+    spans the reference builds from its Translation/Rotation constraint
+    Jacobians (``internal.py:466-493, 601-648``) at the reference
+    geometry. A full QR (static shapes) replaces the rank-revealing
+    pivoted QR (``peswrapper.py:51-69``); other nproj values raise at
+    trace time rather than returning a basis whose width contradicts
+    ``cfg.nfree``.
     """
     d = x.shape[0]
+    dtype = x.dtype
+    if nproj == 0:
+        return jnp.eye(d, dtype=dtype)
+    if nproj not in (3, 4, 5, 6):
+        raise ValueError(
+            f"nproj={nproj} unsupported: 0 (nothing), 3 (translations), "
+            "5 (linear: translations + 2 rotations), or 6 "
+            "(translations + rotations)"
+        )
     n = d // 3
     pos = x.reshape(n, 3)
-    dtype = x.dtype
     cols = []
     for ax in range(3):
         t = jnp.zeros((n, 3), dtype).at[:, ax].set(1.0 / np.sqrt(n))
         cols.append(t.ravel())
-    if nproj == 6:
+    if nproj > 3:
         com = jnp.mean(pos, axis=0)
         rel = pos - com
+        gens = []
         for ax in range(3):
             e = jnp.zeros(3, dtype).at[ax].set(1.0)
             r = jnp.cross(jnp.broadcast_to(e, rel.shape), rel)
-            cols.append(r.ravel())
+            gens.append(r.ravel())
+        if nproj == 6:
+            cols.extend(gens)
+        else:
+            # degenerate rotations (linear geometry): the physical
+            # rigid span is the top-(nproj - 3) singular directions of
+            # the generator matrix; rotation generators about the
+            # centroid are orthogonal to the uniform translations, so
+            # no cross-orthogonalization is needed
+            U, _, _ = jnp.linalg.svd(jnp.stack(gens, axis=1),
+                                     full_matrices=False)
+            for i in range(nproj - 3):
+                cols.append(U[:, i])
     A = jnp.stack(cols, axis=1)  # (d, nproj)
     Q, _ = jnp.linalg.qr(A, mode="complete")
     return Q[:, A.shape[1]:]
@@ -516,14 +549,14 @@ def bootstrap_B_batched(S, Y, mask, dim):
     K = STY.shape[-1]
     colmask = mask
     pad = jnp.where(colmask, 0.0, 1.0)
-    STY = STY + jnp.eye(K)[None] * pad[:, None, :] * jnp.eye(K)[None]
+    STY = STY + jnp.eye(K, dtype=STY.dtype)[None] * pad[:, None, :]
     thetas = batched_eigh(STY)[0]
     logs = jnp.log(jnp.maximum(jnp.abs(thetas), 1e-12))
     # average only over the active columns: padded eigenvalues are 1 -> log 0,
     # so sum(logs)/k is exactly the masked mean
     k = jnp.maximum(jnp.sum(colmask, axis=1), 1)
     lam0 = jnp.exp(jnp.sum(logs, axis=1) / k)
-    return lam0[:, None, None] * jnp.eye(dim)[None]
+    return lam0[:, None, None] * jnp.eye(dim, dtype=STY.dtype)[None]
 
 
 # ---------------------------------------------------------------------------
@@ -645,7 +678,11 @@ def prfo_prepare_batched(g, Hproj, order: int, f32: bool = False,
     accuracy class as ``f32=True``, a fraction of the cost on TPU."""
     if method == "jacobi":
         try:
-            on_tpu = jax.default_backend() not in ("cpu",)
+            # the Pallas kernel is TPU-only ("axon" = the tunneled TPU
+            # platform); any other accelerator (gpu/cuda/rocm) must take
+            # the portable gather/scatter path below, not import a TPU
+            # kernel it cannot lower
+            on_tpu = jax.default_backend() in ("tpu", "axon")
         except Exception:
             on_tpu = False
         if on_tpu:
@@ -1147,7 +1184,8 @@ def _validate_rigid_rank(x0: np.ndarray, nproj: int) -> None:
             warnings.warn(
                 f"lane {b}: rigid rotation generators are rank-{rank} "
                 "(linear geometry) — free_basis will retain a rigid "
-                "direction; use nproj appropriate for the geometry"
+                "direction; use nproj=5 (translations + the two "
+                "physical rotations) for linear geometries"
             )
             return  # one warning is enough
 
@@ -1420,9 +1458,12 @@ def make_step_fn(potential, cfg: EnsembleConfig,
             # curvature traps it there — a fresh partial diag lets P-RFO
             # walk down the spurious mode).
             too_few = jnp.any(lams_proj[:, : cfg.order] > 0, axis=1)
+            # bound against cfg_w.nfree (the PROJECTED width lams_proj
+            # actually has — wider than cfg.nfree in the inequality
+            # path), matching the conv_inertia gate above
             too_many = (
                 lams_proj[:, cfg.order] < 0
-                if cfg.order < cfg.nfree
+                if cfg.order < cfg_w.nfree
                 else jnp.zeros(Bsz, bool)
             )
             ev = act & (state.nsteps_since_diag >= cfg.nsteps_per_diag) & (
@@ -1437,7 +1478,17 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         # compaction: serve at most diag_budget requests this step;
         # unserved lanes keep counting and re-request next step
         if cfg.diag_budget > 0 and cfg.diag_budget < Bsz:
-            sel = jnp.argsort(~ev)[: cfg.diag_budget]
+            # aging: serve the longest-waiting requesters first. A
+            # plain stable argsort on the request mask always picks the
+            # lowest-indexed lanes, so when requests persistently
+            # exceed the budget, high-index lanes starve forever;
+            # nsteps_since_diag grows each unserved step, so it is
+            # exactly the waiting time
+            prio = jnp.where(
+                ev, -state.nsteps_since_diag,
+                jnp.iinfo(jnp.int32).max,
+            )
+            sel = jnp.argsort(prio)[: cfg.diag_budget]
             served = jnp.zeros(Bsz, bool).at[sel].set(ev[sel])
         else:
             sel = None
@@ -1617,8 +1668,17 @@ def make_step_fn(potential, cfg: EnsembleConfig,
         stall2 = jnp.where(act & ~improved, state.stall + 1, 0)
         x_fin, f_fin, g_fin = x_new, f_new, g_new
         nrst = state.nrestarts
-        if cfg.restart_after > 0:
-            restart = act & ~conv_new & (stall2 >= cfg.restart_after)
+        # the restart machinery also serves the curvature-audit
+        # rejection path, which must fire even with the stagnation
+        # restart disabled (restart_after=0, the default): an
+        # audit-rejected lane is done-but-wrong — forces under the
+        # criterion, so further steps are ~zero and without a restart
+        # it would re-pay the audit HVP every step to max_steps
+        if cfg.restart_after > 0 or audit_fail is not None:
+            if cfg.restart_after > 0:
+                restart = act & ~conv_new & (stall2 >= cfg.restart_after)
+            else:
+                restart = jnp.zeros(Bsz, bool)
             if audit_fail is not None:
                 # curvature-audit rejection: restart NOW (see above)
                 restart = restart | (audit_fail & ~conv_new)
@@ -1834,7 +1894,7 @@ def make_queue_fns(potential, cfg: EnsembleConfig,
                    cell: Optional[jnp.ndarray] = None,
                    constraints=None, comparators=None,
                    refill_every: int = 10, inherit_B: bool = False):
-    """Jitted (steps_chunk, refill, refresh) triple for
+    """Jitted (steps_chunk, refill, refresh, snapshot) 4-tuple for
     :func:`run_ensemble_queue` — build once, pass to every call that
     shares the config. ``refill_every`` must match the queue call: the
     whole harvest interval runs as ONE jitted ``fori_loop`` program, so
@@ -1938,13 +1998,18 @@ def run_ensemble_queue(
     cycles; ``resume=True`` continues from an existing checkpoint (at
     most one harvest slice of work is repeated).
 
-    ``fns``: optional ``(step, refill)`` pair from
-    :func:`make_queue_fns` — pass it when calling repeatedly with the
-    same config so the jitted programs are traced/compiled once (a new
-    closure per call otherwise misses jax's jit cache and recompiles).
+    ``fns``: optional ``(step, refill, refresh, snapshot)`` 4-tuple
+    from :func:`make_queue_fns` — pass it when calling repeatedly with
+    the same config so the jitted programs are traced/compiled once (a
+    new closure per call otherwise misses jax's jit cache and
+    recompiles).
     """
     x0_all = jnp.asarray(x0_all)
     total = x0_all.shape[0]
+    # a work set smaller than the device batch: clamp (the state would
+    # hold `total` lanes while origin/refill buffers held `batch` —
+    # shape mismatch on the first harvest). hetero.py does the same.
+    batch = min(batch, total)
     if fns is None:
         fns = make_queue_fns(potential, cfg, cell,
                              constraints=constraints,
@@ -1955,7 +2020,36 @@ def run_ensemble_queue(
     x0_np = np.asarray(x0_all)   # host copy: per-lane refill slices
     #   must not round-trip the device (tunnel latency per slice)
 
-    state = init_state(potential, x0_all[:batch], cfg, cell)
+    # resume BEFORE the initial eval and the mesh placement: loading
+    # after either wastes a full batched force evaluation (init_state's
+    # f/g are overwritten) or — worse — replaces a mesh-sharded state
+    # with host-loaded arrays on the default device, so the resumed run
+    # would proceed unsharded (single-device OOM at mesh-scale batches)
+    loaded = None
+    if checkpoint_path is not None and resume:
+        import os as _os
+
+        from .checkpoint import load_queue
+
+        if _os.path.exists(checkpoint_path):
+            loaded = load_queue(
+                checkpoint_path, SearchState, with_retry_state=True
+            )
+    # retry bookkeeping: counts per input, deferred re-starts, and the
+    # step/matvec/eval totals spent by earlier attempts
+    if loaded is not None:
+        state, origin, next_idx, results, retry_state = loaded
+        retries = retry_state["retries"]
+        pending = retry_state["pending"]   # (origin_idx, x_start) FIFO
+        spent = retry_state["spent"]       # origin -> (ns, nmv, nev)
+    else:
+        state = init_state(potential, x0_all[:batch], cfg, cell)
+        origin = np.arange(batch)          # which input each lane holds
+        next_idx = batch
+        results = {}
+        retries = {}
+        pending = []
+        spent = {}
     lane_sharding = None
     if mesh is not None:
         # shard the lane axis over the mesh; the jitted chunk/refill/
@@ -1969,28 +2063,7 @@ def run_ensemble_queue(
 
         state = jax.tree.map(_shard, state)
         lane_sharding = NamedSharding(mesh, P("batch", None))
-    origin = np.arange(batch)          # which input each lane holds
-    next_idx = batch
-    results: dict = {}
-    # retry bookkeeping: counts per input, deferred re-starts, and the
-    # step/matvec/eval totals spent by earlier attempts
-    retries: dict = {}
-    pending: list = []              # (origin_idx, x_start) FIFO
-    spent: dict = {}                # origin -> (nsteps, nmatvec, neval)
     kick_rng = np.random.RandomState(seed ^ 0x5EED)
-
-    if checkpoint_path is not None and resume:
-        import os as _os
-
-        from .checkpoint import load_queue
-
-        if _os.path.exists(checkpoint_path):
-            state, origin, next_idx, results, retry_state = load_queue(
-                checkpoint_path, SearchState, with_retry_state=True
-            )
-            retries = retry_state["retries"]
-            pending = retry_state["pending"]
-            spent = retry_state["spent"]
     key = jax.random.PRNGKey(seed)
 
     import os as _os_dbg
@@ -2092,12 +2165,16 @@ def run_ensemble_queue(
                 new_origin[lane] = -1  # idle lane
         origin = new_origin
 
-        x_new_j = jnp.asarray(x_new)
-        if lane_sharding is not None:
-            x_new_j = jax.device_put(x_new_j, lane_sharding)
-        avail_j = jnp.asarray(avail)
-        state, _ = refill(state, x_new_j, avail_j)
-        state = refresh(state, avail_j)
+        if np.any(avail):
+            x_new_j = jnp.asarray(x_new)
+            if lane_sharding is not None:
+                x_new_j = jax.device_put(x_new_j, lane_sharding)
+            avail_j = jnp.asarray(avail)
+            state, _ = refill(state, x_new_j, avail_j)
+            state = refresh(state, avail_j)
+        # else: queue drained — refill would be a no-op and refresh
+        # would re-pay a full-batch force evaluation per harvest cycle
+        # for identical (f, g); skip both through the drain tail.
         # idle lanes stay marked converged so they are skipped
         idle = jnp.asarray(origin < 0)
         state = state._replace(converged=state.converged | idle)

@@ -45,6 +45,36 @@ def test_free_basis():
         np.testing.assert_allclose(np.asarray(U).T @ mode, 0, atol=1e-10)
 
 
+def test_free_basis_nproj_variants():
+    """nproj=0 returns the identity; nproj=5 (linear geometry) spans
+    translations + the two physical rotations; unsupported values
+    raise instead of returning a basis whose width contradicts
+    cfg.nfree."""
+    x = _batch_x0(1)[0]
+    np.testing.assert_allclose(
+        np.asarray(free_basis(x, 0)), np.eye(12), atol=0
+    )
+    # a linear triatomic along z: the z-axis rotation generator is null
+    pos = np.zeros((3, 3))
+    pos[:, 2] = [-1.3, 0.0, 1.3]
+    xl = jnp.asarray(pos.ravel())
+    U = free_basis(xl, 5)
+    assert U.shape == (9, 4)
+    np.testing.assert_allclose(np.asarray(U.T @ U), np.eye(4),
+                               atol=1e-12)
+    # the four physical rigid modes of the line are all orthogonal to U
+    rel = pos - pos.mean(0)
+    for ax in range(3):
+        t = np.zeros((3, 3)); t[:, ax] = 1.0
+        np.testing.assert_allclose(np.asarray(U).T @ t.ravel(), 0,
+                                   atol=1e-10)
+    for e in (np.eye(3)[0], np.eye(3)[1]):   # rotations off the axis
+        r = np.cross(e, rel).ravel()
+        np.testing.assert_allclose(np.asarray(U).T @ r, 0, atol=1e-10)
+    with pytest.raises(ValueError, match="nproj=2"):
+        free_basis(x, 2)
+
+
 def test_ts_bfgs_batched_multisecant():
     rng = np.random.RandomState(0)
     Bsz, d, K = 3, 8, 2

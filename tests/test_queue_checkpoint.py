@@ -30,6 +30,22 @@ def _x0_batch(total, seed=3, pert=0.1):
     )
 
 
+def test_queue_work_set_smaller_than_batch():
+    """A work set smaller than the device batch is clamped instead of
+    crashing on the first harvest (state sized total, refill buffers
+    sized batch)."""
+    pot = LennardJones()
+    cfg = EnsembleConfig(natoms=4, order=0, fmax=1e-3, gamma=1e-3,
+                         eig=False, method="qn", sigma_dec=0.90,
+                         rho_dec=100.0)
+    results = run_ensemble_queue(
+        pot, _x0_batch(3), cfg, batch=8,
+        max_steps_per_search=300, refill_every=20,
+    )
+    assert len(results) == 3
+    assert sum(1 for r in results if r[3]) >= 2
+
+
 def test_queue_processes_more_work_than_batch():
     pot = LennardJones()
     cfg = EnsembleConfig(natoms=4, order=0, fmax=1e-3, gamma=1e-3,
