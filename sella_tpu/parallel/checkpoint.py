@@ -72,7 +72,8 @@ def load_state(path: str, state_cls=SearchState) -> tuple:
 # Work-queue checkpointing (preemption-safe sweeps)
 # ---------------------------------------------------------------------------
 def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
-               results: dict, retry_state: dict = None):
+               results: dict, retry_state: dict = None,
+               it: Optional[int] = None):
     """Checkpoint a work queue: the device state pytree plus the host
     bookkeeping (lane->input map, queue cursor, harvested results).
     Everything is arrays, so it rides the same orbax payload as
@@ -83,7 +84,12 @@ def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
     the unconverged-retry bookkeeping of
     :func:`~sella_tpu.parallel.ensemble.run_ensemble_queue`; a resumed
     sweep with ``max_retries > 0`` would deadlock without it (the
-    retried origins would never produce results)."""
+    retried origins would never produce results).
+
+    ``it``: the driver's global step counter — checkpointed so a
+    resumed sweep continues the PRNG key stream (``fold_in(key, it)``)
+    instead of replaying the kicks and probe vectors already consumed
+    before the crash."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -102,22 +108,21 @@ def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
         res_ne = np.asarray(
             [results[i][5] if len(results[i]) > 5 else -1
              for i in idxs], dtype=np.int64)
-    else:
-        d = int(np.asarray(state.x).shape[1])
-        res_x = np.zeros((0, d))
-        res_f = np.zeros((0,))
-        res_ns = np.zeros((0,), dtype=np.int64)
-        res_cv = np.zeros((0,), dtype=bool)
-        res_mv = np.zeros((0,), dtype=np.int64)
-        res_ne = np.zeros((0,), dtype=np.int64)
     payload = dict(
         state._asdict(),
         _origin=np.asarray(origin, dtype=np.int64),
         _next_idx=np.asarray(int(next_idx)),
-        _res_idx=idxs, _res_x=res_x, _res_f=res_f,
-        _res_nsteps=res_ns, _res_conv=res_cv,
-        _res_nmatvec=res_mv, _res_neval=res_ne,
     )
+    if len(idxs):
+        # orbax refuses zero-size arrays: no harvested results yet is
+        # encoded by the keys' ABSENCE (load_queue restores {})
+        payload.update(
+            _res_idx=idxs, _res_x=res_x, _res_f=res_f,
+            _res_nsteps=res_ns, _res_conv=res_cv,
+            _res_nmatvec=res_mv, _res_neval=res_ne,
+        )
+    if it is not None:
+        payload["_it"] = np.asarray(int(it))
     if retry_state is not None:
         # orbax refuses zero-size arrays — empty retry state is encoded
         # by the keys' ABSENCE (load_queue treats missing keys as empty)
@@ -173,7 +178,7 @@ def load_queue(path: str, state_cls=SearchState,
              if mv is not None and ne is not None
              and int(mv[k]) >= 0 and int(ne[k]) >= 0 else ())
         for k, i in enumerate(np.asarray(payload["_res_idx"]))
-    }
+    } if "_res_idx" in payload else {}
     if not with_retry_state:
         return state, origin, next_idx, results
     retry_state = {"pending": [], "retries": {}, "spent": {}}
@@ -193,4 +198,7 @@ def load_queue(path: str, state_cls=SearchState,
             int(i): tuple(int(v) for v in rs[k])
             for k, i in enumerate(rk)
         }
+    # PRNG continuation point (absent in payloads written before it
+    # was checkpointed — those resume from 0 as they always did)
+    retry_state["it"] = int(payload.get("_it", 0))
     return state, origin, next_idx, results, retry_state

@@ -2037,11 +2037,16 @@ def run_ensemble_queue(
             )
     # retry bookkeeping: counts per input, deferred re-starts, and the
     # step/matvec/eval totals spent by earlier attempts
+    it0 = 0
     if loaded is not None:
         state, origin, next_idx, results, retry_state = loaded
         retries = retry_state["retries"]
         pending = retry_state["pending"]   # (origin_idx, x_start) FIFO
         spent = retry_state["spent"]       # origin -> (ns, nmv, nev)
+        # continue the PRNG key stream where the crashed run left it
+        # (replaying fold_in(key, 0..) would correlate restart kicks
+        # and Davidson probes with ones already consumed)
+        it0 = retry_state.get("it", 0)
     else:
         state = init_state(potential, x0_all[:batch], cfg, cell)
         origin = np.arange(batch)          # which input each lane holds
@@ -2072,7 +2077,7 @@ def run_ensemble_queue(
     _dbg = _os_dbg.environ.get("SELLA_TPU_QUEUE_DEBUG", "0") == "1"
 
     cycle = 0
-    it = 0
+    it = it0
     while len(results) < total:
         _t0 = _time_dbg.perf_counter()
         state = step_chunk(state, jax.random.fold_in(key, it))
@@ -2187,6 +2192,7 @@ def run_ensemble_queue(
                 checkpoint_path, state, origin, next_idx, results,
                 retry_state=dict(pending=pending, retries=retries,
                                  spent=spent),
+                it=it,
             )
 
     return [results[i] for i in range(total)]

@@ -257,7 +257,9 @@ def fixed_internal_constraints(ints):
             for m, (i, j, k, anc) in enumerate(ints.angles):
                 if [i, j, k] == ii and _nc_eq(anc, z):
                     found = off_a + m
-                elif [k, j, i] == ii and _nc_eq(anc[::-1], z):
+                # reversed record: offsets negate AND reverse, the
+                # same convention as topology._angle_key
+                elif [k, j, i] == ii and _nc_eq(-anc[::-1], z):
                     found = off_a + m
                 if found is not None:
                     break
@@ -1159,6 +1161,10 @@ def repave_lanes(state: InternalSearchState, ints, cfg, bad,
     # are always members of the rebuilt row set and
     # ``fixed_internal_constraints`` re-resolves their (possibly
     # shifted) positions when the step function is rebuilt.
+    # topology re-discovery must see the SAME cell the engine
+    # evaluates under (wrong cell -> wrong minimum-image bonds in the
+    # rebuilt row set); None keeps the base atoms' stored cell
+    cell_for_rebuild = None if cell is None else np.asarray(cell)
     if cell is None:
         cell = jnp.zeros((3, 3))
     bad = np.asarray(bad).copy()
@@ -1172,6 +1178,7 @@ def repave_lanes(state: InternalSearchState, ints, cfg, bad,
     rebuilt = {}
     for l in lanes:
         r = rebuild_internals_at(ints, xs[l].reshape(n, 3),
+                                 cell=cell_for_rebuild,
                                  keep_dummies=keep_dummies)
         if r is None:
             bad[l] = False          # dummy layout changed: cannot repave
@@ -1352,6 +1359,7 @@ def run_internal_ensemble_queue(
     refill_every: int = 10,
     seed: int = 0,
     spill: Optional[str] = "cartesian",
+    spill_max_steps: Optional[int] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
     resume: bool = False,
@@ -1366,13 +1374,37 @@ def run_internal_ensemble_queue(
     lanes whose angles hit the singular 0/180-deg points (where the
     shared-topology B matrix loses rank) are harvested early and —
     together with any other unconverged inputs — finished by one
-    Cartesian ensemble run, whose coordinates need no topology at all.
+    Cartesian ensemble run, whose coordinates need no topology at all
+    (user fixed-internal constraints ride along as Cartesian residuals;
+    ``spill_max_steps`` overrides the finishing pass's step budget).
     Pass ``spill=None`` to record them unconverged instead. Requires
-    ``ndummies == 0`` (dummy constraints have no Cartesian analogue)."""
+    ``ndummies == 0`` (dummy constraints have no Cartesian analogue —
+    warned and disabled otherwise)."""
+    if spill not in (None, "cartesian"):
+        raise ValueError(
+            f"unknown spill mode {spill!r}: use None or 'cartesian'"
+        )
+    if spill == "cartesian" and cfg.ndummies:
+        import warnings
+
+        warnings.warn(
+            "spill='cartesian' requires ndummies == 0 (dummy DOF have "
+            "no Cartesian analogue); bad-topology lanes will be "
+            "recorded unconverged instead"
+        )
+        spill = None
     x0_all = jnp.asarray(x0_all)
     if cfg.ndummies and x0_all.shape[1] == 3 * cfg.natoms:
         x0_all = extend_with_dummies(ints, x0_all)
     total = x0_all.shape[0]
+    # work set smaller than the device batch: clamp (origin/avail are
+    # sized to batch while the state holds total lanes otherwise)
+    batch = min(batch, total)
+    # resolved once: the spill pass re-expresses these as Cartesian
+    # residuals so user constraints survive the topology hand-off
+    cons_idx_all, cons_target_all = (
+        fixed_internal_constraints(ints) if cfg.ncons else ([], [])
+    )
     step = jax.jit(make_internal_step_fn(potential, ints, cfg, cell),
                    donate_argnums=0)
     H0 = jnp.asarray(ints.guess_hessian())
@@ -1380,24 +1412,32 @@ def run_internal_ensemble_queue(
         st, xn, av, H0
     ), donate_argnums=0)
 
-    state = init_internal_state(potential, ints, x0_all[:batch], cfg,
-                                cell)
-    origin = np.arange(batch)
-    next_idx = batch
-    results: dict = {}
+    it0 = 0
+    loaded = None
     if checkpoint_path is not None and resume:
         import os as _os
 
         from .checkpoint import load_queue
 
         if _os.path.exists(checkpoint_path):
-            state, origin, next_idx, results = load_queue(
-                checkpoint_path, InternalSearchState
+            loaded = load_queue(
+                checkpoint_path, InternalSearchState,
+                with_retry_state=True,
             )
+    if loaded is not None:
+        state, origin, next_idx, results, _rst = loaded
+        # continue the PRNG key stream where the crashed run left it
+        it0 = _rst.get("it", 0)
+    else:
+        state = init_internal_state(potential, ints, x0_all[:batch],
+                                    cfg, cell)
+        origin = np.arange(batch)
+        next_idx = batch
+        results = {}
     key = jax.random.PRNGKey(seed)
 
     cycle = 0
-    it = 0
+    it = it0
     while len(results) < total:
         for _ in range(refill_every):
             state = step(state, jax.random.fold_in(key, it))
@@ -1457,11 +1497,11 @@ def run_internal_ensemble_queue(
             from .checkpoint import save_queue
 
             save_queue(checkpoint_path, state, origin, next_idx,
-                       results)
+                       results, it=it)
 
     if spill == "cartesian":
         todo = [i for i in range(total) if not results[i][3]]
-        if todo and cfg.ndummies == 0:
+        if todo:
             from .ensemble import EnsembleConfig
             from .ensemble import run_ensemble as _run_cart
 
@@ -1470,10 +1510,35 @@ def run_internal_ensemble_queue(
             )
             ccfg = EnsembleConfig(
                 natoms=cfg.natoms, order=cfg.order, fmax=cfg.fmax,
-                gamma=cfg.gamma, nproj=cfg.nproj,
+                gamma=cfg.gamma, nproj=cfg.nproj, ncons=cfg.ncons,
             )
+            # user fixed-internal constraints must survive the spill:
+            # express each as a Cartesian residual q_i(x) - target
+            # through the same engine (dihedral rows wrapped), so the
+            # finishing pass optimizes on the SAME constraint manifold
+            cons_fn = None
+            if cfg.ncons:
+                engine_s = ints._get_engine()
+                cell_s = jnp.zeros((3, 3)) if cell is None else cell
+                ci_s = jnp.asarray(cons_idx_all)
+                ct_s = jnp.asarray(cons_target_all)
+                dih_s = jnp.asarray(
+                    _dihedral_mask(ints))[np.asarray(cons_idx_all)]
+
+                def cons_fn(x):
+                    q = engine_s._calc_impl(
+                        x.reshape(cfg.natoms, 3), cell_s
+                    )
+                    r = q[ci_s] - ct_s
+                    wrapped = r - 2 * jnp.pi * jnp.round(
+                        r / (2 * jnp.pi)
+                    )
+                    return jnp.where(dih_s, wrapped, r)
+
             cst = _run_cart(potential, x_spill, ccfg,
-                            max_steps=max_steps_per_search, cell=cell)
+                            max_steps=(spill_max_steps
+                                       or max_steps_per_search),
+                            cell=cell, constraints=cons_fn)
             cxs = np.asarray(cst.x)
             cfs = np.asarray(cst.f)
             cconv = np.asarray(cst.converged)
@@ -1481,11 +1546,15 @@ def run_internal_ensemble_queue(
             cmv = np.asarray(cst.nmatvec)
             cev = np.asarray(cst.neval)
             for j, i in enumerate(todo):
+                prev = results[i]
+                # pre-counter checkpoint entries restore as 4-tuples
+                pmv = prev[4] if len(prev) > 4 else 0
+                pev = prev[5] if len(prev) > 5 else 0
                 results[i] = (
                     cxs[j].copy(), float(cfs[j]),
-                    results[i][2] + int(cns[j]), bool(cconv[j]),
-                    results[i][4] + int(cmv[j]),
-                    results[i][5] + int(cev[j]),
+                    prev[2] + int(cns[j]), bool(cconv[j]),
+                    pmv + int(cmv[j]),
+                    pev + int(cev[j]),
                 )
 
     out = [results[i] for i in range(total)]

@@ -319,6 +319,132 @@ def test_internal_queue_cartesian_spill():
     assert all(r[3] for r in results), [r[2:] for r in results]
 
 
+def test_internal_queue_spill_preserves_constraints():
+    """The Cartesian spill pass must finish timed-out lanes ON the
+    user's fixed-internal constraint manifold, not unconstrained: a
+    starved step budget forces every input through the spill, and the
+    result still pins the fixed bond to its target."""
+    from sella_tpu.coords.constraints import DuplicateInternalError
+    from sella_tpu.parallel.ensemble_internal import (
+        run_internal_ensemble_queue,
+    )
+
+    r0 = 4.73
+    pot = MorsePotential(epsilon=226.9 * kB, r0=r0, rho0=r0 * 1.099)
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * r0
+    atoms = Atoms(["Xe"] * 4, tet)
+    ints = Internals(atoms)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    try:
+        ints.add_bond((0, 1))
+    except DuplicateInternalError:
+        pass
+    target = 1.15 * r0
+    ints.cons.fix_bond((0, 1), target=target)
+
+    total = 4
+    rng = np.random.RandomState(1)
+    x0_all = jnp.asarray(
+        (tet[None] + 0.15 * rng.normal(size=(total, 4, 3))).reshape(
+            total, 12
+        )
+    )
+    cfg = InternalEnsembleConfig(
+        natoms=4, nint=ints.nint, order=0, fmax=1e-3, ncons=1,
+        delta0=0.05,
+    )
+    # 3-step budget: no lane can converge in the internal tier, so
+    # every input reaches the spill pass
+    results = run_internal_ensemble_queue(
+        pot, ints, x0_all, cfg, batch=4, max_steps_per_search=3,
+        refill_every=3, spill="cartesian", spill_max_steps=300,
+    )
+    assert len(results) == total
+    assert all(r[3] for r in results), [r[2:] for r in results]
+    for x, *_ in results:
+        d01 = np.linalg.norm(x[3:6] - x[0:3])
+        np.testing.assert_allclose(d01, target, atol=1e-3)
+
+
+def test_internal_queue_spill_mode_validation():
+    """Unknown spill strings raise instead of silently harvesting
+    early without a finishing pass; dummy topologies warn and disable
+    the spill."""
+    from sella_tpu.parallel.ensemble_internal import (
+        run_internal_ensemble_queue,
+    )
+
+    pot, ints, x0 = _setup(Bsz=2, scale=0.05)
+    cfg = InternalEnsembleConfig(
+        natoms=4, nint=ints.nint, order=0, fmax=1e-3, eig=False,
+        delta0=0.05,
+    )
+    with pytest.raises(ValueError, match="spill"):
+        run_internal_ensemble_queue(
+            pot, ints, x0, cfg, batch=2, max_steps_per_search=5,
+            spill="cart",
+        )
+
+
+def test_fixed_internal_constraint_reversed_angle_offsets():
+    """A reversed-order angle constraint on a periodic topology matches
+    through the negate-and-reverse offset convention of
+    topology._angle_key (the forward record (i,j,k, anc) equals the
+    reversed (k,j,i, -anc[::-1]))."""
+    from sella_tpu.parallel.ensemble_internal import (
+        fixed_internal_constraints,
+    )
+
+    a = 3.0
+    cell = np.eye(3) * a
+    pos = np.array([[0.2, 0.5, 0.5], [1.5, 0.5, 0.5], [2.8, 0.5, 0.5]])
+    atoms = Atoms(["Xe"] * 3, pos, cell=cell, pbc=True)
+    ints = Internals(atoms)
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    # find a periodic angle record (nonzero offsets)
+    cand = [(m, rec) for m, rec in enumerate(ints.angles)
+            if np.any(np.asarray(rec[3]) != 0)]
+    if not cand:
+        pytest.skip("no periodic angle in this topology")
+    m, (i, j, k, anc) = cand[0]
+    # constrain it in REVERSED index order with the reversed-convention
+    # offsets: must resolve to the same q row, not raise
+    ints.cons.fix_angle((k, j, i), ncvecs=-np.asarray(anc)[::-1])
+    idx, _ = fixed_internal_constraints(ints)
+    assert (ints.ntrans + ints.nbonds + m) in list(idx)
+
+
+def test_queue_checkpoint_preserves_key_stream(tmp_path):
+    """save_queue/load_queue round-trip the driver's step counter so a
+    resumed sweep continues the PRNG stream instead of replaying it."""
+    import os
+
+    from sella_tpu.parallel.checkpoint import load_queue, save_queue
+    from sella_tpu.parallel.ensemble import (
+        EnsembleConfig as CEnsembleConfig,
+        init_state as c_init_state,
+    )
+    from sella_tpu.potentials import LennardJones
+
+    cfg = CEnsembleConfig(natoms=4, order=0, eig=False)
+    x0 = jnp.asarray(np.random.RandomState(0).normal(size=(4, 12)))
+    st = c_init_state(LennardJones(), x0, cfg)
+    p = os.path.join(tmp_path, "q")
+    save_queue(p, st, np.arange(4), 4, {}, it=37)
+    *_, rst = load_queue(p, with_retry_state=True)
+    assert rst["it"] == 37
+    # payloads written without the counter resume from 0
+    save_queue(p, st, np.arange(4), 4, {})
+    *_, rst0 = load_queue(p, with_retry_state=True)
+    assert rst0["it"] == 0
+
+
 def test_internal_ensemble_rigid_water_trics():
     """Batched rigid-fragment optimization: TIP3P water dimers with
     per-molecule fixed bonds/angles and TRIC translation+rotation
