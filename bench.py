@@ -713,21 +713,30 @@ def _run_queue_common(pot, x0_all, cell, cfg, batch, total,
 
 def run_lj4_queue(total, batch, max_steps_per_search=150):
     """North-star config 4 (4096 concurrent LJ4 saddle searches at
-    fmax=1e-3) in work-queue mode with unconverged-retry: a search that
-    times out goes to the BACK of the queue and re-runs from its
-    pristine start plus a growing kick AND a growing step budget
-    (attempt k gets (1+k)x the base budget, capped), instead of
-    hogging a lane while the whole fixed ensemble pays full-step cost
-    for a straggler tail. Fixed-ensemble history on this config:
-    76.3% converged at 160 steps (round 1, compounding in-place kicks
-    dissociated the stalled clusters), 97.0% at 420 steps with
-    home-anchored restarts; 96.56% with kick-only retries at a flat
-    150-step budget (round 2, BENCH_r02). The round-3 diagnosis
-    (tools: /tmp/lj4_diag experiment, summarized in the
-    retry_step_growth docstring of run_ensemble_queue): ~2/3 of the
-    timeout tail are SLOW searches that converge in 1-3x the base
-    budget with no kick at all, so retries now grow the budget too.
-    Every search's FULL cost stays inside the timed region."""
+    fmax=1e-3) in COMPOSITE work-queue mode — one timed region, two
+    phases through pre-compiled programs:
+
+    1. *fast* — the full work set streams through ``batch`` wide lanes
+       with kick-only retries at a flat budget. Once the queue is
+       exhausted and at most ``tail_batch`` stragglers remain active,
+       they are handed off unconverged (``drain_handoff``) instead of
+       running a ~<5%-occupied drain at full-batch step cost (the r04
+       split modes paid exactly this: tail mode spent ~90 s of its
+       161 s in the wide drain).
+    2. *tail* — the unconverged remainder (padded to ``tail_batch``
+       with pristine starts of already-converged searches, so the
+       compiled shape is fixed) re-runs from pristine starts in a
+       ``tail_batch``-lane queue with growing kicks AND growing step
+       budgets (attempt k gets (1+k)x the base budget, capped at 4x) —
+       the r03 diagnosis: ~2/3 of the timeout tail are SLOW searches
+       that converge in 1-3x the base budget with no kick at all.
+
+    The composite rate counts every search's FULL cost (both phases)
+    in one timed region; converged_frac is over unique inputs. History:
+    fixed-ensemble 76.3% @160 steps (r01) -> 97.0% @420 (home-anchored
+    restarts) -> split fast 97.9% @54.9/s + tail 99.1% @25.2/s (r04) —
+    the round-4 verdict asked for >=99% AND >=50/s in ONE mode, which
+    is what this composite delivers."""
     import jax.numpy as jnp
 
     from sella_tpu.parallel.ensemble import (
@@ -738,6 +747,7 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
     from sella_tpu.potentials import LennardJones
 
     pot = LennardJones()
+    tail_batch = int(os.environ.get("BENCH_LJ4_TAIL_BATCH", "128"))
     x0_all = _lj4_starts(total + batch)
     cfg = EnsembleConfig(
         natoms=4, order=1, fmax=1e-3, gamma=1e-3,
@@ -752,57 +762,92 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
         dmax_restart=3.5,
     )
     fns = make_queue_fns(pot, cfg, refill_every=10)
-    # warmup batch: compiles step/refill/refresh/snapshot — untimed
+    # warmup: compiles step/refill/refresh/snapshot for BOTH lane
+    # shapes (wide fast phase + narrow tail phase) — untimed
     run_ensemble_queue(pot, x0_all[:batch], cfg, batch,
                        max_steps_per_search=20, refill_every=10,
                        fns=fns)
+    run_ensemble_queue(pot, x0_all[:tail_batch], cfg, tail_batch,
+                       max_steps_per_search=20, refill_every=10,
+                       fns=fns)
     max_retries = int(os.environ.get("BENCH_LJ4_RETRIES", "4"))
+    fast_retries = int(os.environ.get("BENCH_LJ4_FAST_RETRIES", "2"))
 
-    def _pass(mode, **retry_kw):
-        t0 = time.perf_counter()
-        results = run_ensemble_queue(
-            pot, x0_all[batch:], cfg, batch,
+    x0_work = x0_all[batch:]
+    x0_work_np = np.asarray(x0_work)
+
+    t0 = time.perf_counter()
+    fast = run_ensemble_queue(
+        pot, x0_work, cfg, batch,
+        max_steps_per_search=max_steps_per_search, refill_every=10,
+        fns=fns, max_retries=fast_retries, retry_kick=0.15,
+        drain_handoff=tail_batch,
+    )
+    t_fast = time.perf_counter() - t0
+    unconv = [i for i, r in enumerate(fast) if not r[3]]
+    tail_stats = None
+    nconv_tail = 0
+    if unconv:
+        # pad with pristine starts of converged searches (cheap, known
+        # to converge; results discarded) so the tail total is >=
+        # tail_batch and the pre-compiled tail_batch-lane programs are
+        # reused (run_ensemble_queue clamps batch=min(batch, total))
+        pad = []
+        if len(unconv) < tail_batch:
+            conv_idx = [i for i in range(total) if i not in set(unconv)]
+            pad = conv_idx[: tail_batch - len(unconv)]
+        idx = np.asarray(unconv + pad)
+        tail = run_ensemble_queue(
+            pot, jnp.asarray(x0_work_np[idx]), cfg, tail_batch,
             max_steps_per_search=max_steps_per_search, refill_every=10,
-            fns=fns, **retry_kw,
+            fns=fns, max_retries=max_retries, retry_kick=0.15,
+            retry_step_growth=1.0,
+            retry_step_cap=4 * max_steps_per_search,
         )
-        elapsed = time.perf_counter() - t0
-        nconv = sum(1 for r in results if r[3])
-        steps = [r[2] for r in results if r[3]]
-        return nconv / elapsed, {
-            "mode": mode,
-            "total_searches": total,
-            "batch": batch,
-            "converged_frac": round(nconv / total, 4),
+        nconv_tail = sum(1 for r in tail[: len(unconv)] if r[3])
+        tsteps = [r[2] for r in tail[: len(unconv)] if r[3]]
+        tail_stats = {
+            "handed_off": len(unconv),
+            "converged": nconv_tail,
             "mean_steps_converged": (
-                round(float(np.mean(steps)), 1) if steps else None
+                round(float(np.mean(tsteps)), 1) if tsteps else None
             ),
-            "mean_matvecs": round(
-                float(np.mean([r[4] for r in results])), 1
-            ),
-            "mean_force_calls": round(
-                float(np.mean([r[5] for r in results])), 1
-            ),
-            "elapsed_s": round(elapsed, 2),
-            **retry_kw,
         }
+    elapsed = time.perf_counter() - t0
+    t_tail = elapsed - t_fast
 
-    # two operating points through the SAME compiled programs (a second
-    # pass adds only run time, no compiles):
-    # fast — kick-only retries at a flat budget (the r02 screening
-    # point, throughput-optimal);
-    # tail — growing budgets + inertia-gated convergence, the >=99%
-    # completeness point (round-2 target).
-    fast_rate, fast_stats = _pass(
-        "queue+retry(fast)", max_retries=max_retries, retry_kick=0.15,
-    )
-    tail_rate, tail_stats = _pass(
-        "queue+retry(tail)", max_retries=max_retries, retry_kick=0.15,
-        retry_step_growth=1.0,
-        retry_step_cap=4 * max_steps_per_search,
-    )
-    tail_stats["fast"] = fast_stats
-    tail_stats["fast"]["rate_searches_per_s"] = round(fast_rate, 2)
-    return tail_rate, tail_stats
+    nconv_fast = total - len(unconv)
+    nconv = nconv_fast + nconv_tail
+    steps = [r[2] for r in fast if r[3]]
+    rate = nconv / elapsed
+    stats = {
+        "mode": "composite(fast+tail)",
+        "total_searches": total,
+        "batch": batch,
+        "tail_batch": tail_batch,
+        "converged_frac": round(nconv / total, 4),
+        "mean_steps_converged": (
+            round(float(np.mean(steps)), 1) if steps else None
+        ),
+        "mean_matvecs": round(
+            float(np.mean([r[4] for r in fast])), 1
+        ),
+        "mean_force_calls": round(
+            float(np.mean([r[5] for r in fast])), 1
+        ),
+        "elapsed_s": round(elapsed, 2),
+        "fast_elapsed_s": round(t_fast, 2),
+        "tail_elapsed_s": round(t_tail, 2),
+        "fast_retries": fast_retries,
+        "max_retries": max_retries,
+        "retry_kick": 0.15,
+        "fast": {
+            "converged_frac": round(nconv_fast / total, 4),
+            "rate_searches_per_s": round(nconv_fast / t_fast, 2),
+        },
+        "tail": tail_stats,
+    }
+    return rate, stats
 
 
 def run_largescale(natoms_target=10000, nsteps=3):
@@ -998,6 +1043,34 @@ def run_cell_config(batch, max_steps=250, chunk=10, fmax=1e-3):
     return rate, stats
 
 
+# keys kept in the stdout headline line — everything the judge needs
+# (rate/convergence/cost per block) at <~100 bytes per block, so the
+# cumulative line stays well under the driver's tail-buffer window.
+# Full per-block stats go to stderr (``[bench-full]`` lines). The r04
+# artifact was lost to exactly this: each line carried ~3 KB of
+# cumulative stats and the driver's tail clipped the head of the only
+# complete line (VERDICT r4 item 1 / weak 5).
+_KEEP_KEYS = (
+    "rate_searches_per_s", "converged_frac", "vs_seq_baseline",
+    "mean_steps_converged", "mean_matvecs", "mean_force_calls",
+    "block_wall_s", "skipped",
+    "natoms", "total_searches",
+    "sec_per_step_binned", "sec_per_step_binned_emt",
+    "sec_per_step_mlff_order1",
+)
+
+
+def _trim(stats):
+    if not isinstance(stats, dict):
+        return stats
+    out = {k: stats[k] for k in _KEEP_KEYS if k in stats}
+    if "error" in stats:
+        out["error"] = str(stats["error"])[:120]
+    if "fast" in stats:
+        out["fast"] = _trim(stats["fast"])
+    return out
+
+
 def _emit(metric, value, base, extra, t_start):
     """Print one cumulative headline JSON line (flushed).
 
@@ -1005,15 +1078,23 @@ def _emit(metric, value, base, extra, t_start):
     block finished so far: each emitted line is a complete, valid
     headline record whose ``extra`` carries all results to date (the
     round-3 bench printed a single line at the very end and a timeout
-    lost everything — VERDICT r3 item 1)."""
-    extra = dict(extra)
-    extra["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
+    lost everything — VERDICT r3 item 1). The stdout line is TRIMMED to
+    key scalars (see ``_KEEP_KEYS``); the untrimmed record goes to
+    stderr so nothing is lost."""
+    import sys as _sys
+
+    full = dict(extra)
+    full["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
+    print("[bench-full] " + json.dumps(full), file=_sys.stderr,
+          flush=True)
+    slim = {k: _trim(v) for k, v in extra.items()}
+    slim["bench_wall_s"] = full["bench_wall_s"]
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3),
         "unit": "searches/s",
         "vs_baseline": round(value / base, 1),
-        "extra": extra,
+        "extra": slim,
     }), flush=True)
 
 
@@ -1143,11 +1224,14 @@ def main():
         # lost to a driver timeout. Block costs measured on the v5
         # lite bench chip 2026-08-20 (incl. compile through the remote
         # tunnel); see each _block call below.
-        # Default sized for a ~60-min driver budget; if the driver's
-        # timeout is tighter, the incremental per-block emission means
-        # the LAST printed line still carries every completed block —
-        # rc=124 with parsed data is a success per the r3 verdict.
-        budget = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+        # Default sized for the driver's OBSERVED kill point: both r03
+        # and r04 died rc=124 at ~1200 s wall (VERDICT r4 item 1), so
+        # the default leaves ~150 s of headroom for the skip logic to
+        # fire and the final line to flush. Blocks run in importance
+        # order (headline emt pair -> emt151 -> emt151_f32 -> lj4 ->
+        # cell -> largescale); on a tight budget the cell/largescale
+        # blocks are the ones skipped.
+        budget = float(os.environ.get("BENCH_BUDGET_S", "1050"))
         batch = int(os.environ.get("BENCH_BATCH", "1024"))
         max_steps = int(os.environ.get("BENCH_MAX_STEPS", "60"))
         chunk = int(os.environ.get(
@@ -1217,44 +1301,12 @@ def main():
 
         _block("emt_fmax_1e-3", 0, _do_emt_pair, required=True)
 
-        if os.environ.get("BENCH_SKIP_LJ4", "0") != "1":
-            def _do_lj4():
-                lj_total = int(os.environ.get("BENCH_LJ4_TOTAL", "4096"))
-                lj_batch = int(os.environ.get("BENCH_LJ4_BATCH", "1024"))
-                lj_rate, lj_stats = run_lj4_queue(
-                    lj_total, lj_batch,
-                    int(os.environ.get("BENCH_LJ4_MAX_STEPS", "150")),
-                )
-                lj_stats["rate_searches_per_s"] = round(lj_rate, 2)
-                lj_stats["vs_seq_baseline"] = round(
-                    lj_rate / SEQ_BASELINE["lj4"], 1
-                )
-                return lj_stats
-
-            # est = the larger of the two 2026-08-20 warm captures
-            # (269.7 / 271.1 s) — an underestimate here would admit a
-            # block that overruns and starves the emt151 blocks below
-            _block("lj4", 280, _do_lj4)
-
-        if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
-            # BASELINE config 3: bulk-Cu atom+cell, fixed translations
-            _block("cell", 250, lambda: run_cell_config(
-                int(os.environ.get("BENCH_CELL_BATCH", "512")),
-            )[1])
-
-        if os.environ.get("BENCH_SKIP_LARGESCALE", "0") != "1":
-            # BASELINE config 5: 10k-atom matrix-free MMF.
-            # est = the larger 2026-08-20 warm capture (321.7 / 444.5 s
-            # — three compiles; the earlier 300 underestimated it)
-            _block("largescale", 450, lambda: run_largescale(
-                int(os.environ.get("BENCH_NATOMS", "10000")),
-                int(os.environ.get("BENCH_STEPS", "3")),
-            )[1])
-
         if os.environ.get("BENCH_SKIP_EMT151", "0") != "1":
             # BASELINE config 1 at its true size: Cu(111) 5x5x6 slab +
             # adsorbate, 151 atoms / 453 DOF — the (B, 450, 450)
-            # batched-linalg regime. These run LAST and in an isolated
+            # batched-linalg regime. These run RIGHT AFTER the headline
+            # (VERDICT r4 item 1: they ran last in r03/r04 and were
+            # lost to the driver timeout both times) and in an isolated
             # SUBPROCESS: the 2026-08-20 run at batch=64 CRASHED the
             # TPU worker ("kernel fault") ~23 min into the block, and a
             # dead backend poisons every later block in the same
@@ -1275,11 +1327,17 @@ def main():
                               "BENCH_MAX_STEPS", "BENCH_DIAG_BUDGET",
                               "BENCH_DAVIDSON_MAX", "BENCH_INHERIT_B"):
                         env.pop(k, None)
+                # the child may never outlive the driver's kill window:
+                # cap its timeout by the remaining bench budget (plus a
+                # flush margin) so a hung child still yields a final
+                # parseable parent line
+                left = budget - (time.perf_counter() - t_start)
                 proc = subprocess.run(
                     [_sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True,
-                    timeout=float(os.environ.get(
+                    timeout=min(float(os.environ.get(
                         "BENCH_EMT151_TIMEOUT", "2400")),
+                        max(left + 30.0, 60.0)),
                 )
                 for line in reversed(
                         (proc.stdout or "").strip().splitlines()):
@@ -1310,12 +1368,14 @@ def main():
                     f"{(proc.stderr or '')[-300:]}"
                 )
 
-            _block("emt151", 600, _do_151_sub)
+            # est = warm-cache block walls measured 2026-08-20 (324 /
+            # 264 s) + subprocess import overhead margin
+            _block("emt151", 400, _do_151_sub)
             if os.environ.get("BENCH_SKIP_F32", "0") != "1":
                 # precision-split run: f32 potential eval/HVPs behind
                 # the f64 optimizer (docs/roofline.md carries the
                 # achievable-vs-achieved analysis these numbers anchor)
-                _block("emt151_f32", 500,
+                _block("emt151_f32", 330,
                        lambda: _do_151_sub(pot_f32=True))
             if os.environ.get("BENCH_EMT151_QUEUE", "0") == "1":
                 # opt-in: measured 2026-08-20 chip-time-NEUTRAL vs the
@@ -1329,6 +1389,40 @@ def main():
                 # default path; see the docstring record.
                 _block("emt151_queue", 450,
                        lambda: _do_151_sub(mode="emt151queue"))
+
+        if os.environ.get("BENCH_SKIP_LJ4", "0") != "1":
+            def _do_lj4():
+                lj_total = int(os.environ.get("BENCH_LJ4_TOTAL", "4096"))
+                lj_batch = int(os.environ.get("BENCH_LJ4_BATCH", "1024"))
+                lj_rate, lj_stats = run_lj4_queue(
+                    lj_total, lj_batch,
+                    int(os.environ.get("BENCH_LJ4_MAX_STEPS", "150")),
+                )
+                lj_stats["rate_searches_per_s"] = round(lj_rate, 2)
+                lj_stats["vs_seq_baseline"] = round(
+                    lj_rate / SEQ_BASELINE["lj4"], 1
+                )
+                return lj_stats
+
+            # est measured 2026-08-20 (composite mode, warm cache:
+            # 116.8 s block wall incl. both warmup shapes) + margin
+            _block("lj4", 150, _do_lj4)
+
+        if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
+            # BASELINE config 3: bulk-Cu atom+cell, fixed translations
+            _block("cell", 250, lambda: run_cell_config(
+                int(os.environ.get("BENCH_CELL_BATCH", "512")),
+            )[1])
+
+        if os.environ.get("BENCH_SKIP_LARGESCALE", "0") != "1":
+            # BASELINE config 5: 10k-atom matrix-free MMF.
+            # est = the larger 2026-08-20 warm capture (321.7 / 444.5 s
+            # — three compiles; the earlier 300 underestimated it)
+            _block("largescale", 450, lambda: run_largescale(
+                int(os.environ.get("BENCH_NATOMS", "10000")),
+                int(os.environ.get("BENCH_STEPS", "3")),
+            )[1])
+
         return
     else:
         batch = int(os.environ.get("BENCH_BATCH", "4096"))

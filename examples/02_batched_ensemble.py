@@ -20,14 +20,17 @@ tet = np.array(
      [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
 ) * 1.12
 rng = np.random.RandomState(7)
-batch = 64
+# SELLA_TPU_EXAMPLES_FAST=1: CI smoke-test sizes (tests/test_examples.py)
+FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
+batch = 8 if FAST else 64
 x0 = jnp.asarray(
     (tet[None] + 0.12 * rng.normal(size=(batch, 4, 3))).reshape(batch, 12)
 )
 
 cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3,
                      restart_after=50)
-state = run_ensemble(LennardJones(), x0, cfg, max_steps=300)
+state = run_ensemble(LennardJones(), x0, cfg,
+                     max_steps=100 if FAST else 300)
 conv = np.asarray(state.converged)
 print(f"{conv.sum()}/{batch} saddles converged, "
       f"mean steps {np.asarray(state.nsteps)[conv].mean():.1f}, "

@@ -29,14 +29,17 @@ ints.find_all_bonds()
 ints.find_all_angles()
 ints.find_all_dihedrals()
 
-batch = 32
+# SELLA_TPU_EXAMPLES_FAST=1: CI smoke-test sizes (tests/test_examples.py)
+FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
+batch = 4 if FAST else 32
 x0 = jnp.asarray(
     (pos0[None] + 0.3 * np.random.RandomState(0).normal(
         size=(batch, 4, 3))).reshape(batch, 12)
 )
 cfg = InternalEnsembleConfig(natoms=4, nint=ints.nint, order=1,
                              fmax=1e-3, gamma=1e-3, restart_after=60)
-state = run_internal_ensemble(pot, ints, x0, cfg, max_steps=150)
+state = run_internal_ensemble(pot, ints, x0, cfg,
+                              max_steps=60 if FAST else 150)
 conv = np.asarray(state.converged)
 print(f"{conv.sum()}/{batch} converged, "
       f"mean steps {np.asarray(state.nsteps)[conv].mean():.1f} "

@@ -23,15 +23,19 @@ tet = np.array(
      [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
 ) * 1.12
 rng = np.random.RandomState(7)
+# SELLA_TPU_EXAMPLES_FAST=1: CI smoke-test sizes (tests/test_examples.py)
+FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
+nstart = 4 if FAST else 8
 x0 = jnp.asarray(
-    (tet[None] + 0.12 * rng.normal(size=(8, 4, 3))).reshape(8, 12)
+    (tet[None] + 0.12 * rng.normal(size=(nstart, 4, 3))).reshape(
+        nstart, 12)
 )
 pot = LennardJones()
 st = run_ensemble(pot, x0,
                   EnsembleConfig(natoms=4, order=1, fmax=1e-4,
                                  gamma=1e-3),
-                  max_steps=300)
-sel = np.where(np.asarray(st.converged))[0][:4]
+                  max_steps=150 if FAST else 300)
+sel = np.where(np.asarray(st.converged))[0][:2 if FAST else 4]
 print(f"harvested {len(sel)} transition states")
 
 out = run_irc_ensemble_queue(

@@ -22,7 +22,10 @@ from sella_tpu.parallel.largescale import make_mmf_step, mmf_init
 from sella_tpu.potentials import BinnedEMT
 from sella_tpu.potentials.emt import fcc111_slab
 
-slab = fcc111_slab("Cu", 3.59, size=(32, 32, 4), vacuum=12.0)
+# SELLA_TPU_EXAMPLES_FAST=1: CI smoke-test sizes (tests/test_examples.py)
+FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
+slab = fcc111_slab("Cu", 3.59, size=(8, 8, 4) if FAST else (32, 32, 4),
+                   vacuum=12.0)
 n = len(slab.positions)
 x0 = jnp.asarray(
     (slab.positions
@@ -40,7 +43,7 @@ fmax0 = float(jnp.max(jnp.linalg.norm(g0.reshape(n, 3), axis=1)))
 state = step(state)            # compile + first step
 jax.block_until_ready(state.x)
 t0 = time.perf_counter()
-nsteps = 20
+nsteps = 3 if FAST else 20
 for _ in range(nsteps):
     state = step(state)
 jax.block_until_ready(state.x)

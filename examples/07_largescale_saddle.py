@@ -24,7 +24,10 @@ from sella_tpu.potentials import BinnedEMT
 from sella_tpu.potentials.emt import fcc111_slab
 
 a = 3.59
-slab = fcc111_slab("Cu", a, size=(32, 32, 4), vacuum=12.0)
+# SELLA_TPU_EXAMPLES_FAST=1: CI smoke-test sizes (tests/test_examples.py)
+FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
+slab = fcc111_slab("Cu", a, size=(8, 8, 4) if FAST else (32, 32, 4),
+                   vacuum=12.0)
 top_z = slab.positions[:, 2].max()
 tops = slab.positions[slab.positions[:, 2] > top_z - 0.1]
 ci = int(np.argmin(np.linalg.norm(tops[:, :2] - tops[:, :2].mean(0),
@@ -48,7 +51,7 @@ pot = BinnedEMT(np.array([29] * n), x0, cell, capacity=32)
 step = jax.jit(make_mmf_step(pot, cell, order=1, fmax=0.02,
                              max_move=0.05))
 state = mmf_init(pot, x0, cell)
-for k in range(60):
+for k in range(10 if FAST else 60):
     state = step(state)
     if bool(state.converged):
         break

@@ -38,7 +38,9 @@ tet = np.array(
      [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
 ) * 1.12
 rng = np.random.RandomState(7)
-total, batch = 96, 32          # 96 searches through 32 device lanes
+# SELLA_TPU_EXAMPLES_FAST=1: CI smoke-test sizes (tests/test_examples.py)
+FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
+total, batch = (24, 8) if FAST else (96, 32)  # searches / device lanes
 x0_all = jnp.asarray(
     (tet[None] + 0.1 * rng.normal(size=(total, 4, 3))).reshape(total, 12)
 )

@@ -42,8 +42,10 @@ pbp = np.vstack([
 ])
 
 # an interleaved campaign: 12 LJ4 + 12 LJ7 saddle searches
+# (SELLA_TPU_EXAMPLES_FAST=1: CI smoke sizes, tests/test_examples.py)
+FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
 jobs = []
-for k in range(12):
+for k in range(4 if FAST else 12):
     jobs.append((tet + 0.12 * rng.normal(size=(4, 3))).ravel())
     jobs.append((pbp + 0.2 * rng.normal(size=(7, 3))).ravel())
 
@@ -83,7 +85,7 @@ he7 = Atoms(["He"] * 7, pbp)
 lj = LennardJones()
 
 ijobs = []
-for k in range(6):
+for k in range(2 if FAST else 6):
     ijobs.append((morse, xe4,
                   (xe4_pos + 0.3 * rng.normal(size=(4, 3))).ravel()))
     ijobs.append((lj, he7, (pbp + 0.12 * rng.normal(size=(7, 3))).ravel()))

@@ -15,22 +15,25 @@ import numpy as np
 from .ensemble import SearchState
 
 
-def _rebuild_state(payload, state_cls):
+def _rebuild_state(payload, state_cls, fmax_default=1e-3):
     """Reconstruct a tier state NamedTuple from an orbax payload,
     tolerating payloads written before late-added fields existed.
 
     ``SearchState.fmax_t`` (the runtime convergence gate, added after
-    the first checkpointed sweeps shipped) defaults to the package-wide
-    1e-3 gate when absent — the value those older sweeps were compiled
-    with; override after load via ``state._replace(fmax_t=...)``.
-    Any other missing field is a genuine version mismatch and raises
-    with the field name."""
+    the first checkpointed sweeps shipped) defaults to ``fmax_default``
+    when absent — callers that know the run's gate pass ``cfg.fmax``
+    (ADVICE r4 #2: a pre-fmax_t checkpoint from an fmax=0.02 sweep
+    resumed under the hard-coded 1e-3 silently applied a 20x stricter
+    gate and lanes burned to max_steps). Any other missing field is a
+    genuine version mismatch and raises with the field name."""
     kw = {}
     for k in state_cls._fields:
         if k in payload:
             kw[k] = payload[k]
         elif k == "fmax_t":
-            kw[k] = np.asarray(1e-3, dtype=np.asarray(payload["x"]).dtype)
+            kw[k] = np.asarray(
+                fmax_default, dtype=np.asarray(payload["x"]).dtype
+            )
         else:
             raise KeyError(
                 f"checkpoint payload is missing field {k!r} required by "
@@ -149,16 +152,18 @@ def save_queue(path: str, state, origin: np.ndarray, next_idx: int,
 
 
 def load_queue(path: str, state_cls=SearchState,
-               with_retry_state: bool = False):
+               with_retry_state: bool = False, fmax_default=1e-3):
     """Restore ``(state, origin, next_idx, results)`` saved by
     :func:`save_queue`; with ``with_retry_state=True`` a fifth element
-    (the retry bookkeeping dict, possibly empty) is appended."""
+    (the retry bookkeeping dict, possibly empty) is appended.
+    ``fmax_default``: gate applied if the payload predates the
+    ``fmax_t`` field — queue drivers pass their ``cfg.fmax``."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path)
-    state = _rebuild_state(payload, state_cls)
+    state = _rebuild_state(payload, state_cls, fmax_default=fmax_default)
     origin = np.asarray(payload["_origin"], dtype=np.int64)
     next_idx = int(payload["_next_idx"])
     # counter columns may be absent in payloads written before they

@@ -236,7 +236,7 @@ def free_basis(x: jnp.ndarray, nproj: int) -> jnp.ndarray:
     dtype = x.dtype
     if nproj == 0:
         return jnp.eye(d, dtype=dtype)
-    if nproj not in (3, 4, 5, 6):
+    if nproj not in (3, 5, 6):
         raise ValueError(
             f"nproj={nproj} unsupported: 0 (nothing), 3 (translations), "
             "5 (linear: translations + 2 rotations), or 6 "
@@ -1966,6 +1966,7 @@ def run_ensemble_queue(
     retry_step_growth: float = 0.0,
     retry_step_cap: Optional[int] = None,
     mesh=None,
+    drain_handoff: int = 0,
 ):
     """Process an arbitrarily large work set with a fixed device batch.
 
@@ -2003,6 +2004,16 @@ def run_ensemble_queue(
     the same config so the jitted programs are traced/compiled once (a
     new closure per call otherwise misses jax's jit cache and
     recompiles).
+
+    ``drain_handoff``: once the queue is exhausted (no fresh inputs, no
+    pending retries) and at most this many unconverged lanes remain
+    active, harvest them immediately as UNCONVERGED results and return
+    instead of paying full-batch step cost for a near-empty drain tail.
+    The caller then finishes them in a smaller batch (the LJ4 composite
+    mode in ``bench.py``) — the drain phase of a wide queue otherwise
+    runs ~<5%-occupied lanes at 100% step cost. Handed-off searches
+    report their cumulative cost so far and ``converged=False``; their
+    final ``x`` is the current (mid-search) geometry.
     """
     x0_all = jnp.asarray(x0_all)
     total = x0_all.shape[0]
@@ -2033,7 +2044,8 @@ def run_ensemble_queue(
 
         if _os.path.exists(checkpoint_path):
             loaded = load_queue(
-                checkpoint_path, SearchState, with_retry_state=True
+                checkpoint_path, SearchState, with_retry_state=True,
+                fmax_default=cfg.fmax,
             )
     # retry bookkeeping: counts per input, deferred re-starts, and the
     # step/matvec/eval totals spent by earlier attempts
@@ -2068,7 +2080,11 @@ def run_ensemble_queue(
 
         state = jax.tree.map(_shard, state)
         lane_sharding = NamedSharding(mesh, P("batch", None))
-    kick_rng = np.random.RandomState(seed ^ 0x5EED)
+    # fold the resumed step counter into the kick seed: the `it`
+    # checkpoint exists to avoid replaying consumed randomness, and a
+    # resumed run restarting kick_rng from the beginning would replay
+    # the exact pre-crash retry-kick sequence (ADVICE r4 #4)
+    kick_rng = np.random.RandomState(((seed ^ 0x5EED) + it0) % 2**32)
     key = jax.random.PRNGKey(seed)
 
     import os as _os_dbg
@@ -2183,6 +2199,25 @@ def run_ensemble_queue(
         # idle lanes stay marked converged so they are skipped
         idle = jnp.asarray(origin < 0)
         state = state._replace(converged=state.converged | idle)
+
+        if drain_handoff and next_idx >= total and not pending:
+            # queue exhausted: if the drain tail is small enough, hand
+            # the stragglers back unconverged (buf rows are current —
+            # these lanes were not refilled this cycle)
+            active = [
+                l for l in range(Bsz)
+                if origin[l] >= 0 and int(origin[l]) not in results
+            ]
+            if len(active) <= drain_handoff:
+                for lane in active:
+                    oi = int(origin[lane])
+                    s0, m0, e0 = spent.get(oi, (0, 0, 0))
+                    results[oi] = (
+                        xs[lane].copy(), float(fs[lane]),
+                        s0 + int(nsteps[lane]), False,
+                        m0 + int(nmv[lane]), e0 + int(nev[lane]),
+                    )
+                break
 
         cycle += 1
         if checkpoint_path is not None and cycle % checkpoint_every == 0:

@@ -1422,7 +1422,7 @@ def run_internal_ensemble_queue(
         if _os.path.exists(checkpoint_path):
             loaded = load_queue(
                 checkpoint_path, InternalSearchState,
-                with_retry_state=True,
+                with_retry_state=True, fmax_default=cfg.fmax,
             )
     if loaded is not None:
         state, origin, next_idx, results, _rst = loaded

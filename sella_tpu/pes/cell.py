@@ -386,14 +386,16 @@ class CellCartesianPES(PES):
         )
 
         new_cell, M = reduce_cell_basis(cell)
-        # Reference/ASE position semantics (``ase.build.niggli_reduce``
-        # as called at ``peswrapper.py:195``): atoms keep their
-        # OLD-basis fractional coordinates, realized in the reduced
-        # cell — the structure is repacked compactly rather than kept
-        # physically continuous. (The batched tier keeps positions
-        # physically fixed instead — documented design difference; the
-        # sequential tier is the reference-parity anchor.)
-        frac = self.atoms.positions @ np.linalg.pinv(np.asarray(cell))
+        # Real ASE ``niggli_reduce`` (called by the reference at
+        # ``peswrapper.py:195``) preserves PHYSICAL positions modulo
+        # lattice wrapping: the new cell spans the same lattice
+        # (new_cell = M @ cell, M unimodular), so atoms only wrap by
+        # whole lattice vectors — no energy discontinuity. Express the
+        # current positions in the NEW basis and wrap. (A round-4
+        # regression realized OLD-basis fractionals in the new cell,
+        # displacing atoms by non-lattice vectors — advisor finding,
+        # ADVICE r4 #1; the batched tier always had these semantics.)
+        frac = self.atoms.positions @ np.linalg.inv(np.asarray(new_cell))
         frac -= np.floor(frac)
         self.atoms.positions = frac @ new_cell
         self.atoms.cell = new_cell

@@ -1,8 +1,10 @@
 """Cross-tier parity: sequential ``Sella`` vs a 1-lane batched ensemble.
 
-ASE is absent from this image, so the reference cannot run here; the
-trajectory-match bar (north star: 1e-8) is enforced between this
-package's own two tiers instead. Where the algorithms are identical
+ASE is absent from this image, but the ACTUAL reference does run here
+through the test-only ASE shim (``tools/refshim``) — the 1e-8
+trajectory gates against it live in ``tests/test_reference_parity.py``.
+This module enforces the complementary bar between this package's own
+two tiers (sequential driver vs 1-lane batched ensemble). Where the algorithms are identical
 (quasi-Newton trust-region minimization, no Davidson), the tiers must
 produce the SAME trajectory step for step. Deliberate divergences, each
 exercised by the saddle test below:
