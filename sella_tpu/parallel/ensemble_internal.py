@@ -993,12 +993,20 @@ def rebuild_internals_at(ints, pos: np.ndarray,
 
     ``keep_dummies=True`` (dummy topologies): ``pos`` is the EXTENDED
     (natoms + ndummies, 3) geometry; discovery re-runs with dummy
-    insertion allowed, and the rebuild is accepted only when it
-    reproduces the ORIGINAL dummy layout (same count, same linear
-    centers — ``dinds`` equal), so the static DOF count is preserved.
-    The rebuilt dummy container is pinned to the lane's CURRENT dummy
-    positions. Returns ``None`` when the dummy layout changed (that
-    lane must spill to the sequential tier / Cartesian pass instead).
+    insertion allowed. When it reproduces the ORIGINAL dummy layout
+    (same count, same linear centers — ``dinds`` equal), the rebuilt
+    dummy container is simply pinned to the lane's CURRENT dummy
+    positions. When the layout CHANGED (a linear center bent so its
+    dummy would vanish, or a new center went linear), the static
+    extended DOF count must still be preserved, so the rebuild is
+    redone dummy-free (new linear centers get the improper redundant
+    coverage, as in dummy-free repaves) and the ORIGINAL dummies are
+    re-attached as pinned spectators: their store positions, ``dinds``,
+    every topology row referencing them (near-singular unconstrained
+    dummy angles filtered by the discovery window) and their
+    constraint records are carried over verbatim. The lane repaves
+    instead of being refused (VERDICT r4 item 5); redundant internals
+    tolerate the extra spectator coordinates by construction.
 
     ``cell`` overrides the discovery cell (per-lane realized cells in
     the internal+cell tier). Constrained coordinates are folded back in
@@ -1036,11 +1044,108 @@ def rebuild_internals_at(ints, pos: np.ndarray,
     if keep_dummies and ints.ndummies:
         if (new.ndummies != ints.ndummies
                 or not np.array_equal(new.dinds, ints.dinds)):
-            return None           # dummy layout changed: cannot repave
+            # dummy layout changed: redo dummy-free + spectator
+            # re-attach (see docstring)
+            return _rebuild_reattach_dummies(ints, pos, cell)
         # continuity: the lane's dummies stay where its DOF vector has
         # them (fresh insertion positions would teleport the dummy)
         new.dummies.positions[:] = pos[nreal:]
         new._engine = None
+    return new
+
+
+def _rebuild_reattach_dummies(ints, pos: np.ndarray,
+                              cell: Optional[np.ndarray]):
+    """Dummy-layout-change repave path: dummy-free re-discovery at the
+    lane geometry + verbatim re-attach of the ORIGINAL dummies as
+    pinned spectators (their constrained bond/angle keep them riding
+    along; the improper dihedrals through them stay valid redundant
+    coordinates). Keeps the static extended DOF count and ``dinds``."""
+    import copy as _copy
+
+    from ..coords.constraints import DummyStore
+
+    nreal = ints.natoms
+    at = ints.atoms.copy()
+    at.set_positions(pos[:nreal])
+    if cell is not None:
+        at.set_cell(np.asarray(cell))
+    cons = ints.cons.copy()
+    cons.atoms = at
+    cons.dummies = DummyStore()
+    cons.records = {
+        g: [r for r in recs
+            if np.max(np.atleast_1d(r.indices), initial=0) < nreal]
+        for g, recs in cons.records.items()
+    }
+    new = type(ints)(at, cons, allow_fragments=ints.allow_fragments,
+                     atol_deg=float(np.degrees(ints.atol)))
+    new.forbidden = {g: set(s) for g, s in ints.forbidden.items()}
+    new.find_all_bonds()
+    # no dummy insertion: new linear centers get the improper
+    # redundant coverage (same mechanism as dummy-free repaves)
+    new.find_all_angles(allow_dummies=False)
+    new.find_all_dihedrals()
+
+    # re-attach the original dummies at the lane's CURRENT positions
+    new.dummies.positions = np.asarray(pos[nreal:]).copy()
+    new.dinds = ints.dinds.copy()
+
+    from ..coords import topology as topo_mod
+
+    def _refs_dummy(idx_tuple):
+        return any(int(i) >= nreal for i in idx_tuple)
+
+    cons_angle_keys = {
+        topo_mod._angle_key(
+            *(int(i) for i in np.atleast_1d(r.indices)),
+            r.ncvecs if r.ncvecs is not None else np.zeros((2, 3)),
+        )
+        for recs in ints.cons.records.values() for r in recs
+        if r.kind == "angle" and len(np.atleast_1d(r.indices)) == 3
+    }
+    for (i, j, nc) in ints.bonds:
+        if _refs_dummy((i, j)):
+            k = topo_mod._bond_key(i, j, nc)
+            if k not in new._bond_keys:
+                new.bonds.append((i, j, nc))
+                new._bond_keys.add(k)
+    have_a = {topo_mod._angle_key(*a) for a in new.angles}
+    for a in ints.angles:
+        idx = (a[0], a[1], a[2])
+        if not _refs_dummy(idx):
+            continue
+        k = topo_mod._angle_key(*a)
+        if k in have_a:
+            continue
+        # drop unconstrained dummy angles that are near-singular at the
+        # lane's current geometry (the constrained one is held at its
+        # target by the optimizer and must stay a q-member)
+        if k not in cons_angle_keys:
+            ncv = np.asarray(a[3]) if len(a) > 3 and a[3] is not None \
+                else np.zeros((2, 3))
+            cell_arr = np.asarray(at.cell)
+            tv1 = ncv[0] @ cell_arr
+            tv2 = ncv[1] @ cell_arr if ncv.shape[0] > 1 else np.zeros(3)
+            ang = topo_mod._angle_of(pos, idx[0], idx[1], idx[2],
+                                     tv1, tv2)
+            if not (ints.atol < ang < np.pi - ints.atol):
+                continue
+        new.angles.append(a)
+        have_a.add(k)
+    have_d = {topo_mod._dihedral_key(*d) for d in new.dihedrals}
+    for d in ints.dihedrals:
+        if not _refs_dummy((d[0], d[1], d[2], d[3])):
+            continue
+        k = topo_mod._dihedral_key(*d)
+        if k not in have_d:
+            new.dihedrals.append(d)
+            have_d.add(k)
+    for g, recs in ints.cons.records.items():
+        for r in recs:
+            if np.max(np.atleast_1d(r.indices), initial=0) >= nreal:
+                new.cons.records[g].append(_copy.deepcopy(r))
+    new._engine = None
     return new
 
 
@@ -1148,12 +1253,14 @@ def repave_lanes(state: InternalSearchState, ints, cfg, bad,
     """
     # Dummy topologies repave too (round 4, VERDICT r3 item 7): the
     # dummy DOF rows are static per topology signature, so a rebuild
-    # that reproduces the original dummy layout (checked inside
-    # rebuild_internals_at) re-pads into the same union mechanics as
-    # constrained rows. A lane whose rebuilt dummy layout CHANGED
-    # (linear center vanished / appeared) is reported False in the
-    # returned mask — the queue's spill path handles it, exactly like
-    # a rank-deficient rebuild.
+    # that reproduces the original dummy layout re-pads into the same
+    # union mechanics as constrained rows. A lane whose rebuilt dummy
+    # layout CHANGED (linear center vanished / appeared) now ALSO
+    # repaves (round 5, VERDICT r4 item 5): the real topology is
+    # re-discovered dummy-free (new linear centers covered by improper
+    # redundant coordinates) and the original dummies ride along as
+    # pinned spectators, so the static extended DOF count never moves
+    # (:func:`_rebuild_reattach_dummies`).
     #
     # Fixed internal coordinates survive a repave: the rebuild folds
     # every ``ints.cons`` record back into the lane topology (the
@@ -1181,7 +1288,7 @@ def repave_lanes(state: InternalSearchState, ints, cfg, bad,
                                  cell=cell_for_rebuild,
                                  keep_dummies=keep_dummies)
         if r is None:
-            bad[l] = False          # dummy layout changed: cannot repave
+            bad[l] = False          # defensive: rebuild failed outright
         else:
             rebuilt[int(l)] = r
     lanes = np.where(bad)[0]

@@ -124,6 +124,48 @@ def test_queue_retry_step_growth():
             assert nsteps > budget
 
 
+def test_queue_drain_handoff():
+    """With ``drain_handoff``, the queue returns as soon as the work
+    set is exhausted and at most that many unconverged lanes remain —
+    the stragglers come back UNCONVERGED with their cumulative cost and
+    current geometry, instead of draining a near-empty wide batch (the
+    LJ4 composite bench mode). Converged results must be identical to
+    the no-handoff run for every search that finished before the
+    handoff point."""
+    pot = LennardJones()
+    cfg = EnsembleConfig(natoms=4, order=0, fmax=1e-3, gamma=1e-3,
+                         eig=False, method="qn", sigma_dec=0.90,
+                         rho_dec=100.0)
+    total, batch = 8, 4
+    x0 = _x0_batch(total, pert=0.3)
+    # derive a budget that leaves at least one search unconverged so
+    # the drain phase is non-empty (host-independent, as in the retry
+    # test above)
+    full = run_ensemble_queue(
+        pot, x0, cfg, batch=batch,
+        max_steps_per_search=300, refill_every=5,
+    )
+    conv_steps = sorted(n for _, _, n, c, *_ in full if c)
+    if len(conv_steps) < 2 or conv_steps[0] == conv_steps[-1]:
+        pytest.skip("step demands too uniform on this host")
+    budget = conv_steps[0] + 1   # slowest searches must time out
+    handed = run_ensemble_queue(
+        pot, x0, cfg, batch=batch,
+        max_steps_per_search=budget, refill_every=5,
+        drain_handoff=batch,
+    )
+    assert len(handed) == total
+    n_unconv = sum(1 for r in handed if not r[3])
+    assert n_unconv >= 1
+    for x, f, nsteps, conv, *_ in handed:
+        if not conv:
+            # handed-off stragglers report their in-flight cost; they
+            # may return mid-search, and harvests land every
+            # refill_every=5 steps so the budget can overshoot by 4
+            assert 0 < nsteps <= budget + 4
+            assert np.all(np.isfinite(np.asarray(x)))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     pot = LennardJones()
     cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3)
