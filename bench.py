@@ -1061,7 +1061,7 @@ _KEEP_KEYS = (
     "rate_searches_per_s", "converged_frac", "vs_seq_baseline",
     "mean_steps_converged", "mean_matvecs", "mean_force_calls",
     "block_wall_s", "skipped",
-    "natoms", "total_searches",
+    "natoms", "total_searches", "handed_off", "converged",
     "sec_per_step_binned", "sec_per_step_binned_emt",
     "sec_per_step_mlff_order1",
 )
@@ -1073,8 +1073,9 @@ def _trim(stats):
     out = {k: stats[k] for k in _KEEP_KEYS if k in stats}
     if "error" in stats:
         out["error"] = str(stats["error"])[:120]
-    if "fast" in stats:
-        out["fast"] = _trim(stats["fast"])
+    for sub in ("fast", "tail"):
+        if isinstance(stats.get(sub), dict):
+            out[sub] = _trim(stats[sub])
     return out
 
 

@@ -176,9 +176,127 @@ def measure(batch=32, nsteps=20, chunk=1, only=None, warm=14):
     return out
 
 
+def measure_internal(batch=1024, nsteps=10, chunk=1):
+    """Internal-tier roofline section (VERDICT r4 item 4): the batched
+    Morse Xe4 internal-coordinate step (the bench's
+    BENCH_CONFIG=internal config) with the chord back-transform ON and
+    OFF — XLA cost model + steady-state wall-clock per variant, so the
+    6.3 s/step serial-op diagnosis carries numbers and the chord win is
+    measured, not asserted."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from bench import _chip_peak_tflops
+    from sella_tpu.atoms import Atoms
+    from sella_tpu.coords.internals import Internals
+    from sella_tpu.parallel.ensemble_internal import (
+        InternalEnsembleConfig,
+        init_internal_state,
+        make_internal_step_fn,
+    )
+    from sella_tpu.potentials import MorsePotential
+    from sella_tpu.utils.units import kB
+
+    peak_tflops, kind = _chip_peak_tflops()
+    hbm = next(
+        (v for k, v in _HBM_GBPS.items()
+         if k.lower() in str(kind).lower()),
+        None,
+    )
+    out = {"chip": kind, "batch": batch, "tier": "internal",
+           "peak_bf16_tflops": peak_tflops, "hbm_gbps": hbm}
+
+    r0 = 4.73
+    pot = MorsePotential(epsilon=226.9 * kB, r0=r0, rho0=r0 * 1.099)
+    rng = np.random.RandomState(4)
+    pos0 = rng.normal(size=(4, 3), scale=3.0)
+    ints = Internals(Atoms(["Xe"] * 4, pos0))
+    ints.find_all_bonds()
+    ints.find_all_angles()
+    ints.find_all_dihedrals()
+    rng2 = np.random.RandomState(0)
+    x0 = jnp.asarray(
+        (pos0[None] + 0.3 * rng2.normal(size=(batch, 4, 3))).reshape(
+            batch, 12
+        )
+    )
+    key = jax.random.PRNGKey(0)
+    for name, chord in (("full_newton", False), ("chord", True)):
+        _log(f"[roofline-int] variant={name} building step fn ...")
+        cfg = InternalEnsembleConfig(
+            natoms=4, nint=ints.nint, order=1, fmax=1e-3, gamma=1e-3,
+            restart_after=60, newton_chord=chord,
+        )
+        step = make_internal_step_fn(pot, ints, cfg)
+
+        def multi_step(state, base_key, _step=step):
+            def body(i, st):
+                return _step(st, jax.random.fold_in(base_key, i))
+
+            return jax.lax.fori_loop(0, chunk, body, state)
+
+        jstep = jax.jit(multi_step, donate_argnums=0)
+        state = init_internal_state(pot, ints, x0, cfg)
+        row = {}
+        try:
+            ca = jstep.lower(state, jax.random.fold_in(key, 0)) \
+                      .compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            row["flops_per_step_G"] = round(
+                float(ca.get("flops", 0)) / chunk / 1e9, 2
+            )
+            row["bytes_per_step_GB"] = round(
+                float(ca.get("bytes accessed", 0)) / chunk / 1e9, 2
+            )
+        except Exception as e:  # pragma: no cover
+            row["cost_analysis_error"] = str(e)
+        tw = time.perf_counter()
+        nwarm = max(4 // chunk, 1)
+        for i in range(nwarm):
+            state = jstep(state, jax.random.fold_in(key, i))
+            jax.block_until_ready(state.x)
+            if i == 0:
+                row["compile_plus_first_step_s"] = round(
+                    time.perf_counter() - tw, 1
+                )
+        t0 = time.perf_counter()
+        ncall = max(nsteps // chunk, 1)
+        for i in range(nwarm, nwarm + ncall):
+            state = jstep(state, jax.random.fold_in(key, i))
+        jax.block_until_ready(state.x)
+        dt = (time.perf_counter() - t0) / (ncall * chunk)
+        row["sec_per_step"] = round(dt, 3)
+        row["converged_frac"] = round(
+            float(np.asarray(state.converged).mean()), 4
+        )
+        if "flops_per_step_G" in row and dt > 0 and hbm:
+            gbs = row["bytes_per_step_GB"] / dt
+            row["achieved_gb_per_s"] = round(gbs, 1)
+            row["hbm_fraction"] = round(gbs / hbm, 4)
+        out[name] = row
+        _log("[roofline-int] " + json.dumps({name: row}))
+    if ("full_newton" in out and "chord" in out
+            and out["full_newton"].get("sec_per_step")
+            and out["chord"].get("sec_per_step")):
+        out["chord_speedup"] = round(
+            out["full_newton"]["sec_per_step"]
+            / out["chord"]["sec_per_step"], 2
+        )
+    return out
+
+
 if __name__ == "__main__":
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    only = sys.argv[4] if len(sys.argv) > 4 else None
-    print(json.dumps(measure(batch, nsteps, chunk, only), indent=1))
+    if len(sys.argv) > 1 and sys.argv[1] == "internal":
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+        nsteps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+        chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        print(json.dumps(measure_internal(batch, nsteps, chunk),
+                         indent=1))
+    else:
+        batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+        nsteps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+        chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        only = sys.argv[4] if len(sys.argv) > 4 else None
+        print(json.dumps(measure(batch, nsteps, chunk, only), indent=1))
