@@ -20,10 +20,12 @@ from sella_tpu.potentials.tip3p import TIP3P, angleHOH, rOH, water_cluster
 
 @pytest.mark.parametrize(
     "internal",
-    # the internal-coordinate variant takes ~3 min (TRIC water box
-    # geodesic steps); the Cartesian variant stays in the default set
-    # as the TIP3P e2e gate
-    [pytest.param(True, marks=pytest.mark.slow), False],
+    # both variants are in the slow lane (ci runs it as its own job):
+    # internal takes ~3 min (TRIC water box geodesic steps) and the
+    # Cartesian e2e gate measured 230 s on the 1-core bench host —
+    # round-5 suite-wall split, VERDICT r4 item 7
+    [pytest.param(True, marks=pytest.mark.slow),
+     pytest.param(False, marks=pytest.mark.slow)],
 )
 def test_water_cluster(internal):
     rng = np.random.RandomState(1)

@@ -10,6 +10,7 @@ remapped (``nc -> nc @ M^{-1}``) through the same union-layout
 machinery the internal tier's repave uses (``state.qact``).
 """
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -143,6 +144,7 @@ def test_niggli_rebase_mechanics():
     assert not np.asarray(hit2).any()
 
 
+@pytest.mark.slow
 def test_niggli_run_converges_to_same_minimum():
     """End-to-end: a lane started in the sheared representation is
     rebased mid-run (run_cell_internal_ensemble(niggli=True)) and
@@ -212,6 +214,7 @@ def _cluster_in_box():
     return at, ints, pot, off
 
 
+@pytest.mark.slow
 def test_repave_cell_internal_transfers_state():
     at, ints, pot, off = _cluster_in_box()
     cfg = CellInternalEnsembleConfig(
@@ -290,6 +293,7 @@ def test_repave_cell_internal_converges_in_place():
     assert fnorm.max() < 5e-3, fnorm
 
 
+@pytest.mark.slow
 def test_niggli_rebase_remaps_image_pinned_constraint():
     """Round 4 (VERDICT r3 item 7): a fixed internal PINNED TO A
     NONZERO PERIODIC IMAGE OFFSET survives a per-lane Niggli rebase —
