@@ -23,8 +23,10 @@ from sella_tpu.potentials import BinnedEMT
 from sella_tpu.potentials.emt import fcc111_slab
 
 # SELLA_TPU_EXAMPLES_FAST=1: CI smoke-test sizes (tests/test_examples.py)
+# — the binned path needs every periodic extent >= 3 rc (~18.8 A), so
+# (10, 10, 4) is the smallest comfortable slab
 FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
-slab = fcc111_slab("Cu", 3.59, size=(8, 8, 4) if FAST else (32, 32, 4),
+slab = fcc111_slab("Cu", 3.59, size=(10, 10, 4) if FAST else (32, 32, 4),
                    vacuum=12.0)
 n = len(slab.positions)
 x0 = jnp.asarray(

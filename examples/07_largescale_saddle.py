@@ -26,7 +26,10 @@ from sella_tpu.potentials.emt import fcc111_slab
 a = 3.59
 # SELLA_TPU_EXAMPLES_FAST=1: CI smoke-test sizes (tests/test_examples.py)
 FAST = _os.environ.get("SELLA_TPU_EXAMPLES_FAST", "0") == "1"
-slab = fcc111_slab("Cu", a, size=(8, 8, 4) if FAST else (32, 32, 4),
+# FAST floor: the binned path needs every periodic extent >= 3 rc
+# (~18.8 A for the EMT candidate cutoff) — (10, 10, 4) is the smallest
+# comfortable slab
+slab = fcc111_slab("Cu", a, size=(10, 10, 4) if FAST else (32, 32, 4),
                    vacuum=12.0)
 top_z = slab.positions[:, 2].max()
 tops = slab.positions[slab.positions[:, 2] > top_z - 0.1]

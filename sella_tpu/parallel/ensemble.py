@@ -108,6 +108,16 @@ class EnsembleConfig(NamedTuple):
     #   parallel-order Jacobi in pure gather/scatter/elementwise XLA —
     #   f32-accuracy class, measured far cheaper than the TPU eigh
     #   custom call at ensemble batch sizes; see ops/linalg.jacobi_eigh)
+    davidson_seed: str = "grad"    # Davidson start vector: "grad"
+    #   (projected gradient — the tier's historical seed) or "pmode"
+    #   (leftmost eigenvector of the projected quasi-Newton
+    #   preconditioner for warm-Hessian lanes, the REFERENCE's subspace
+    #   init from P's negative modes, ``eigensolvers.py:47-50``;
+    #   bootstrap lanes with P = I keep the gradient seed). After
+    #   TS-BFGS absorption P approximates the true curvature well, so
+    #   re-diagonalizations seeded from its leftmost mode converge the
+    #   sought mode in far fewer serialized iterations — the dominant
+    #   cost of the 453-DOF drain (measured: see bench emt151 notes).
     absb: str = "eigh"             # |B| metric in TS-BFGS: "eigh"
     #   (exact eigendecomposition) or "ns" (Newton–Schulz matrix-sign,
     #   pure batched f32 matmuls — the TPU fast path; milliseconds vs
@@ -994,8 +1004,18 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
     if tang_proj is not None:
         v0 = jnp.einsum("bij,bj->bi", tang_proj, v0)
 
+    # the preconditioner eigendecomposition serves both the per-
+    # iteration Olsen solves and (seed="pmode") the start vector
+    lamsP, QP = batched_eigh(P)
+    if getattr(cfg, "davidson_seed", "grad") == "pmode":
+        # leftmost P-mode for warm-Hessian lanes (reference subspace
+        # init, ``eigensolvers.py:47-50``); gradient seed for
+        # bootstraps where P is the identity
+        v0 = jnp.where(B_init[:, None], QP[:, :, 0], v0)
+
     V, AVp, YF, k = _davidson_loop(
-        hvp_free, P, v0, cfg.gamma, K, active, key
+        hvp_free, P, v0, cfg.gamma, K, active, key,
+        P_eig=(lamsP, QP),
     )
 
     # Rotate probes A-diagonal before the update (``peswrapper.py:546-553``)
@@ -1015,9 +1035,13 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
     return B_out, B_init | active, k
 
 
-def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key):
+def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key,
+                   P_eig=None):
     """davidson_batched variant whose hvp returns (projected, full)
-    actions; stores the full actions alongside for secant absorption."""
+    actions; stores the full actions alongside for secant absorption.
+    ``P_eig``: optional precomputed ``(lams, Q)`` eigendecomposition of
+    the preconditioner (callers that also need it for seeding pass it
+    in so it is computed once)."""
     Bsz, m = v0.shape
     dtype = v0.dtype
     d_full = None
@@ -1062,7 +1086,7 @@ def _davidson_loop(hvp_free2, P, v0, gamma, K, active_in, key):
     # [[P - theta I, v], [v^T, 0]] is then two diagonal applications via
     # the Olsen formula — saving one batched eigh per expansion (~2.6 ms
     # per iteration at batch 1024 f64 on v5e).
-    lamsP, QP = batched_eigh(P)
+    lamsP, QP = P_eig if P_eig is not None else batched_eigh(P)
 
     def pinv_shift_apply(theta, x):
         """(P - theta I)^+ x through the precomputed eigenbasis."""
