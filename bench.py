@@ -316,6 +316,7 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
             diag_budget=max(batch // 8, 1), eigh_f32=True,
             rs_maxiter=12, absb="ns",
             eval_chunk=256 if batch >= 1024 else 0,
+            davidson_seed=os.environ.get("BENCH_DAVIDSON_SEED", "grad"),
         )
     elif name == "emt151":
         pot, x0, cell, nat = _emt151_setup(batch)
@@ -341,6 +342,11 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
             eigh_f32=True,
             rs_maxiter=12, absb="ns",
             eval_chunk=min(batch, 16),
+            # pmode: re-diags seed from the warm preconditioner's
+            # leftmost mode (measured -34% matvecs on the 25-atom
+            # config; the 453-DOF drain is re-diag bound)
+            davidson_seed=os.environ.get("BENCH_DAVIDSON_SEED", "grad"),
+            prfo_eigh=os.environ.get("BENCH_PRFO_EIGH", "eigh"),
         )
     else:
         from sella_tpu.potentials import LennardJones
