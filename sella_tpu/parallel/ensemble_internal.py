@@ -118,6 +118,10 @@ class InternalEnsembleConfig(NamedTuple):
     newton_accept: float = 1e-6    # residual above this after Newton
     #   engages the geodesic fallback (reference acceptance gate,
     #   ``peswrapper.py:830-833``)
+    davidson_seed: str = "grad"    # Davidson start vector: "grad" or
+    #   "pmode" (leftmost eigenvector of the projected quasi-Newton
+    #   preconditioner — the reference's subspace init,
+    #   ``eigensolvers.py:47-50``); see ensemble.EnsembleConfig
     newton_chord: bool = False     # chord back-transform: the Newton
     #   fast path reuses the step-start B/Gram factorization for every
     #   iteration (no per-iteration B rebuild + Gram eigh — the
@@ -504,8 +508,18 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         P = jnp.einsum("bij,bjk,bkl->bil", UT, H, Ufree_q)
         v0 = jnp.einsum("bij,bi->bj", Ufree_q, gq)
 
+        from .ensemble import batched_eigh as _beigh
+
+        lamsP, QP = _beigh(P)
+        if getattr(cfg, "davidson_seed", "grad") == "pmode":
+            # reference subspace init from P's negative modes
+            # (``eigensolvers.py:47-50``) — see
+            # ensemble.EnsembleConfig.davidson_seed
+            v0 = QP[:, :, 0]
+
         V, AVp, YF, k = _davidson_loop(
-            hvp_free, P, v0, cfg.gamma, K, active, key
+            hvp_free, P, v0, cfg.gamma, K, active, key,
+            P_eig=(lamsP, QP),
         )
         lams, W, colmask = _masked_ritz(V, AVp, k, K)
         Vr = jnp.einsum("bik,bkl->bil", V, W)
