@@ -1004,18 +1004,21 @@ def _davidson_and_absorb(potential, cell, cfg: EnsembleConfig, x, g, B,
     if tang_proj is not None:
         v0 = jnp.einsum("bij,bj->bi", tang_proj, v0)
 
-    # the preconditioner eigendecomposition serves both the per-
-    # iteration Olsen solves and (seed="pmode") the start vector
-    lamsP, QP = batched_eigh(P)
+    # seed="pmode": precompute P's eigendecomposition here (shared
+    # with the loop's Olsen solves) and start from its leftmost mode.
+    # The default "grad" path leaves P_eig=None so its traced graph —
+    # hence the persistent-compile-cache key of every warm program —
+    # is byte-identical to the historical one.
+    P_eig = None
     if getattr(cfg, "davidson_seed", "grad") == "pmode":
+        P_eig = batched_eigh(P)
         # leftmost P-mode for warm-Hessian lanes (reference subspace
         # init, ``eigensolvers.py:47-50``); gradient seed for
         # bootstraps where P is the identity
-        v0 = jnp.where(B_init[:, None], QP[:, :, 0], v0)
+        v0 = jnp.where(B_init[:, None], P_eig[1][:, :, 0], v0)
 
     V, AVp, YF, k = _davidson_loop(
-        hvp_free, P, v0, cfg.gamma, K, active, key,
-        P_eig=(lamsP, QP),
+        hvp_free, P, v0, cfg.gamma, K, active, key, P_eig=P_eig,
     )
 
     # Rotate probes A-diagonal before the update (``peswrapper.py:546-553``)

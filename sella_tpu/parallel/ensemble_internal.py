@@ -508,18 +508,20 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         P = jnp.einsum("bij,bjk,bkl->bil", UT, H, Ufree_q)
         v0 = jnp.einsum("bij,bi->bj", Ufree_q, gq)
 
-        from .ensemble import batched_eigh as _beigh
-
-        lamsP, QP = _beigh(P)
+        # default "grad" keeps P_eig=None so the traced graph (and
+        # compile-cache key) of existing programs is unchanged
+        P_eig = None
         if getattr(cfg, "davidson_seed", "grad") == "pmode":
+            from .ensemble import batched_eigh as _beigh
+
             # reference subspace init from P's negative modes
             # (``eigensolvers.py:47-50``) — see
             # ensemble.EnsembleConfig.davidson_seed
-            v0 = QP[:, :, 0]
+            P_eig = _beigh(P)
+            v0 = P_eig[1][:, :, 0]
 
         V, AVp, YF, k = _davidson_loop(
-            hvp_free, P, v0, cfg.gamma, K, active, key,
-            P_eig=(lamsP, QP),
+            hvp_free, P, v0, cfg.gamma, K, active, key, P_eig=P_eig,
         )
         lams, W, colmask = _masked_ritz(V, AVp, k, K)
         Vr = jnp.einsum("bik,bkl->bil", V, W)
