@@ -138,6 +138,26 @@ when the potential is DFT-class, and in convergence robustness. The
 earlier chunk=10 default crashed the remote worker's RPC watchdog on
 the warmup dispatch (2 tiers x 10 fused steps); chunk=2 runs clean.
 
+Round-5 restructure (2026-08-21): the driver kills at ~1200 s (r03 AND
+r04 died rc=124 at ~20 min), so the default budget is now 1050 s with
+blocks in importance order — headline emt pair, emt151, emt151_f32,
+lj4 (composite), cell, largescale — and every stdout line trimmed to
+key scalars (<1.3 KB; full stats on stderr as ``[bench-full]`` lines)
+so the driver's tail window can never clip the parse line. LJ4 runs
+ONE composite mode (wide fast pass with ``drain_handoff`` + narrow
+tail-batch retry with grown budgets) targeting >=99% at >=50/s in a
+single timed region. New measured-on-CPU lever staged for the chip:
+``davidson_seed="pmode"`` (re-diags start from the warm
+preconditioner's leftmost mode, the reference's subspace init) cut
+mean Davidson matvecs 41.9 -> 27.8 (-34%) at +6% steps on the EMT
+25-atom config; opt-in via BENCH_DAVIDSON_SEED until the 453-DOF
+on-chip number exists. OUTAGE NOTE: the axon tunnel relay died
+2026-08-20 ~23:50 UTC and every jax backend init then hangs forever;
+``_probe_backend`` guards the bench so a dead tunnel still yields a
+parseable artifact. The default-path programs' lowered HLO is pinned
+byte-identical to the round-4 tree (verified by sha256) so the warm
+compile cache survives the round-5 code changes.
+
 Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
 through the tunnel is unreliable): with every batched eigh routed
 through the f32-factor + f64-refinement path (``SELLA_TPU_EIGH=
@@ -652,6 +672,7 @@ def run_queue_config(batch, total, max_steps_per_search=80,
                 "BENCH_DIAG_BUDGET", str(max(batch // 4, 1)))),
             eigh_f32=True, rs_maxiter=12, absb="ns",
             eval_chunk=min(batch, 16),
+            davidson_seed=os.environ.get("BENCH_DAVIDSON_SEED", "grad"),
         )
         return _run_queue_common(
             pot, x0_all, cell, cfg, batch, total,
