@@ -495,6 +495,49 @@ def test_ensemble_diag_budget():
         assert np.sum(evals < -1e-6) == 1, (b, evals)
 
 
+def test_ensemble_davidson_pmode_seed():
+    """davidson_seed='pmode' (re-diags start from the warm
+    preconditioner's leftmost mode — the reference's subspace init,
+    ``eigensolvers.py:47-50``) converges the same saddles with genuine
+    index-1 inertia while spending FEWER Davidson matvecs than the
+    gradient seed (round 5; measured -34% on the EMT bench config)."""
+    from sella_tpu.potentials import LennardJones
+
+    pot = LennardJones()
+    Bsz = 12
+    tet = np.array(
+        [[0, 0, 0], [1, 0, 0], [0.5, np.sqrt(3) / 2, 0],
+         [0.5, np.sqrt(3) / 6, np.sqrt(2.0 / 3)]]
+    ) * 1.12
+    rng = np.random.RandomState(3)
+    x0 = jnp.asarray(
+        (tet[None] + 0.08 * rng.normal(size=(Bsz, 4, 3))).reshape(
+            Bsz, 12
+        )
+    )
+    res = {}
+    for seed in ("grad", "pmode"):
+        cfg = EnsembleConfig(natoms=4, order=1, fmax=1e-3, gamma=1e-3,
+                             davidson_seed=seed)
+        res[seed] = run_ensemble(pot, x0, cfg, max_steps=200)
+    cg = np.asarray(res["grad"].converged)
+    cp = np.asarray(res["pmode"].converged)
+    assert cp.sum() >= cg.sum() - 1
+    # inertia check on pmode-converged lanes: genuine first-order
+    # saddles, not an artifact of the cheaper seeding
+    cell = jnp.zeros((3, 3))
+    for b in range(Bsz):
+        if not cp[b]:
+            continue
+        H = np.asarray(pot.hessian(res["pmode"].x[b], cell))
+        U = np.asarray(free_basis(res["pmode"].x[b], 6))
+        evals = np.linalg.eigvalsh(U.T @ H @ U)
+        assert np.sum(evals < -1e-6) == 1, (b, evals)
+    mg = float(np.asarray(res["grad"].nmatvec).mean())
+    mp = float(np.asarray(res["pmode"].nmatvec).mean())
+    assert mp < mg, (mp, mg)
+
+
 def test_init_state_does_not_alias_x0():
     """run loops donate state buffers; init_state must copy x0 so the
     caller's array survives a second run (regression: donated-buffer
