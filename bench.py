@@ -852,8 +852,20 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
 
     nconv_fast = total - len(unconv)
     nconv = nconv_fast + nconv_tail
-    steps = [r[2] for r in fast if r[3]]
     rate = nconv / elapsed
+    # full composite cost accounting: a tail-phase search's cost is its
+    # fast-phase cost PLUS every tail attempt (the expensive rescued
+    # searches must not vanish from the per-search means)
+    tot_steps = np.array([r[2] for r in fast], dtype=float)
+    tot_mv = np.array([r[4] for r in fast], dtype=float)
+    tot_ev = np.array([r[5] for r in fast], dtype=float)
+    conv_mask = np.array([r[3] for r in fast], dtype=bool)
+    if unconv:
+        for j, i in enumerate(unconv):
+            tot_steps[i] += tail[j][2]
+            tot_mv[i] += tail[j][4]
+            tot_ev[i] += tail[j][5]
+            conv_mask[i] = tail[j][3]
     stats = {
         "mode": "composite(fast+tail)",
         "total_searches": total,
@@ -861,14 +873,11 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
         "tail_batch": tail_batch,
         "converged_frac": round(nconv / total, 4),
         "mean_steps_converged": (
-            round(float(np.mean(steps)), 1) if steps else None
+            round(float(tot_steps[conv_mask].mean()), 1)
+            if conv_mask.any() else None
         ),
-        "mean_matvecs": round(
-            float(np.mean([r[4] for r in fast])), 1
-        ),
-        "mean_force_calls": round(
-            float(np.mean([r[5] for r in fast])), 1
-        ),
+        "mean_matvecs": round(float(tot_mv.mean()), 1),
+        "mean_force_calls": round(float(tot_ev.mean()), 1),
         "elapsed_s": round(elapsed, 2),
         "fast_elapsed_s": round(t_fast, 2),
         "tail_elapsed_s": round(t_tail, 2),
@@ -1165,7 +1174,10 @@ def main():
     if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and \
             not _probe_backend():
         print(json.dumps({
-            "metric": "converged EMT saddle searches/sec/chip",
+            "metric": (
+                f"sella_tpu ensemble benchmark ({headline}) — "
+                "backend unreachable"
+            ),
             "value": 0.0,
             "unit": "searches/s",
             "vs_baseline": 0.0,

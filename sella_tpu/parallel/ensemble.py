@@ -2190,6 +2190,31 @@ def run_ensemble_queue(
                 m0 + int(nmv[lane]), e0 + int(nev[lane]),
             )
 
+        if drain_handoff and next_idx >= total and not pending:
+            # queue exhausted and nothing awaiting retry: if at most
+            # drain_handoff unconverged lanes remain active, hand them
+            # back unconverged and return. This runs BEFORE the refill
+            # below, so every still-active lane's buf row is current
+            # (a post-refill check would hand off lanes already holding
+            # a NEW occupant with the previous occupant's stale
+            # snapshot — found by the round-5 self-review, reproduced:
+            # fresh inputs returned another input's geometry with
+            # nsteps at the budget despite never stepping).
+            active = [
+                l for l in range(Bsz)
+                if origin[l] >= 0 and int(origin[l]) not in results
+            ]
+            if len(active) <= drain_handoff:
+                for lane in active:
+                    oi = int(origin[lane])
+                    s0, m0, e0 = spent.get(oi, (0, 0, 0))
+                    results[oi] = (
+                        xs[lane].copy(), float(fs[lane]),
+                        s0 + int(nsteps[lane]), False,
+                        m0 + int(nmv[lane]), e0 + int(nev[lane]),
+                    )
+                break
+
         # refill from the queue (mark timed-out lanes converged so the
         # refill mask picks them up too): retried jobs first, then
         # fresh inputs
@@ -2226,25 +2251,6 @@ def run_ensemble_queue(
         # idle lanes stay marked converged so they are skipped
         idle = jnp.asarray(origin < 0)
         state = state._replace(converged=state.converged | idle)
-
-        if drain_handoff and next_idx >= total and not pending:
-            # queue exhausted: if the drain tail is small enough, hand
-            # the stragglers back unconverged (buf rows are current —
-            # these lanes were not refilled this cycle)
-            active = [
-                l for l in range(Bsz)
-                if origin[l] >= 0 and int(origin[l]) not in results
-            ]
-            if len(active) <= drain_handoff:
-                for lane in active:
-                    oi = int(origin[lane])
-                    s0, m0, e0 = spent.get(oi, (0, 0, 0))
-                    results[oi] = (
-                        xs[lane].copy(), float(fs[lane]),
-                        s0 + int(nsteps[lane]), False,
-                        m0 + int(nmv[lane]), e0 + int(nev[lane]),
-                    )
-                break
 
         cycle += 1
         if checkpoint_path is not None and cycle % checkpoint_every == 0:

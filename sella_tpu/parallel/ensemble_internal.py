@@ -1088,26 +1088,8 @@ def rebuild_internals_at(ints, pos: np.ndarray,
     until discovery re-inserts the dummies)."""
     pos = np.asarray(pos)
     nreal = ints.natoms
-    at = ints.atoms.copy()
-    at.set_positions(pos[:nreal])
-    if cell is not None:
-        at.set_cell(np.asarray(cell))
-    cons = ints.cons.copy()
-    cons.atoms = at
-    if keep_dummies and ints.ndummies:
-        # strip records that reference dummy indices — discovery
-        # re-creates them via _add_dummy_for_linear_center
-        from ..coords.constraints import DummyStore
-
-        cons.dummies = DummyStore()
-        cons.records = {
-            g: [r for r in recs
-                if np.max(np.atleast_1d(r.indices), initial=0) < nreal]
-            for g, recs in cons.records.items()
-        }
-    new = type(ints)(at, cons, allow_fragments=ints.allow_fragments,
-                     atol_deg=float(np.degrees(ints.atol)))
-    new.forbidden = {g: set(s) for g, s in ints.forbidden.items()}
+    new = _rebuild_base(ints, pos, cell,
+                        strip_dummy_records=keep_dummies)
     new.find_all_bonds()
     new.find_all_angles(allow_dummies=keep_dummies)
     new.find_all_dihedrals()
@@ -1124,6 +1106,35 @@ def rebuild_internals_at(ints, pos: np.ndarray,
     return new
 
 
+def _rebuild_base(ints, pos: np.ndarray, cell: Optional[np.ndarray],
+                  strip_dummy_records: bool):
+    """Shared repave-rebuild prologue: fresh atoms at the lane
+    geometry, copied constraints (optionally stripped of
+    dummy-referencing records — discovery or the re-attach path
+    restores them), a fresh :class:`Internals` with the forbidden
+    lists carried over. Callers run their own discovery variant."""
+    nreal = ints.natoms
+    at = ints.atoms.copy()
+    at.set_positions(pos[:nreal])
+    if cell is not None:
+        at.set_cell(np.asarray(cell))
+    cons = ints.cons.copy()
+    cons.atoms = at
+    if strip_dummy_records and ints.ndummies:
+        from ..coords.constraints import DummyStore
+
+        cons.dummies = DummyStore()
+        cons.records = {
+            g: [r for r in recs
+                if np.max(np.atleast_1d(r.indices), initial=0) < nreal]
+            for g, recs in cons.records.items()
+        }
+    new = type(ints)(at, cons, allow_fragments=ints.allow_fragments,
+                     atol_deg=float(np.degrees(ints.atol)))
+    new.forbidden = {g: set(s) for g, s in ints.forbidden.items()}
+    return new
+
+
 def _rebuild_reattach_dummies(ints, pos: np.ndarray,
                               cell: Optional[np.ndarray]):
     """Dummy-layout-change repave path: dummy-free re-discovery at the
@@ -1133,24 +1144,9 @@ def _rebuild_reattach_dummies(ints, pos: np.ndarray,
     coordinates). Keeps the static extended DOF count and ``dinds``."""
     import copy as _copy
 
-    from ..coords.constraints import DummyStore
-
     nreal = ints.natoms
-    at = ints.atoms.copy()
-    at.set_positions(pos[:nreal])
-    if cell is not None:
-        at.set_cell(np.asarray(cell))
-    cons = ints.cons.copy()
-    cons.atoms = at
-    cons.dummies = DummyStore()
-    cons.records = {
-        g: [r for r in recs
-            if np.max(np.atleast_1d(r.indices), initial=0) < nreal]
-        for g, recs in cons.records.items()
-    }
-    new = type(ints)(at, cons, allow_fragments=ints.allow_fragments,
-                     atol_deg=float(np.degrees(ints.atol)))
-    new.forbidden = {g: set(s) for g, s in ints.forbidden.items()}
+    new = _rebuild_base(ints, pos, cell, strip_dummy_records=True)
+    at = new.atoms
     new.find_all_bonds()
     # no dummy insertion: new linear centers get the improper
     # redundant coverage (same mechanism as dummy-free repaves)

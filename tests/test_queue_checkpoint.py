@@ -149,6 +149,10 @@ def test_queue_drain_handoff():
     if len(conv_steps) < 2 or conv_steps[0] == conv_steps[-1]:
         pytest.skip("step demands too uniform on this host")
     budget = conv_steps[0] + 1   # slowest searches must time out
+    base = run_ensemble_queue(
+        pot, x0, cfg, batch=batch,
+        max_steps_per_search=budget, refill_every=5,
+    )
     handed = run_ensemble_queue(
         pot, x0, cfg, batch=batch,
         max_steps_per_search=budget, refill_every=5,
@@ -157,13 +161,28 @@ def test_queue_drain_handoff():
     assert len(handed) == total
     n_unconv = sum(1 for r in handed if not r[3])
     assert n_unconv >= 1
-    for x, f, nsteps, conv, *_ in handed:
+    xs = [np.asarray(r[0]) for r in handed]
+    for i, (x, f, nsteps, conv, *_) in enumerate(handed):
         if not conv:
             # handed-off stragglers report their in-flight cost; they
             # may return mid-search, and harvests land every
             # refill_every=5 steps so the budget can overshoot by 4
             assert 0 < nsteps <= budget + 4
             assert np.all(np.isfinite(np.asarray(x)))
+        # stale-snapshot contamination guard (round-5 self-review
+        # finding: a post-refill handoff returned OTHER inputs'
+        # geometries for fresh inputs): every input's result must be
+        # its own trajectory, so no two results may coincide
+        for j in range(i + 1, total):
+            assert not np.array_equal(xs[i], xs[j]), (i, j)
+    # searches that converge do so identically with or without the
+    # handoff (same deterministic programs; the handoff only replaces
+    # the wide drain) — the docstring's equivalence promise, asserted
+    for rb, rh in zip(base, handed):
+        if rb[3] and rh[3]:
+            np.testing.assert_array_equal(np.asarray(rb[0]),
+                                          np.asarray(rh[0]))
+            assert rb[2] == rh[2]
 
 
 def test_checkpoint_roundtrip(tmp_path):
