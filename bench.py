@@ -797,11 +797,15 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
     )
     fns = make_queue_fns(pot, cfg, refill_every=10)
     # warmup: compiles step/refill/refresh/snapshot for BOTH lane
-    # shapes (wide fast phase + narrow tail phase) — untimed
-    run_ensemble_queue(pot, x0_all[:batch], cfg, batch,
+    # shapes (wide fast phase + narrow tail phase) — untimed. The
+    # work set exceeds the lane count by a margin so at least one
+    # harvest REFILLS (round-5 review: a total==batch warmup never
+    # invokes the refill/refresh programs, leaving their first
+    # compiles inside the timed region)
+    run_ensemble_queue(pot, x0_all[:batch + 32], cfg, batch,
                        max_steps_per_search=20, refill_every=10,
                        fns=fns)
-    run_ensemble_queue(pot, x0_all[:tail_batch], cfg, tail_batch,
+    run_ensemble_queue(pot, x0_all[:tail_batch + 32], cfg, tail_batch,
                        max_steps_per_search=20, refill_every=10,
                        fns=fns)
     max_retries = int(os.environ.get("BENCH_LJ4_RETRIES", "4"))
@@ -825,11 +829,19 @@ def run_lj4_queue(total, batch, max_steps_per_search=150):
         # pad with pristine starts of converged searches (cheap, known
         # to converge; results discarded) so the tail total is >=
         # tail_batch and the pre-compiled tail_batch-lane programs are
-        # reused (run_ensemble_queue clamps batch=min(batch, total))
+        # reused (run_ensemble_queue clamps batch=min(batch, total));
+        # if the converged pool is short, cycle the tail inputs
+        # themselves — any shortfall would otherwise compile a fresh
+        # lane shape inside the timed region
         pad = []
         if len(unconv) < tail_batch:
-            conv_idx = [i for i in range(total) if i not in set(unconv)]
+            us = set(unconv)
+            conv_idx = [i for i in range(total) if i not in us]
             pad = conv_idx[: tail_batch - len(unconv)]
+            k = 0
+            while len(unconv) + len(pad) < tail_batch:
+                pad.append(unconv[k % len(unconv)])
+                k += 1
         idx = np.asarray(unconv + pad)
         tail = run_ensemble_queue(
             pot, jnp.asarray(x0_work_np[idx]), cfg, tail_batch,
@@ -1096,7 +1108,7 @@ def run_cell_config(batch, max_steps=250, chunk=10, fmax=1e-3):
 _KEEP_KEYS = (
     "rate_searches_per_s", "converged_frac", "vs_seq_baseline",
     "mean_steps_converged", "mean_matvecs", "mean_force_calls",
-    "block_wall_s", "skipped",
+    "block_wall_s", "skipped", "note",
     "natoms", "total_searches", "handed_off", "converged",
     "sec_per_step_binned", "sec_per_step_binned_emt",
     "sec_per_step_mlff_order1",
@@ -1170,6 +1182,11 @@ def _probe_backend(timeout_s: float = 300.0) -> bool:
 def main():
     headline = os.environ.get("BENCH_CONFIG", "emt")
     profile = os.environ.get("BENCH_PROFILE", "0") == "1"
+    # the budget clock starts BEFORE the backend probe: probe latency
+    # (up to 300 s on a flapping tunnel) must come out of the same
+    # wall-clock allowance the driver enforces, or the skip logic
+    # would admit blocks past the kill point (round-5 review)
+    t_start = time.perf_counter()
 
     if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and \
             not _probe_backend():
@@ -1303,7 +1320,7 @@ def main():
         # north-star scale runs end-to-end via BENCH_BATCH=4096
         # (chunk=1: the 10-step fori wrapper trips a TPU fault at that
         # size; per-step dispatch is ~2% overhead at 4.8 s/step).
-        t_start = time.perf_counter()
+        # (t_start was pinned at main() entry, before the probe.)
         # Wall-clock budget for the DEFAULT path (VERDICT r3 item 1):
         # optional blocks are skipped — with a note in extra — once the
         # remaining budget is below the block's measured-cost estimate,
@@ -1369,9 +1386,14 @@ def main():
                     rate_i / SEQ_BASELINE["emt"], 1
                 )
                 if fmax_i == 0.02:
-                    # recorded immediately so a crash in the 1e-3 run
-                    # cannot lose the completed screening result
+                    # recorded AND emitted immediately so a crash or
+                    # driver kill during the 1e-3 run cannot lose the
+                    # completed screening result (round-5 review: the
+                    # first stdout line used to appear only after the
+                    # whole pair finished)
                     extra["emt_fmax_0.02"] = stats_i
+                    _emit(metric, headline_rate[0], base, extra,
+                          t_start)
                 else:
                     headline_rate[0] = rate_i
 
@@ -1385,6 +1407,16 @@ def main():
                 on_result=_record,
             )
             return runs[1][2]
+
+        # a parseable line exists from the very start: a stall inside
+        # the first (required) block — e.g. an evicted compile cache
+        # re-paying the ~9-min tunnel compile — must not leave stdout
+        # empty at the driver's kill point (the r03/r04 failure shape)
+        extra["startup"] = {"note": (
+            "bench started; headline pending first block"
+        )}
+        _emit(metric, 0.0, base, extra, t_start)
+        del extra["startup"]
 
         _block("emt_fmax_1e-3", 0, _do_emt_pair, required=True)
 

@@ -58,16 +58,21 @@ def save_state(path: str, state, step: Optional[int] = None):
     ckptr.wait_until_finished()
 
 
-def load_state(path: str, state_cls=SearchState) -> tuple:
+def load_state(path: str, state_cls=SearchState,
+               fmax_default=1e-3) -> tuple:
     """Restore (state, step) saved by :func:`save_state`; pass the
-    tier's state class via ``state_cls``."""
+    tier's state class via ``state_cls``. ``fmax_default``: gate
+    applied if the payload predates the ``fmax_t`` field — pass the
+    run's ``cfg.fmax`` (same ADVICE r4 #2 contract as
+    :func:`load_queue`)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path)
     step = payload.pop("_step", None)
-    state = _rebuild_state(payload, state_cls)
+    state = _rebuild_state(payload, state_cls,
+                           fmax_default=fmax_default)
     return state, (int(step) if step is not None else None)
 
 

@@ -2213,6 +2213,19 @@ def run_ensemble_queue(
                         s0 + int(nsteps[lane]), False,
                         m0 + int(nmv[lane]), e0 + int(nev[lane]),
                     )
+                if checkpoint_path is not None:
+                    # the break skips the end-of-cycle save: persist
+                    # the handed-off results first, or a resume would
+                    # replay the drain this handoff just skipped
+                    from .checkpoint import save_queue
+
+                    save_queue(
+                        checkpoint_path, state, origin, next_idx,
+                        results,
+                        retry_state=dict(pending=pending,
+                                         retries=retries, spent=spent),
+                        it=it,
+                    )
                 break
 
         # refill from the queue (mark timed-out lanes converged so the
