@@ -484,11 +484,15 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
 
     K = cfg.subspace_max
 
-    def davidson_absorb(x, gq, Bm, apply_pinv, Ufree_q, H, active, key):
+    def davidson_absorb(x, gq, Bm, apply_pinv, Ufree_q, H, active, key,
+                        P_eig=None):
         """Batched Davidson on the internal-coordinate Lagrangian
         Hessian; every probe pair is absorbed into H (TS-BFGS) —
         'full exploitation of partial diagonalization'
-        (``peswrapper.py:508-556``)."""
+        (``peswrapper.py:508-556``). ``P_eig``: optional precomputed
+        eigendecomposition of the projected H (the step's P-RFO prep
+        diagonalizes the identical matrix — reused when full
+        precision)."""
 
         gLq = lagrangian_gq(gq)
 
@@ -510,14 +514,14 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
 
         # default "grad" keeps P_eig=None so the traced graph (and
         # compile-cache key) of existing programs is unchanged
-        P_eig = None
-        if getattr(cfg, "davidson_seed", "grad") == "pmode":
-            from .ensemble import batched_eigh as _beigh
-
+        if getattr(cfg, "davidson_seed", "grad") != "pmode":
+            P_eig = None
+        elif P_eig is None:
             # reference subspace init from P's negative modes
             # (``eigensolvers.py:47-50``) — see
             # ensemble.EnsembleConfig.davidson_seed
-            P_eig = _beigh(P)
+            P_eig = batched_eigh(P)
+        if P_eig is not None:
             v0 = P_eig[1][:, :, 0]
 
         V, AVp, YF, k = _davidson_loop(
@@ -741,9 +745,19 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
             ev = ev | (act & (state.nsteps_since_diag >= cfg.diag_every_n))
 
         def run_diag(_):
+            # the P-RFO prep already diagonalized UT @ H @ U — reuse it
+            # as the Davidson preconditioner eigensystem when it is
+            # full precision (pmode seeding needs P_eig; recomputing it
+            # would repeat the step's hot (B, nfree, nfree) eigh)
+            reuse = (
+                (prep[0], prep[1])
+                if (getattr(cfg, "davidson_seed", "grad") == "pmode"
+                    and not cfg.eigh_f32)
+                else None
+            )
             return davidson_absorb(
                 state.x, gq, Bm, apply_pinv, Ufree_q, state.H, ev,
-                jax.random.fold_in(key, 0),
+                jax.random.fold_in(key, 0), P_eig=reuse,
             )
 
         def skip_diag(_):
@@ -754,21 +768,22 @@ def make_internal_step_fn(potential, ints, cfg: InternalEnsembleConfig,
         nsd = jnp.where(ev, 0, state.nsteps_since_diag + 1)
 
         # ---- trust-region step in the free internal subspace ----
-        # when no lane diagonalized this step, H1 is H and prep1 would
-        # recompute the exact same (B, nfree, nfree) eigensystem —
-        # reuse prep instead of paying the second hot eigh
+        # when no lane diagonalized this step (jnp.any(ev) False — the
+        # exact predicate run_diag ran under, so H1 == state.H
+        # bitwise), prep1 would recompute the identical
+        # (B, nfree, nfree) eigensystem — reuse prep instead of paying
+        # the second hot eigh. Holds for every config: with eig off
+        # and diag_every_n=0, ev is all-False and the reuse branch
+        # always takes (round-5 review: the old else branch recomputed
+        # unconditionally for order=0 runs).
         Hproj1 = jnp.einsum("bij,bjk,bkl->bil", UT, H1, Ufree_q)
-        if cfg.eig and cfg.order > 0:
-            prep1 = jax.lax.cond(
-                jnp.any(ev),
-                lambda _: prfo_prepare_batched(
-                    g_free, Hproj1, cfg.order, cfg.eigh_f32),
-                lambda _: prep,
-                None,
-            )
-        else:
-            prep1 = prfo_prepare_batched(g_free, Hproj1, cfg.order,
-                                         cfg.eigh_f32)
+        prep1 = jax.lax.cond(
+            jnp.any(ev),
+            lambda _: prfo_prepare_batched(
+                g_free, Hproj1, cfg.order, cfg.eigh_f32),
+            lambda _: prep,
+            None,
+        )
         dq_pred, smag = restricted_step_batched(
             g_free, Hproj1, Ufree_q, state.delta, cfg, prep=prep1,
             norm_fn=mis_norm,
@@ -1069,14 +1084,19 @@ def rebuild_internals_at(ints, pos: np.ndarray,
     positions. When the layout CHANGED (a linear center bent so its
     dummy would vanish, or a new center went linear), the static
     extended DOF count must still be preserved, so the rebuild is
-    redone dummy-free (new linear centers get the improper redundant
-    coverage, as in dummy-free repaves) and the ORIGINAL dummies are
-    re-attached as pinned spectators: their store positions, ``dinds``,
-    every topology row referencing them (near-singular unconstrained
-    dummy angles filtered by the discovery window) and their
-    constraint records are carried over verbatim. The lane repaves
-    instead of being refused (VERDICT r4 item 5); redundant internals
-    tolerate the extra spectator coordinates by construction.
+    redone dummy-free (linear centers with >=3 neighbors get the
+    improper redundant coverage, as in dummy-free repaves) and the
+    ORIGINAL dummies are re-attached as pinned spectators: their store
+    positions, ``dinds``, every topology row referencing them
+    (near-singular unconstrained dummy angles filtered by the
+    discovery window) and their constraint records are carried over
+    verbatim. The lane repaves instead of being refused (VERDICT r4
+    item 5); redundant internals tolerate the extra spectator
+    coordinates by construction. Caveat: a NEW 2-neighbor center that
+    went linear has no dummy-free bend coordinate — such a lane
+    repaves only if previously-active rows restore the masked-B rank
+    (the augment fallback in :func:`repave_lanes`); otherwise it is
+    refused exactly as before, with the ensemble left untouched.
 
     ``cell`` overrides the discovery cell (per-lane realized cells in
     the internal+cell tier). Constrained coordinates are folded back in
@@ -1097,7 +1117,11 @@ def rebuild_internals_at(ints, pos: np.ndarray,
         if (new.ndummies != ints.ndummies
                 or not np.array_equal(new.dinds, ints.dinds)):
             # dummy layout changed: redo dummy-free + spectator
-            # re-attach (see docstring)
+            # re-attach (see docstring). The second discovery pass
+            # repeats the bond search — accepted: repave events are
+            # rare host-side work, and the dummy-insertion side
+            # effects of THIS pass (records, store rows) make its
+            # artifacts unsafe to splice into the dummy-free rebuild.
             return _rebuild_reattach_dummies(ints, pos, cell)
         # continuity: the lane's dummies stay where its DOF vector has
         # them (fresh insertion positions would teleport the dummy)
@@ -1419,6 +1443,15 @@ def repave_lanes(state: InternalSearchState, ints, cfg, bad,
         Hcart = Bo.T @ np.asarray(state.H[l]) @ Bo + hld_o
         H[int(l)] = Binv.T @ (Hcart - hld_n) @ Binv
         qact[int(l)] = rows_new
+
+    if not bad.any():
+        # every flagged lane was refused (rank-deficient rebuilds —
+        # e.g. a NEW 2-neighbor linear center whose bend the dummy-free
+        # rediscovery cannot cover): leave the ensemble untouched.
+        # Committing the union growth for lanes that never repave
+        # would force a pointless step-fn recompile and re-pad every
+        # lane's state (round-5 review finding).
+        return state, ints, cfg, bad
 
     # re-derive (q, gq) for every lane in the new masked layout (q
     # continuity re-bases at principal values — safe, all differences
