@@ -141,7 +141,7 @@ the warmup dispatch (2 tiers x 10 fused steps); chunk=2 runs clean.
 Round-5 restructure (2026-08-21): the driver kills at ~1200 s (r03 AND
 r04 died rc=124 at ~20 min), so the default budget is now 1050 s with
 blocks in importance order — headline emt pair, emt151, emt151_f32,
-lj4 (composite), cell, largescale — and every stdout line trimmed to
+lj4 (composite), internal, cell, largescale — and every stdout line trimmed to
 key scalars (<1.3 KB; full stats on stderr as ``[bench-full]`` lines)
 so the driver's tail window can never clip the parse line. LJ4 runs
 ONE composite mode (wide fast pass with ``drain_handoff`` + narrow
@@ -520,12 +520,15 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
     return out[0][1], out[0][2]
 
 
-def run_internal_config(batch, max_steps=150, chunk=2):
+def run_internal_config(batch, max_steps=150, chunk=2,
+                        tiers=("internal", "cartesian")):
     """BASELINE config 2: batched molecular saddle refinements in
     redundant internal coordinates (Morse Xe4, the reference's
     integration molecule) vs the Cartesian tier on identical starts and
     criteria — the internal tier's convergence advantage, measured at
-    ensemble scale.
+    ensemble scale. ``tiers`` narrows the run (the default bench block
+    times the internal tier only; the Cartesian comparison column lives
+    in ``BENCH_CONFIG=internal``).
 
     chunk=2 default: the internal tier's per-step dispatch (HVP-exact
     Davidson + internal Newton/geodesic transforms) is far heavier than
@@ -566,7 +569,7 @@ def run_internal_config(batch, max_steps=150, chunk=2):
     )
     key = jax.random.PRNGKey(0)
     out = {}
-    for tier in ("internal", "cartesian"):
+    for tier in tiers:
         if tier == "internal":
             # absb env toggle: compare the NS |B| metric here too
             absb = os.environ.get("BENCH_ABSB", "eigh")
@@ -1107,7 +1110,8 @@ def run_cell_config(batch, max_steps=250, chunk=10, fmax=1e-3):
 # complete line (VERDICT r4 item 1 / weak 5).
 _KEEP_KEYS = (
     "rate_searches_per_s", "converged_frac", "vs_seq_baseline",
-    "mean_steps_converged", "mean_matvecs", "mean_force_calls",
+    "mean_steps_converged", "mean_steps", "mean_matvecs",
+    "mean_force_calls",
     "block_wall_s", "skipped", "note",
     "natoms", "total_searches", "handed_off", "converged",
     "sec_per_step_binned", "sec_per_step_binned_emt",
@@ -1231,6 +1235,22 @@ def main():
         print(json.dumps(s151), flush=True)
         return
 
+    if headline == "internalblock":
+        # child mode for the default path's internal block (see
+        # ``_do_internal`` in the emt default path): internal tier
+        # only, bounded steps, one JSON stats line on stdout.
+        st = run_internal_config(
+            int(os.environ.get("BENCH_INT_BATCH", "1024")),
+            max_steps=int(os.environ.get("BENCH_INT_MAX_STEPS", "40")),
+            chunk=int(os.environ.get("BENCH_INT_CHUNK", "2")),
+            tiers=("internal",),
+        )["internal"]
+        st["vs_seq_baseline"] = round(
+            st["rate_searches_per_s"] / SEQ_BASELINE["lj4"], 1
+        )
+        print(json.dumps(st), flush=True)
+        return
+
     if headline == "internal":
         batch = int(os.environ.get("BENCH_BATCH", "1024"))
         out = run_internal_config(
@@ -1333,8 +1353,8 @@ def main():
         # the default leaves ~150 s of headroom for the skip logic to
         # fire and the final line to flush. Blocks run in importance
         # order (headline emt pair -> emt151 -> emt151_f32 -> lj4 ->
-        # cell -> largescale); on a tight budget the cell/largescale
-        # blocks are the ones skipped.
+        # internal -> cell -> largescale); on a tight budget the
+        # cell/largescale blocks are the ones skipped.
         budget = float(os.environ.get("BENCH_BUDGET_S", "1050"))
         batch = int(os.environ.get("BENCH_BATCH", "1024"))
         max_steps = int(os.environ.get("BENCH_MAX_STEPS", "60"))
@@ -1528,6 +1548,48 @@ def main():
             # est measured 2026-08-20 (composite mode, warm cache:
             # 116.8 s block wall incl. both warmup shapes) + margin
             _block("lj4", 150, _do_lj4)
+
+        if os.environ.get("BENCH_SKIP_INTERNAL", "0") != "1":
+            # VERDICT r4 item 4: the internal-tier rate belongs in the
+            # driver artifact (``extra.internal``), not just the opt-in
+            # BENCH_CONFIG=internal mode. Internal tier only (the
+            # Cartesian comparison column stays in the opt-in mode);
+            # max_steps=40 bounds the run at the convergence knee
+            # (mean 30.6 steps on this config). The est is a GO gate
+            # calibrated to the warm-path remaining budget after lj4
+            # (~150 s). The chord-enabled internal program has never
+            # been compiled on the driver chip, so the block runs in a
+            # budget-capped SUBPROCESS (same pattern as emt151): a
+            # slow tunnel compile is killed at the budget edge instead
+            # of costing the parent its rc=0 and the final line flush.
+            def _do_internal():
+                import subprocess
+                import sys as _sys
+
+                env = dict(os.environ)
+                env["BENCH_CONFIG"] = "internalblock"
+                env["BENCH_SKIP_PROBE"] = "1"
+                left = budget - (time.perf_counter() - t_start)
+                proc = subprocess.run(
+                    [_sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True,
+                    timeout=max(left + 30.0, 60.0),
+                )
+                for line in reversed(
+                        (proc.stdout or "").strip().splitlines()):
+                    try:
+                        out_i = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if isinstance(out_i, dict) and \
+                            "converged_frac" in out_i:
+                        return out_i
+                raise RuntimeError(
+                    f"internal subprocess rc={proc.returncode}: "
+                    f"{(proc.stderr or '')[-300:]}"
+                )
+
+            _block("internal", 140, _do_internal)
 
         if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
             # BASELINE config 3: bulk-Cu atom+cell, fixed translations
