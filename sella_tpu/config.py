@@ -24,6 +24,20 @@ _X64 = os.environ.get("SELLA_TPU_X64", "1") != "0"
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Optional platform pin. ``JAX_PLATFORMS`` alone is not enough on hosts
+# whose sitecustomize force-updates ``jax_platforms`` at interpreter
+# start (the axon TPU-tunnel image does); this knob wins because it is
+# applied at package import, after any sitecustomize. Used by the
+# examples smoke test to keep example subprocesses off the TPU; users
+# can set ``SELLA_TPU_PLATFORM=cpu`` for a guaranteed-CPU run the same
+# way the reference pins its platform (``sella/__init__.py:9-13``).
+_plat = os.environ.get("SELLA_TPU_PLATFORM")
+if _plat:
+    try:  # pragma: no cover - harmless if the backend is already set
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 # Persistent compilation cache: mirrors the reference's startup-time saving
 # (``/root/reference/sella/__init__.py:3-13``) but via JAX's native cache.
 _cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")

@@ -36,8 +36,15 @@ SLOW = {
 def _run(script):
     env = dict(os.environ)
     env["SELLA_TPU_EXAMPLES_FAST"] = "1"
-    # examples must run on the test CPU topology, never grab a TPU
+    # examples must run on the test CPU topology, never grab a TPU.
+    # JAX_PLATFORMS alone is NOT enough: the harness sitecustomize
+    # force-updates jax_platforms at interpreter start, so a plain
+    # subprocess still grabs the tunnel TPU (observed: this test ran
+    # 01_saddle_search on the chip, queued behind a running benchmark,
+    # and hit the 900 s timeout). SELLA_TPU_PLATFORM is applied by
+    # sella_tpu.config at package import, which wins.
     env["JAX_PLATFORMS"] = "cpu"
+    env["SELLA_TPU_PLATFORM"] = "cpu"
     proc = subprocess.run(
         [sys.executable, os.path.join(EXAMPLES_DIR, script)],
         capture_output=True, text=True, timeout=900, env=env,
