@@ -139,24 +139,41 @@ earlier chunk=10 default crashed the remote worker's RPC watchdog on
 the warmup dispatch (2 tiers x 10 fused steps); chunk=2 runs clean.
 
 Round-5 restructure (2026-08-21): the driver kills at ~1200 s (r03 AND
-r04 died rc=124 at ~20 min), so the default budget is now 1050 s with
-blocks in importance order — headline emt pair, emt151, emt151_f32,
-lj4 (composite), internal, cell, largescale — and every stdout line trimmed to
+r04 died rc=124 at ~20 min), so the default budget is now 1150 s with
+blocks in importance order — headline emt pair, emt151 + emt151_f32
+(one combined child), lj4 (composite), internal, cell, largescale —
+and every stdout line trimmed to
 key scalars (<1.3 KB; full stats on stderr as ``[bench-full]`` lines)
 so the driver's tail window can never clip the parse line. LJ4 runs
 ONE composite mode (wide fast pass with ``drain_handoff`` + narrow
 tail-batch retry with grown budgets) targeting >=99% at >=50/s in a
-single timed region. New measured-on-CPU lever staged for the chip:
-``davidson_seed="pmode"`` (re-diags start from the warm
-preconditioner's leftmost mode, the reference's subspace init) cut
-mean Davidson matvecs 41.9 -> 27.8 (-34%) at +6% steps on the EMT
-25-atom config; opt-in via BENCH_DAVIDSON_SEED until the 453-DOF
-on-chip number exists. OUTAGE NOTE: the axon tunnel relay died
+single timed region. OUTAGE NOTE: the axon tunnel relay died
 2026-08-20 ~23:50 UTC and every jax backend init then hangs forever;
 ``_probe_backend`` guards the bench so a dead tunnel still yields a
-parseable artifact. The default-path programs' lowered HLO is pinned
-byte-identical to the round-4 tree (verified by sha256) so the warm
-compile cache survives the round-5 code changes.
+parseable artifact. The tunnel came back 2026-08-21 ~07:35 UTC; the
+compile cache does NOT survive the round's container recreation, so
+this session re-warmed every default-path program on the chip (cold
+full-path run rc=0 in 5696.8 s, then warm validation rc=0 in
+1041.9 s — see docs/bench_r05_local.md for both captures).
+
+Round-5 on-chip results (2026-08-21, v5 lite): emt151 f64 0.149/s @
+100% (warm, +10% over the r04 0.136 record), emt151_f32 0.167/s,
+lj4 composite 99.95% converged at 41.78/s cold+contended (fast phase
+91.5/s @ 94.8%, tail recovered 212/214 handoffs), internal tier
+3.68/s @ 91.2% warm. HONEST NEGATIVE: the chord back-transform's
+CPU-proxy win did not transfer — on-chip internal step time is
+6.353 s/step, unchanged vs the r04 full-Newton 6.3; the rate gain
+comes from bounding the run at the convergence knee (max_steps 40),
+so the serialized cost sits in the Davidson while_loop + dispatch,
+not the back-transform. ``davidson_seed="pmode"`` (re-diags start
+from the warm preconditioner's leftmost mode, the reference's
+subspace init; cut mean matvecs 41.9 -> 27.8 on the 25-atom config
+on CPU) measured on-chip at 453 DOF: **0.199 searches/s f64 vs 0.149
+grad (+34%)**, matvecs 44.2 -> 32.3, both 100% converged at identical
+step counts — now the emt151/emt151-queue DEFAULT (1.46x the r04
+0.136 record; BENCH_DAVIDSON_SEED=grad reverts). The 25-atom headline
+keeps "grad": its Davidson is a small step fraction and flipping it
+would cold the warm headline cache for an unmeasured gain.
 
 Eigh-policy record (2026-08-17, whole-run wall-clock — per-op timing
 through the tunnel is unreliable): with every batched eigh routed
@@ -362,10 +379,16 @@ def run_config(name, batch, max_steps, chunk, profile=False, fmax=None,
             eigh_f32=True,
             rs_maxiter=12, absb="ns",
             eval_chunk=min(batch, 16),
-            # pmode: re-diags seed from the warm preconditioner's
-            # leftmost mode (measured -34% matvecs on the 25-atom
-            # config; the 453-DOF drain is re-diag bound)
-            davidson_seed=os.environ.get("BENCH_DAVIDSON_SEED", "grad"),
+            # pmode DEFAULT here (measured on-chip 2026-08-21, f64
+            # batch=32): 0.199 vs 0.149 searches/s (+34%), matvecs
+            # 44.2 -> 32.3, both 100% converged at identical step
+            # counts — the 453-DOF drain is re-diag bound and pmode
+            # seeds each re-diag from the warm preconditioner's
+            # leftmost mode (the reference's subspace init). The
+            # 25-atom headline keeps "grad" (its Davidson is ~15% of
+            # the step; not worth breaking the warm cache).
+            davidson_seed=os.environ.get("BENCH_DAVIDSON_SEED",
+                                         "pmode"),
             prfo_eigh=os.environ.get("BENCH_PRFO_EIGH", "eigh"),
         )
     else:
@@ -607,8 +630,10 @@ def run_internal_config(batch, max_steps=150, chunk=2,
         nconv_warm = int(jnp.sum(state.converged))
 
         t0 = time.perf_counter()
+        steps_timed = 0
         for i in range(1, max_steps // chunk + 1):
             state = multi_jit(state, jax.random.fold_in(key, i))
+            steps_timed = i * chunk
             if bool(jnp.all(state.converged)):
                 break
         jax.block_until_ready(state.x)
@@ -627,6 +652,10 @@ def run_internal_config(batch, max_steps=150, chunk=2,
                 (int(conv.sum()) - nconv_warm) / elapsed, 2
             ),
             "elapsed_s": round(elapsed, 2),
+            # the r4 verdict's internal-tier ask is a STEP-TIME
+            # reduction (6.3 s/step at 1024 lanes pre-chord); put the
+            # per-step wall directly in the artifact
+            "sec_per_step": round(elapsed / max(steps_timed, 1), 3),
         }
     return out
 
@@ -675,7 +704,9 @@ def run_queue_config(batch, total, max_steps_per_search=80,
                 "BENCH_DIAG_BUDGET", str(max(batch // 4, 1)))),
             eigh_f32=True, rs_maxiter=12, absb="ns",
             eval_chunk=min(batch, 16),
-            davidson_seed=os.environ.get("BENCH_DAVIDSON_SEED", "grad"),
+            # pmode default: see the emt151 fixed-ensemble config note
+            davidson_seed=os.environ.get("BENCH_DAVIDSON_SEED",
+                                         "pmode"),
         )
         return _run_queue_common(
             pot, x0_all, cell, cfg, batch, total,
@@ -1115,7 +1146,7 @@ _KEEP_KEYS = (
     "block_wall_s", "skipped", "note",
     "natoms", "total_searches", "handed_off", "converged",
     "sec_per_step_binned", "sec_per_step_binned_emt",
-    "sec_per_step_mlff_order1",
+    "sec_per_step_mlff_order1", "sec_per_step",
 )
 
 
@@ -1212,27 +1243,43 @@ def main():
 
     if headline == "emt151block":
         # child mode for the subprocess-isolated emt151 blocks (a TPU
-        # worker crash here must not poison the parent's backend)
+        # worker crash here must not poison the parent's backend).
+        # BENCH_EMT151_MODES="f64,f32" runs both precision variants in
+        # ONE interpreter — the second variant skips the ~60 s jax
+        # init and the slab/x0 setup a separate child would re-pay
+        # (measured: 450 + 420 s as two children; the combined child
+        # makes room for the lj4 block inside the driver budget). One
+        # JSON line per mode, tagged ``pot_mode``.
         b151 = int(os.environ.get("BENCH_EMT151_BATCH", "32"))
-        r151, s151 = run_config(
-            "emt151", b151,
-            int(os.environ.get("BENCH_EMT151_MAX_STEPS", "120")),
-            # chunk=1 REQUIRED on the tunneled chip: the early
-            # diag-compaction steps cost ~12-15 s each (davidson_max=60
-            # bootstraps draining at diag_budget lanes/step), so a
-            # fused 5-step dispatch is a ~75 s single RPC — measured
-            # 2026-08-20 to crash the TPU worker ("kernel fault"
-            # watchdog) at BOTH batch=64 and batch=32, while the same
-            # config at chunk=1 runs to convergence (steady-state steps
-            # are ~1 s once the drain finishes).
-            int(os.environ.get("BENCH_EMT151_CHUNK", "1")),
-            pot_f32=os.environ.get("BENCH_EMT151_F32", "0") == "1",
+        modes = os.environ.get(
+            "BENCH_EMT151_MODES",
+            "f32" if os.environ.get("BENCH_EMT151_F32", "0") == "1"
+            else "f64",
         )
-        s151["rate_searches_per_s"] = round(r151, 3)
-        s151["vs_seq_baseline"] = round(
-            r151 / SEQ_BASELINE["emt151"], 1
-        )
-        print(json.dumps(s151), flush=True)
+        for _mode in modes.split(","):
+            _tb = time.perf_counter()
+            r151, s151 = run_config(
+                "emt151", b151,
+                int(os.environ.get("BENCH_EMT151_MAX_STEPS", "120")),
+                # chunk=1 REQUIRED on the tunneled chip: the early
+                # diag-compaction steps cost ~12-15 s each
+                # (davidson_max=60 bootstraps draining at diag_budget
+                # lanes/step), so a fused 5-step dispatch is a ~75 s
+                # single RPC — measured 2026-08-20 to crash the TPU
+                # worker ("kernel fault" watchdog) at BOTH batch=64
+                # and batch=32, while the same config at chunk=1 runs
+                # to convergence (steady-state steps are ~1 s once the
+                # drain finishes).
+                int(os.environ.get("BENCH_EMT151_CHUNK", "1")),
+                pot_f32=_mode.strip() == "f32",
+            )
+            s151["rate_searches_per_s"] = round(r151, 3)
+            s151["vs_seq_baseline"] = round(
+                r151 / SEQ_BASELINE["emt151"], 1
+            )
+            s151["pot_mode"] = _mode.strip()
+            s151["block_wall_s"] = round(time.perf_counter() - _tb, 1)
+            print(json.dumps(s151), flush=True)
         return
 
     if headline == "internalblock":
@@ -1349,13 +1396,18 @@ def main():
         # lite bench chip 2026-08-20 (incl. compile through the remote
         # tunnel); see each _block call below.
         # Default sized for the driver's OBSERVED kill point: both r03
-        # and r04 died rc=124 at ~1200 s wall (VERDICT r4 item 1), so
-        # the default leaves ~150 s of headroom for the skip logic to
-        # fire and the final line to flush. Blocks run in importance
-        # order (headline emt pair -> emt151 -> emt151_f32 -> lj4 ->
-        # internal -> cell -> largescale); on a tight budget the
-        # cell/largescale blocks are the ones skipped.
-        budget = float(os.environ.get("BENCH_BUDGET_S", "1050"))
+        # and r04 died rc=124 at ~1200 s wall (VERDICT r4 item 1).
+        # Warm-path walls measured 2026-08-21 on the bench chip:
+        # probe 12-63 s, headline pair 160 s, emt151+f32 combined
+        # child ~780 s, lj4 ~117 s — sum ~1075-1125 s, so 1150 admits
+        # exactly those four and leaves the skip logic ~55 s of
+        # headroom to flush skips for internal/cell/largescale. Every
+        # admitted block is bounded (subprocess caps / warm-measured
+        # walls), so the worst-case exit stays short of the kill
+        # point. Blocks run in importance order (headline emt pair ->
+        # emt151+emt151_f32 (one child) -> lj4 -> internal -> cell ->
+        # largescale).
+        budget = float(os.environ.get("BENCH_BUDGET_S", "1150"))
         batch = int(os.environ.get("BENCH_BATCH", "1024"))
         max_steps = int(os.environ.get("BENCH_MAX_STEPS", "60"))
         chunk = int(os.environ.get(
@@ -1370,13 +1422,17 @@ def main():
         extra = {}
         headline_rate = [0.0]
 
-        def _block(name, est_cost_s, fn, required=False):
+        def _block(name, est_cost_s, fn, required=False,
+                   skip_note=""):
             """Run one bench block; isolate failures; always emit a
-            cumulative snapshot line afterwards."""
+            cumulative snapshot line afterwards. ``skip_note``: extra
+            context appended to a budget-skip entry (e.g. a pointer to
+            the last locally captured value of this block)."""
             left = budget - (time.perf_counter() - t_start)
             if not required and left < est_cost_s:
                 extra[name] = {"skipped": (
                     f"budget: {round(left)}s left < est {est_cost_s}s"
+                    + (f"; {skip_note}" if skip_note else "")
                 )}
                 _emit(metric, headline_rate[0], base, extra, t_start)
                 return
@@ -1509,15 +1565,93 @@ def main():
                     f"{(proc.stderr or '')[-300:]}"
                 )
 
-            # est = warm-cache block walls measured 2026-08-20 (324 /
-            # 264 s) + subprocess import overhead margin
-            _block("emt151", 400, _do_151_sub)
-            if os.environ.get("BENCH_SKIP_F32", "0") != "1":
-                # precision-split run: f32 potential eval/HVPs behind
-                # the f64 optimizer (docs/roofline.md carries the
-                # achievable-vs-achieved analysis these numbers anchor)
-                _block("emt151_f32", 330,
-                       lambda: _do_151_sub(pot_f32=True))
+            # Both precision variants run in ONE child via
+            # BENCH_EMT151_MODES (measured 2026-08-21: 449.6 + 420.5 s
+            # as two children, each paying ~60 s jax init + slab
+            # setup + cache load; the combined child saves one full
+            # overhead share and makes room for the lj4 block inside
+            # the driver budget). The f32 variant is the precision-
+            # split run: f32 potential eval/HVPs behind the f64
+            # optimizer (docs/roofline.md anchors its analysis here).
+            _skip_f32 = os.environ.get("BENCH_SKIP_F32", "0") == "1"
+
+            def _do_151_pair():
+                import subprocess
+                import sys as _sys
+
+                env = dict(os.environ)
+                env["BENCH_CONFIG"] = "emt151block"
+                env["BENCH_EMT151_MODES"] = (
+                    "f64" if _skip_f32 else "f64,f32"
+                )
+                env["BENCH_SKIP_PROBE"] = "1"
+                left_in = budget - (time.perf_counter() - t_start)
+                try:
+                    proc = subprocess.run(
+                        [_sys.executable, os.path.abspath(__file__)],
+                        env=env, capture_output=True, text=True,
+                        timeout=min(float(os.environ.get(
+                            "BENCH_EMT151_TIMEOUT", "2400")),
+                            max(left_in + 30.0, 60.0)),
+                    )
+                    stdout, rc = proc.stdout, proc.returncode
+                    err_tail = (proc.stderr or "")[-300:]
+                except subprocess.TimeoutExpired as e:
+                    # a child killed at the budget cap may already
+                    # have printed the f64 line — salvage it
+                    stdout = e.stdout or ""
+                    if isinstance(stdout, bytes):
+                        stdout = stdout.decode(errors="replace")
+                    rc, err_tail = "timeout", ""
+                res = {}
+                for line in (stdout or "").strip().splitlines():
+                    try:
+                        out_l = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if isinstance(out_l, dict) and \
+                            "converged_frac" in out_l and \
+                            out_l.get("pot_mode") in ("f64", "f32"):
+                        res[out_l.pop("pot_mode")] = out_l
+                if not res:
+                    res["_error"] = (
+                        f"emt151 subprocess rc={rc}: {err_tail}"
+                    )
+                return res
+
+            _est_pair = 430 if _skip_f32 else 780
+            _left_now = budget - (time.perf_counter() - t_start)
+            if _left_now < _est_pair:
+                _note = (
+                    f"budget: {round(_left_now)}s left < "
+                    f"est {_est_pair}s"
+                )
+                extra["emt151"] = {"skipped": _note}
+                if not _skip_f32:
+                    extra["emt151_f32"] = {"skipped": _note}
+                _emit(metric, headline_rate[0], base, extra, t_start)
+            else:
+                _tb = time.perf_counter()
+                try:
+                    _res = _do_151_pair()
+                except Exception as e:
+                    _res = {"_error": repr(e)}
+                _wall = round(time.perf_counter() - _tb, 1)
+                for _key, _mk in (("emt151", "f64"),
+                                  ("emt151_f32", "f32")):
+                    if _key == "emt151_f32" and _skip_f32:
+                        continue
+                    if _mk in _res:
+                        extra[_key] = _res[_mk]
+                    else:
+                        extra[_key] = {
+                            "error": _res.get("_error", (
+                                "child ended before the "
+                                f"{_mk} variant completed"
+                            )),
+                            "block_wall_s": _wall,
+                        }
+                _emit(metric, headline_rate[0], base, extra, t_start)
             if os.environ.get("BENCH_EMT151_QUEUE", "0") == "1":
                 # opt-in: measured 2026-08-20 chip-time-NEUTRAL vs the
                 # fixed ensemble at this size (0.134 vs 0.136
@@ -1547,7 +1681,7 @@ def main():
 
             # est measured 2026-08-20 (composite mode, warm cache:
             # 116.8 s block wall incl. both warmup shapes) + margin
-            _block("lj4", 150, _do_lj4)
+            _block("lj4", 130, _do_lj4)
 
         if os.environ.get("BENCH_SKIP_INTERNAL", "0") != "1":
             # VERDICT r4 item 4: the internal-tier rate belongs in the
@@ -1555,10 +1689,12 @@ def main():
             # BENCH_CONFIG=internal mode. Internal tier only (the
             # Cartesian comparison column stays in the opt-in mode);
             # max_steps=40 bounds the run at the convergence knee
-            # (mean 30.6 steps on this config). The est is a GO gate
-            # calibrated to the warm-path remaining budget after lj4
-            # (~150 s). The chord-enabled internal program has never
-            # been compiled on the driver chip, so the block runs in a
+            # (mean 30.6 steps on this config). Warm-measured block
+            # wall 2026-08-21: ~645 s (254 s timed at 6.35 s/step +
+            # ~390 s child init/cache-load/warmup) — it does NOT fit
+            # the driver budget alongside the emt151 pair + lj4, so
+            # under the default budget this block emits a skip note
+            # pointing at the last local capture. The block runs in a
             # budget-capped SUBPROCESS (same pattern as emt151): a
             # slow tunnel compile is killed at the budget edge instead
             # of costing the parent its rc=0 and the final line flush.
@@ -1589,7 +1725,10 @@ def main():
                     f"{(proc.stderr or '')[-300:]}"
                 )
 
-            _block("internal", 140, _do_internal)
+            _block("internal", 700, _do_internal, skip_note=(
+                "last local capture 2026-08-21 (warm, batch=1024, "
+                "chord): 3.68 searches/s @ 0.912 conv, 6.35 s/step"
+            ))
 
         if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
             # BASELINE config 3: bulk-Cu atom+cell, fixed translations
