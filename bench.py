@@ -642,8 +642,12 @@ def run_internal_config(batch, max_steps=150, chunk=2,
         conv = np.asarray(state.converged)
         out[tier] = {
             "converged_frac": round(float(conv.mean()), 4),
-            "mean_steps": round(
-                float(np.asarray(state.nsteps)[conv].mean()), 1
+            # None, not NaN, when nothing converged: bare NaN is not
+            # valid JSON and would make the whole emitted headline
+            # line unparseable to a strict driver parser
+            "mean_steps": (
+                round(float(np.asarray(state.nsteps)[conv].mean()), 1)
+                if conv.any() else None
             ),
             "mean_matvecs": round(
                 float(np.asarray(state.nmatvec).mean()), 1
@@ -1282,6 +1286,38 @@ def main():
             print(json.dumps(s151), flush=True)
         return
 
+    if headline == "lj4block":
+        # child mode for the default path's lj4 block: the composite
+        # queue (fast + tail) with one JSON stats line on stdout
+        lj_rate, lj_stats = run_lj4_queue(
+            int(os.environ.get("BENCH_LJ4_TOTAL", "4096")),
+            int(os.environ.get("BENCH_LJ4_BATCH", "1024")),
+            int(os.environ.get("BENCH_LJ4_MAX_STEPS", "150")),
+        )
+        lj_stats["rate_searches_per_s"] = round(lj_rate, 2)
+        lj_stats["vs_seq_baseline"] = round(
+            lj_rate / SEQ_BASELINE["lj4"], 1
+        )
+        print(json.dumps(lj_stats), flush=True)
+        return
+
+    if headline == "cellblock":
+        # child mode for the default path's cell block
+        st_c = run_cell_config(
+            int(os.environ.get("BENCH_CELL_BATCH", "512")),
+        )[1]
+        print(json.dumps(st_c), flush=True)
+        return
+
+    if headline == "largescaleblock":
+        # child mode for the default path's largescale block
+        st_ls = run_largescale(
+            int(os.environ.get("BENCH_NATOMS", "10000")),
+            int(os.environ.get("BENCH_STEPS", "3")),
+        )[1]
+        print(json.dumps(st_ls), flush=True)
+        return
+
     if headline == "internalblock":
         # child mode for the default path's internal block (see
         # ``_do_internal`` in the emt default path): internal tier
@@ -1450,6 +1486,65 @@ def main():
                 }
             _emit(metric, headline_rate[0], base, extra, t_start)
 
+        def _run_child(mode, env_overrides=None, env_drop=(),
+                       cap_extra=-10.0):
+            """Run bench.py as a child process in ``BENCH_CONFIG=
+            mode`` with a budget-capped timeout — the child may never
+            outlive the driver's kill window, so the cap is the
+            remaining budget MINUS a flush margin. Returns ``(hits,
+            rc, err_tail)`` where ``hits`` are the parsed JSON-dict
+            stdout lines in print order. A child killed at the cap
+            may already have printed complete result lines; they are
+            salvaged from the TimeoutExpired payload. One shared
+            helper for the emt151-pair/queue/lj4/internal/cell/
+            largescale blocks (round-5 review: three hand-rolled
+            copies of this pattern had already diverged — e.g. the
+            pair copy dropped the child's stderr on timeout)."""
+            import subprocess
+            import sys as _sys
+
+            env = dict(os.environ)
+            env.update(env_overrides or {})
+            env["BENCH_CONFIG"] = mode
+            # the parent already probed backend liveness
+            env["BENCH_SKIP_PROBE"] = "1"
+            for k in env_drop:
+                env.pop(k, None)
+            left_in = budget - (time.perf_counter() - t_start)
+            try:
+                proc = subprocess.run(
+                    [_sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True,
+                    timeout=min(
+                        float(os.environ.get(
+                            "BENCH_CHILD_TIMEOUT",
+                            os.environ.get(
+                                "BENCH_EMT151_TIMEOUT", "2400"))),
+                        max(left_in + cap_extra, 60.0),
+                    ),
+                )
+                stdout, rc = proc.stdout, proc.returncode
+                err = proc.stderr or ""
+            except subprocess.TimeoutExpired as e:
+                stdout, err = e.stdout or "", e.stderr or ""
+                if isinstance(stdout, bytes):
+                    stdout = stdout.decode(errors="replace")
+                if isinstance(err, bytes):
+                    err = err.decode(errors="replace")
+                rc = "timeout"
+            hits = []
+            for line in (stdout or "").strip().splitlines():
+                try:
+                    out_l = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                # only accept dict result objects — a stray JSON-
+                # parseable debug line (scalar, list) must not be
+                # mistaken for one
+                if isinstance(out_l, dict):
+                    hits.append(out_l)
+            return hits, rc, err[-300:]
+
         # HEADLINE block: the 0.02 screening gate and the 1e-3
         # north-star tolerance run back-to-back through ONE compiled
         # program (fmax is a runtime value, SearchState.fmax_t — the
@@ -1506,66 +1601,7 @@ def main():
             # TPU worker ("kernel fault") ~23 min into the block, and a
             # dead backend poisons every later block in the same
             # process. Default batch is now 32 (halves peak HBM).
-            def _do_151_sub(pot_f32=False, mode="emt151block"):
-                import subprocess
-                import sys as _sys
-
-                env = dict(os.environ)
-                env["BENCH_CONFIG"] = mode
-                env["BENCH_EMT151_F32"] = "1" if pot_f32 else "0"
-                # the parent already probed backend liveness
-                env["BENCH_SKIP_PROBE"] = "1"
-                if mode == "emt151queue":
-                    # generic knobs mean different things in the
-                    # parent's default path (BENCH_BATCH=1024 is the
-                    # 25-atom headline batch); let the queue mode's own
-                    # defaults apply in the child
-                    for k in ("BENCH_BATCH", "BENCH_TOTAL",
-                              "BENCH_MAX_STEPS", "BENCH_DIAG_BUDGET",
-                              "BENCH_DAVIDSON_MAX", "BENCH_INHERIT_B"):
-                        env.pop(k, None)
-                # the child may never outlive the driver's kill window:
-                # cap its timeout by the remaining bench budget (plus a
-                # flush margin) so a hung child still yields a final
-                # parseable parent line
-                left = budget - (time.perf_counter() - t_start)
-                proc = subprocess.run(
-                    [_sys.executable, os.path.abspath(__file__)],
-                    env=env, capture_output=True, text=True,
-                    timeout=min(float(os.environ.get(
-                        "BENCH_EMT151_TIMEOUT", "2400")),
-                        max(left + 30.0, 60.0)),
-                )
-                for line in reversed(
-                        (proc.stdout or "").strip().splitlines()):
-                    try:
-                        out = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    # only accept the result object — a stray
-                    # JSON-parseable debug line (scalar, list, other
-                    # dict) must not be mistaken for it
-                    if not isinstance(out, dict):
-                        continue
-                    if mode == "emt151queue":
-                        # queue mode prints the full metric envelope;
-                        # unwrap to the stats dict for the block table
-                        st = (out.get("extra") or {}).get(
-                            "emt151_queue")
-                        if st is None:
-                            continue
-                        st["rate_searches_per_s"] = out.get("value")
-                        st["vs_seq_baseline"] = out.get("vs_baseline")
-                        return st
-                    if "converged_frac" not in out:
-                        continue
-                    return out
-                raise RuntimeError(
-                    f"emt151 subprocess rc={proc.returncode}: "
-                    f"{(proc.stderr or '')[-300:]}"
-                )
-
-            # Both precision variants run in ONE child via
+# Both precision variants run in ONE child via
             # BENCH_EMT151_MODES (measured 2026-08-21: 449.6 + 420.5 s
             # as two children, each paying ~60 s jax init + slab
             # setup + cache load; the combined child saves one full
@@ -1573,58 +1609,23 @@ def main():
             # the driver budget). The f32 variant is the precision-
             # split run: f32 potential eval/HVPs behind the f64
             # optimizer (docs/roofline.md anchors its analysis here).
+            # Budget ladder (round-5 review): full pair est 780 s; if
+            # only the f64 variant fits (est 500 >= the measured
+            # 449.6 s single-child wall + margin) run THAT — the
+            # 453-DOF f64 number is the most important block in the
+            # file and must not be lost because the f32 variant would
+            # not also fit.
             _skip_f32 = os.environ.get("BENCH_SKIP_F32", "0") == "1"
-
-            def _do_151_pair():
-                import subprocess
-                import sys as _sys
-
-                env = dict(os.environ)
-                env["BENCH_CONFIG"] = "emt151block"
-                env["BENCH_EMT151_MODES"] = (
-                    "f64" if _skip_f32 else "f64,f32"
-                )
-                env["BENCH_SKIP_PROBE"] = "1"
-                left_in = budget - (time.perf_counter() - t_start)
-                try:
-                    proc = subprocess.run(
-                        [_sys.executable, os.path.abspath(__file__)],
-                        env=env, capture_output=True, text=True,
-                        timeout=min(float(os.environ.get(
-                            "BENCH_EMT151_TIMEOUT", "2400")),
-                            max(left_in + 30.0, 60.0)),
-                    )
-                    stdout, rc = proc.stdout, proc.returncode
-                    err_tail = (proc.stderr or "")[-300:]
-                except subprocess.TimeoutExpired as e:
-                    # a child killed at the budget cap may already
-                    # have printed the f64 line — salvage it
-                    stdout = e.stdout or ""
-                    if isinstance(stdout, bytes):
-                        stdout = stdout.decode(errors="replace")
-                    rc, err_tail = "timeout", ""
-                res = {}
-                for line in (stdout or "").strip().splitlines():
-                    try:
-                        out_l = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    if isinstance(out_l, dict) and \
-                            "converged_frac" in out_l and \
-                            out_l.get("pot_mode") in ("f64", "f32"):
-                        res[out_l.pop("pot_mode")] = out_l
-                if not res:
-                    res["_error"] = (
-                        f"emt151 subprocess rc={rc}: {err_tail}"
-                    )
-                return res
-
-            _est_pair = 430 if _skip_f32 else 780
+            _est_pair, _est_f64 = 780, 500
             _left_now = budget - (time.perf_counter() - t_start)
-            if _left_now < _est_pair:
+            _modes = (
+                "f64" if _skip_f32 or _left_now < _est_pair
+                else "f64,f32"
+            )
+            if _left_now < _est_f64:
                 _note = (
                     f"budget: {round(_left_now)}s left < "
-                    f"est {_est_pair}s"
+                    f"est {_est_f64}s (f64-only)"
                 )
                 extra["emt151"] = {"skipped": _note}
                 if not _skip_f32:
@@ -1633,7 +1634,19 @@ def main():
             else:
                 _tb = time.perf_counter()
                 try:
-                    _res = _do_151_pair()
+                    _hits, _rc, _err = _run_child(
+                        "emt151block",
+                        {"BENCH_EMT151_MODES": _modes},
+                    )
+                    _res = {
+                        h.pop("pot_mode"): h for h in _hits
+                        if "converged_frac" in h and
+                        h.get("pot_mode") in ("f64", "f32")
+                    }
+                    if not _res:
+                        _res["_error"] = (
+                            f"emt151 subprocess rc={_rc}: {_err}"
+                        )
                 except Exception as e:
                     _res = {"_error": repr(e)}
                 _wall = round(time.perf_counter() - _tb, 1)
@@ -1643,6 +1656,13 @@ def main():
                         continue
                     if _mk in _res:
                         extra[_key] = _res[_mk]
+                    elif _key == "emt151_f32" and \
+                            "f32" not in _modes:
+                        extra[_key] = {"skipped": (
+                            f"budget: {round(_left_now)}s left < "
+                            f"est {_est_pair}s for the full pair; "
+                            "ran f64 only"
+                        )}
                     else:
                         extra[_key] = {
                             "error": _res.get("_error", (
@@ -1652,6 +1672,7 @@ def main():
                             "block_wall_s": _wall,
                         }
                 _emit(metric, headline_rate[0], base, extra, t_start)
+
             if os.environ.get("BENCH_EMT151_QUEUE", "0") == "1":
                 # opt-in: measured 2026-08-20 chip-time-NEUTRAL vs the
                 # fixed ensemble at this size (0.134 vs 0.136
@@ -1662,26 +1683,54 @@ def main():
                 # intrinsic (wrong inertia until the Hessian refines),
                 # so the EMT chip time doesn't drop. Keep it out of the
                 # default path; see the docstring record.
-                _block("emt151_queue", 450,
-                       lambda: _do_151_sub(mode="emt151queue"))
+                def _do_151_queue():
+                    hits, rc, err = _run_child(
+                        "emt151queue",
+                        # generic knobs mean different things in the
+                        # parent's default path (BENCH_BATCH=1024 is
+                        # the 25-atom headline batch); let the queue
+                        # mode's own defaults apply in the child
+                        env_drop=("BENCH_BATCH", "BENCH_TOTAL",
+                                  "BENCH_MAX_STEPS",
+                                  "BENCH_DIAG_BUDGET",
+                                  "BENCH_DAVIDSON_MAX",
+                                  "BENCH_INHERIT_B"),
+                    )
+                    for out in reversed(hits):
+                        # queue mode prints the full metric envelope;
+                        # unwrap to the stats dict for the block table
+                        st = (out.get("extra") or {}).get(
+                            "emt151_queue")
+                        if st is not None:
+                            st["rate_searches_per_s"] = out.get(
+                                "value")
+                            st["vs_seq_baseline"] = out.get(
+                                "vs_baseline")
+                            return st
+                    raise RuntimeError(
+                        f"emt151queue subprocess rc={rc}: {err}"
+                    )
+
+                _block("emt151_queue", 450, _do_151_queue)
 
         if os.environ.get("BENCH_SKIP_LJ4", "0") != "1":
+            # North-star config 4 in one composite timed region. Runs
+            # as a budget-capped CHILD (round-5 review: an in-process
+            # block admitted onto a cold cache could compile past the
+            # driver kill point and cost the parent its rc=0 — the
+            # cold composite wall is ~706 s vs ~117 warm).
             def _do_lj4():
-                lj_total = int(os.environ.get("BENCH_LJ4_TOTAL", "4096"))
-                lj_batch = int(os.environ.get("BENCH_LJ4_BATCH", "1024"))
-                lj_rate, lj_stats = run_lj4_queue(
-                    lj_total, lj_batch,
-                    int(os.environ.get("BENCH_LJ4_MAX_STEPS", "150")),
+                hits, rc, err = _run_child("lj4block")
+                for out in reversed(hits):
+                    if "converged_frac" in out:
+                        return out
+                raise RuntimeError(
+                    f"lj4 subprocess rc={rc}: {err}"
                 )
-                lj_stats["rate_searches_per_s"] = round(lj_rate, 2)
-                lj_stats["vs_seq_baseline"] = round(
-                    lj_rate / SEQ_BASELINE["lj4"], 1
-                )
-                return lj_stats
 
-            # est measured 2026-08-20 (composite mode, warm cache:
-            # 116.8 s block wall incl. both warmup shapes) + margin
-            _block("lj4", 130, _do_lj4)
+            # est: measured warm composite wall 116.8 s (2026-08-20)
+            # + the child's ~60 s init share
+            _block("lj4", 180, _do_lj4)
 
         if os.environ.get("BENCH_SKIP_INTERNAL", "0") != "1":
             # VERDICT r4 item 4: the internal-tier rate belongs in the
@@ -1694,35 +1743,15 @@ def main():
             # ~390 s child init/cache-load/warmup) — it does NOT fit
             # the driver budget alongside the emt151 pair + lj4, so
             # under the default budget this block emits a skip note
-            # pointing at the last local capture. The block runs in a
-            # budget-capped SUBPROCESS (same pattern as emt151): a
-            # slow tunnel compile is killed at the budget edge instead
-            # of costing the parent its rc=0 and the final line flush.
+            # pointing at the last local capture. Budget-capped CHILD
+            # like the other heavy blocks.
             def _do_internal():
-                import subprocess
-                import sys as _sys
-
-                env = dict(os.environ)
-                env["BENCH_CONFIG"] = "internalblock"
-                env["BENCH_SKIP_PROBE"] = "1"
-                left = budget - (time.perf_counter() - t_start)
-                proc = subprocess.run(
-                    [_sys.executable, os.path.abspath(__file__)],
-                    env=env, capture_output=True, text=True,
-                    timeout=max(left + 30.0, 60.0),
-                )
-                for line in reversed(
-                        (proc.stdout or "").strip().splitlines()):
-                    try:
-                        out_i = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    if isinstance(out_i, dict) and \
-                            "converged_frac" in out_i:
-                        return out_i
+                hits, rc, err = _run_child("internalblock")
+                for out in reversed(hits):
+                    if "converged_frac" in out:
+                        return out
                 raise RuntimeError(
-                    f"internal subprocess rc={proc.returncode}: "
-                    f"{(proc.stderr or '')[-300:]}"
+                    f"internal subprocess rc={rc}: {err}"
                 )
 
             _block("internal", 700, _do_internal, skip_note=(
@@ -1732,18 +1761,42 @@ def main():
 
         if os.environ.get("BENCH_SKIP_CELL", "0") != "1":
             # BASELINE config 3: bulk-Cu atom+cell, fixed translations
-            _block("cell", 250, lambda: run_cell_config(
-                int(os.environ.get("BENCH_CELL_BATCH", "512")),
-            )[1])
+            def _do_cell():
+                hits, rc, err = _run_child("cellblock")
+                for out in reversed(hits):
+                    if "converged_frac" in out:
+                        return out
+                raise RuntimeError(
+                    f"cell subprocess rc={rc}: {err}"
+                )
+
+            # est = warm in-process wall (~325 s) + the child's ~60 s
+            # init share: at 332 s left the old est 250 admitted a
+            # child that could only die at its cap (observed
+            # 2026-08-21, wall 1140 s) — the gate must cover the full
+            # child cost so a no-hope admission is a skip instead
+            _block("cell", 400, _do_cell, skip_note=(
+                "last local capture 2026-08-21 (warm): 18.85 "
+                "searches/s @ 1.0 conv, batch=512"
+            ))
 
         if os.environ.get("BENCH_SKIP_LARGESCALE", "0") != "1":
             # BASELINE config 5: 10k-atom matrix-free MMF.
             # est = the larger 2026-08-20 warm capture (321.7 / 444.5 s
             # — three compiles; the earlier 300 underestimated it)
-            _block("largescale", 450, lambda: run_largescale(
-                int(os.environ.get("BENCH_NATOMS", "10000")),
-                int(os.environ.get("BENCH_STEPS", "3")),
-            )[1])
+            def _do_largescale():
+                hits, rc, err = _run_child("largescaleblock")
+                for out in reversed(hits):
+                    if "natoms" in out:
+                        return out
+                raise RuntimeError(
+                    f"largescale subprocess rc={rc}: {err}"
+                )
+
+            _block("largescale", 520, _do_largescale, skip_note=(
+                "last local capture 2026-08-21: 1.49 s/step binned-LJ"
+                ", 1.66 binned-EMT, 14.72 MLFF order-1 at n=10000"
+            ))
 
         return
     else:

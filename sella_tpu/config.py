@@ -33,10 +33,19 @@ if _X64:
 # way the reference pins its platform (``sella/__init__.py:9-13``).
 _plat = os.environ.get("SELLA_TPU_PLATFORM")
 if _plat:
-    try:  # pragma: no cover - harmless if the backend is already set
+    try:
         jax.config.update("jax_platforms", _plat)
-    except Exception:
-        pass
+    except Exception as _e:  # pragma: no cover - late import only
+        # do NOT swallow silently: the knob exists to guarantee the
+        # platform, and the one way it can fail is a backend already
+        # initialized before sella_tpu was imported — the caller
+        # should hear about that instead of silently running on a TPU
+        import warnings
+
+        warnings.warn(
+            f"SELLA_TPU_PLATFORM={_plat!r} could not be applied "
+            f"(JAX backend already initialized?): {_e}"
+        )
 
 # Persistent compilation cache: mirrors the reference's startup-time saving
 # (``/root/reference/sella/__init__.py:3-13``) but via JAX's native cache.
