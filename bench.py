@@ -85,7 +85,13 @@ snapshot per cycle (tunnel round trips), the harvest interval as one
 jitted fori_loop program, and the missing absb="ns" in the queue
 config (28.7 -> 41.1/s).
 
-emt151 queue-mode record (2026-08-20, BENCH_CONFIG=emt151queue,
+emt151 queue-mode records: with the round-5 pmode seed default
+(2026-08-21): 0.175 searches/s at 100% converged, mean 18.0 Davidson
+matvecs / 31.0 force calls per search — the best matvec economy of
+any mode at this size (+31% over the grad-seeded queue below; the
+fixed ensemble's 0.205 stays the throughput record because its
+bootstrap lands in the untimed warmup chunk — full-cost vs
+steady-state, see below). Grad-seeded baseline (2026-08-20,
 batch=32, total=64, inherit_B, refill_every=1): 0.134 searches/s at
 100% converged — chip-time-NEUTRAL vs the fixed ensemble's 0.136
 despite warm starts cutting Davidson matvecs 42.5 -> 27.4/search.
